@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads Verify output (<outDir>/<name>/ parquet + oracle_sql.json), runs each
+oracle SQL in DuckDB over the same sf tables, and compares row count, column
+names, and cell values (after sorting columns by name, like the driver).
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+            gcols = sorted(got.columns)
+            gdf = got.df()[gcols]
+            exp = con.sql(sql)
+            ecols = sorted(exp.columns)
+            edf = exp.df()[ecols]
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if gcols != ecols:
+            ok, msgs = False, [f"cols {gcols} vs {ecols}"]
+        elif len(gdf) != len(edf):
+            ok, msgs = False, [f"rows {len(gdf)} vs {len(edf)}"]
+        else:
+            for c in gcols:
+                gv = [norm(x) for x in gdf[c].tolist()]
+                ev = [norm(x) for x in edf[c].tolist()]
+                if gv != ev:
+                    diffs = [(i, a, b) for i, (a, b) in
+                             enumerate(zip(gv, ev)) if a != b][:3]
+                    ok = False
+                    msgs.append(f"col {c} diff {diffs}")
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({len(gdf)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(msgs))
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's fixed, compile-time table registry
+  * (etl-rust `docs/environment-variables.md:50-69` declares one queue per
+  * table); here each named table is a parquet-backed DataFrame. Schemas are
+  * whatever the parquet footer declares — the engine core never infers from
+  * data (reference keeps schemas compile-time, `docs/protobuf.md:7-8`).
+  *
+  * Scale note: parquet scans are the base of every plan; all queries built on
+  * these must show PushedFilters / pruned ReadSchema in `.explain` so a
+  * 100 TB scan only reads the needed columns/row-groups.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
