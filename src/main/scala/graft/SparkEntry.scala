@@ -37,6 +37,25 @@ object SparkEntry {
     "q16_sort_limit"         -> (q16SortLimit _),
     "q17_set_ops"            -> (q17SetOps _),
     "q18_distinct"           -> (q18Distinct _),
+    "q19_dedup_exact"        -> (LlmQueries.q19DedupExact _),
+    "q20_dedup_minhash"      -> (LlmQueries.q20DedupMinhash _),
+    "q21_dedup_ngram_jaccard" -> (LlmQueries.q21DedupNgramJaccard _),
+    "q22_dedup_simhash"      -> (LlmQueries.q22DedupSimhash _),
+    "q23_text_stats"         -> (LlmQueries.q23TextStats _),
+    "q24_lang_id"            -> (LlmQueries.q24LangId _),
+    "q25_token_count"        -> (LlmQueries.q25TokenCount _),
+    "q26_fingerprint"        -> (LlmQueries.q26Fingerprint _),
+    "q27_cosine_topk"        -> (VectorQueries.q27CosineTopK _),
+    "q28_ann_lsh"            -> (VectorQueries.q28AnnLsh _),
+    "q29_range_source"       -> (DataflowQueries.q29RangeSource _),
+    "q30_nest_unnest"        -> (DataflowQueries.q30NestUnnest _),
+    "q31_ts_modes"           -> (DataflowQueries.q31TimestampModes _),
+    "q32_json_serialize"     -> (DataflowQueries.q32JsonSerialize _),
+    "q33_json_extract"       -> (DataflowQueries.q33JsonExtract _),
+    "q34_time_buckets"       -> (DataflowQueries.q34TimeBuckets _),
+    "q35_throughput"         -> (DataflowQueries.q35Throughput _),
+    "q36_scalar_battery"     -> (DataflowQueries.q36ScalarBattery _),
+    "q37_codecs"             -> (DataflowQueries.q37Codecs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +79,24 @@ object SparkEntry {
     "q16_sort_limit"       -> q16Sql,
     "q17_set_ops"          -> q17Sql,
     "q18_distinct"         -> q18Sql,
+    "q19_dedup_exact"      -> LlmQueries.q19Sql,
+    "q20_dedup_minhash"    -> LlmQueries.q20Sql,
+    "q21_dedup_ngram_jaccard" -> LlmQueries.q21Sql,
+    // q22: SimHash signatures use Spark-internal xxhash64 (rows-only).
+    "q23_text_stats"       -> LlmQueries.q23Sql,
+    "q24_lang_id"          -> LlmQueries.q24Sql,
+    "q25_token_count"      -> LlmQueries.q25Sql,
+    "q26_fingerprint"      -> LlmQueries.q26Sql,
+    "q27_cosine_topk"      -> VectorQueries.q27Sql,
+    // q28: LSH-bucketed ANN is approximate by design (rows-only).
+    "q29_range_source"     -> DataflowQueries.q29Sql,
+    "q30_nest_unnest"      -> DataflowQueries.q30Sql,
+    "q31_ts_modes"         -> DataflowQueries.q31Sql,
+    "q32_json_serialize"   -> DataflowQueries.q32Sql,
+    "q33_json_extract"     -> DataflowQueries.q33Sql,
+    "q34_time_buckets"     -> DataflowQueries.q34Sql,
+    "q35_throughput"       -> DataflowQueries.q35Sql,
+    "q36_scalar_battery"   -> DataflowQueries.q36Sql,
+    "q37_codecs"           -> DataflowQueries.q37Sql,
   )
 }

@@ -31,7 +31,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * raw nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench/tests). Normalize to a true TimestampType (µs) here so
+    * every query sees the same column DuckDB sees — DuckDB also truncates
+    * ns → µs on read. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

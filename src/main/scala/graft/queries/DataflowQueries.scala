@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Oracle._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's dataflow-operator surface (SURVEY.md §2.1) as
+  * oracle-verifiable queries. Each query is the Spark-first re-expression
+  * of an etl-rust operator; file:line citations point at the behavior
+  * being reproduced.
+  */
+object DataflowQueries {
+
+  /** S1 block-range source (etl-rust `src/main.rs:391-429`): iterate block
+    * indices [start, end), synthesize a block per index, fan transactions
+    * out of each block. Offline stand-in for the RPC fetch: a
+    * deterministic arithmetic generator (portable to DuckDB's range()).
+    * Scale: spark.range is already partitioned across executors — the
+    * fetch/transform runs where the partition lives; no shuffle until the
+    * final tiny agg. */
+  def q29RangeSource(s: SparkSession, dir: String): DataFrame =
+    s.range(0L, 2000L).toDF("block_number")
+      .withColumn("n_tx", (col("block_number") * 2654435761L) % 97 % 7)
+      .withColumn("tx_i",
+        explode(when(col("n_tx") > 0, sequence(lit(0L), col("n_tx") - 1))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      .withColumn("fee",
+        ((col("block_number") * 31 + col("tx_i")) * 1103515245L + 12345L) % 1000003L)
+      .groupBy((col("block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        countDistinct(col("block_number")).as("n_blocks"),
+        sum(col("fee")).as("total_fees"))
+      .orderBy(col("bucket"))
+
+  val q29Sql: String =
+    """SELECT block_number % 10 AS bucket, COUNT(*) AS n_txs,
+      |  COUNT(DISTINCT block_number) AS n_blocks, SUM(fee) AS total_fees
+      |FROM (
+      |  SELECT block_number,
+      |    ((block_number * 31 + tx_i) * 1103515245 + 12345) % 1000003 AS fee
+      |  FROM (
+      |    SELECT block_number,
+      |      unnest(range(0, (block_number * 2654435761) % 97 % 7)) AS tx_i
+      |    FROM range(0, 2000) t(block_number)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** T2 block→tables fan-out (etl-rust `docs/etl-infrastructure-
+    * architecture.md:13`): nested parent record exploded into child-table
+    * records. Here: nest lineitems into their order (collect_list of
+    * structs — the "block" shape), then explode back out and aggregate.
+    * The oracle computes the same result directly from the flat tables,
+    * proving row/value conservation through the nest/unnest round-trip. */
+  def q30NestUnnest(s: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))).as("lines"))
+    val exploded = nested
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), explode(col("lines")).as("ln"))
+    exploded.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("ln.l_extendedprice") * (lit(1) - col("ln.l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q30Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** T4 timestamp normalization (etl-rust `Cargo.toml:181-183`,
+    * `src/features.rs:20-21`): the sink-dependent STRING_TIMESTAMP /
+    * INT_TIMESTAMP modes as parallel projections of the same column. */
+  def q31TimestampModes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"),
+        unix_millis(col("ts")).as("ts_epoch_ms"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
+  val q31Sql: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+      |  epoch_ms(ts) AS ts_epoch_ms
+      |FROM events ORDER BY event_id LIMIT 500""".stripMargin
+
+  /** T7 JSON serialization (etl-rust `src/output/json.rs:61`,
+    * `jsonl.rs:61,87`): one JSON document per record via
+    * to_json(struct(...)). Both engines render compact
+    * {"k":v,...} with struct field order preserved. */
+  def q32JsonSerialize(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+          .as("record_json"))
+      .orderBy(col("n_nationkey"))
+
+  val q32Sql: String =
+    """SELECT n_nationkey,
+      |  to_json({'n_nationkey': n_nationkey, 'n_name': n_name,
+      |           'n_regionkey': n_regionkey}) AS record_json
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** T1 JSON→typed deserialize (etl-rust `docs/deserialization.md:3-7`):
+    * parse the events.props JSON payload into a typed value and aggregate
+    * it — the from-wire-format path. */
+  def q33JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** K7 GCS time-partitioned sink's bucketing (etl-rust
+    * `src/output/gcs.rs:96-115`): 30-minute epoch-aligned buckets. The
+    * reference hand-slices a sorted batch; Spark's window() is the
+    * order-independent equivalent (SURVEY.md §7 semantic upgrade note).
+    * Scale: bucket column derives per-row (no sort); as a write partition
+    * key it gives partition pruning on read. */
+  def q34TimeBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("n_events"), col("total_value"))
+      .orderBy(col("bucket_start"))
+
+  val q34Sql: String =
+    s"""SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_start,
+      |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** C5 throughput estimator (etl-rust `src/benchmark.rs:18-64`):
+    * bytes/s = record-size proxy × records / window-seconds, as one
+    * aggregate over the event stream (record size ≈ serialized props +
+    * fixed envelope, mirroring "size of first valid block as JSON"). */
+  def q35Throughput(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        count(lit(1)).as("n_records"),
+        round((sum(length(col("props")) + 64) * lit(1000.0)) /
+          (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))), 2)
+          .as("bytes_per_sec"),
+        round((count(lit(1)) * lit(1000.0)) /
+          (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))), 2)
+          .as("records_per_sec"))
+
+  val q35Sql: String =
+    """SELECT COUNT(*) AS n_records,
+      |  round(SUM(length(props) + 64) * 1000.0 /
+      |    (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))), 2) AS bytes_per_sec,
+      |  round(COUNT(*) * 1000.0 /
+      |    (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))), 2) AS records_per_sec
+      |FROM events""".stripMargin
+
+  /** Scalar function battery (string/date/math) — the §2.2 scalar surface
+    * exercised in one projection; codecs base64/hex covered in q37. */
+  def q36ScalarBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 8)).as("pri_up"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (col("o_orderkey") % 7).as("m7"),
+        abs(col("o_custkey") - 500).as("dist"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        round(col("o_totalprice") * 1.1, 2).as("taxed"))
+      .orderBy(col("o_orderkey"))
+
+  val q36Sql: String =
+    """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 8)) AS pri_up,
+      |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom, o_orderkey % 7 AS m7,
+      |  abs(o_custkey - 500) AS dist,
+      |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+      |  round(o_totalprice * 1.1, 2) AS taxed
+      |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin
+
+  /** Binary codecs (etl-rust deps base64/hex, `Cargo.toml:31-33`):
+    * round-trip text through base64 and hex, emit digests — the
+    * serialize-side codec surface as a projection. */
+  def q37Codecs(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        hex(col("n_name").cast("binary")).as("hx"),
+        md5(col("n_name").cast("binary")).as("name_md5"),
+        length(unbase64(base64(col("n_name").cast("binary")))).as("rt_len"))
+      .orderBy(col("n_nationkey"))
+
+  val q37Sql: String =
+    """SELECT n_nationkey, to_base64(encode(n_name)) AS b64,
+      |  upper(hex(encode(n_name))) AS hx, md5(n_name) AS name_md5,
+      |  octet_length(from_base64(to_base64(encode(n_name)))) AS rt_len
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact + near-duplicate detection (hash / MinHash-LSH / SimHash /
+  * inverted-index n-gram Jaccard), text quality stats, language ID,
+  * token counting, and document fingerprinting.
+  *
+  * The reference (etl-rust) has none of these — they are the north-star
+  * additions from BASELINE.json, built as first-class registry entries.
+  *
+  * Scale design notes are on each query; the common theme: never compare
+  * all O(n²) document pairs. Candidates come from LSH band buckets or an
+  * inverted index, and only candidates pay the exact-verification cost.
+  * The DuckDB oracles DO brute-force O(n²) — at sf0.01 (500 docs) that is
+  * the point: the clever plan must equal the naive one.
+  */
+object LlmQueries {
+
+  /** documents → (doc_id, toks, shingles) with shingle-set size. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .withColumn("shingles", shingles3("toks"))
+      .withColumn("sz", size(col("shingles")))
+
+  /** DuckDB twin of [[shingled]] as a CTE body. */
+  private val shingledSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      |      i -> concat(string_split(lower(text), ' ')[i], ' ',
+      |                  string_split(lower(text), ' ')[i + 1], ' ',
+      |                  string_split(lower(text), ' ')[i + 2])))
+      |  ELSE CAST([] AS VARCHAR[]) END AS shingles
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+
+  /** Exact dedup by content hash (sha256 of text). Output is per-source
+    * survivor counts plus the lexicographic min hash, which verifies the
+    * hash computation itself agrees cross-engine.
+    * Scale: one shuffle on the 64-hex-char hash; dedup keeps min doc_id
+    * per hash (deterministic canonical survivor). */
+  def q19DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"),
+        min(col("source")).as("source"), count(lit(1)).as("n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_copies")).as("n_total"),
+        min(col("h")).as("sample_hash"))
+      .orderBy(col("source"))
+
+  val q19Sql: String =
+    """SELECT source, COUNT(*) AS n_kept, SUM(n_copies) AS n_total,
+      |  MIN(h) AS sample_hash
+      |FROM (
+      |  SELECT sha256(text) AS h, MIN(doc_id) AS doc_id,
+      |    MIN(source) AS source, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY sha256(text))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Near-dup via MinHash + LSH
+
+  /** Near-duplicate pairs via MinHash+LSH: shingle → 32 minhashes → 8
+    * bands × 4 rows → band-bucket self-join for candidates → exact
+    * Jaccard ≥ 0.8 verification. At the data's similarity gap (planted
+    * pairs ≥ 0.9, background < 0.07) LSH recall is ≈ 1 − (1 − J⁴)⁸ ≈ 1,
+    * so the output equals the brute-force oracle.
+    * Scale: candidates come from a groupBy on (band, key) — cost is
+    * O(n·b) rows shuffled, not O(n²) pairs; only bucket-mates pay the
+    * exact array_intersect. */
+  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir).select("doc_id", "shingles", "sz")
+    val bands = docs
+      .withColumn("sig", minhashSignature("shingles", 32))
+      .select(col("doc_id"), explode(lshBands("sig", 8, 4)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sa"), col("sz").as("na")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sb"), col("sz").as("nb")), "b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force O(n²) exact-Jaccard oracle shared by q20/q21. */
+  val q20Sql: String =
+    s"""WITH sh AS ($shingledSql)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Near-dup via inverted-index n-gram Jaccard
+
+  /** Same near-dup semantics as q20, different distributed plan: an
+    * inverted index (explode shingles → self-join on shingle → count
+    * common per pair). No LSH approximation — exact by construction.
+    * Scale: cost is Σ_shingle freq² — fine while shingle frequencies are
+    * bounded; a production run prunes ultra-frequent shingles first
+    * (they contribute candidates, not discrimination). */
+  def q21DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val inv = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sg"))
+    inv.as("x").join(inv.as("y"),
+        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("na"), col("y.sz").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q21Sql: String = q20Sql
+
+  // ---------------------------------------------------------------------
+  // Near-dup via SimHash
+
+  /** SimHash near-dup: 64-bit signature over the shingle set, 4 bands of
+    * 16 bits for candidates, Hamming distance ≤ 6 confirms. Signature
+    * uses Spark's xxhash64 — engine-internal, so no SQL oracle (driver
+    * records rows-only). Planted near-dups (J ≈ 0.98) land at Hamming
+    * 0–4; unrelated docs ≈ 32.
+    * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
+  def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).withColumn("sig", simhash64("shingles"))
+      .select("doc_id", "sig")
+    val withPos = sh.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), j -> (shiftright(sig, j * 16) & 65535L))"))
+        .as(Seq("band", "key")))
+    val cand = withPos.as("x").join(withPos.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+
+  /** Per-language text-quality profile: token counts, type-token ratio,
+    * punctuation density, stopword counts. All pure column arithmetic —
+    * one pass, one tiny shuffle (5 language groups). */
+  def q23TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokensOf(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9 ]")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_uniq").cast("double") / col("n_tokens")), 4).as("avg_ttr"),
+        sum(col("n_punct")).as("total_punct"),
+        sum(col("n_stop")).as("total_stopwords"))
+      .orderBy(col("lang"))
+
+  val q23Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(lower(text), ' '))) AS total_tokens,
+      |  round(AVG(len(string_split(lower(text), ' '))), 4) AS avg_tokens,
+      |  round(AVG(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |    / len(string_split(lower(text), ' '))), 4) AS avg_ttr,
+      |  SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS total_punct,
+      |  SUM(len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS total_stopwords
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Language ID by stopword-marker scoring (n-gram-heuristic family):
+    * count marker tokens per candidate language, argmax with a fixed
+    * priority tiebreak. Output is the (actual, predicted) confusion
+    * table. Deterministic, fully SQL-mirrored. */
+  def q24LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokensOf(col("text")))
+      .withColumn("s_en", expr("size(filter(toks, t -> t IN ('the', 'a', 'is', 'of')))"))
+      .withColumn("s_es", expr("size(filter(toks, t -> t IN ('el', 'los', 'es', 'una')))"))
+      .withColumn("s_fr", expr("size(filter(toks, t -> t IN ('le', 'les', 'et', 'une')))"))
+      .withColumn("s_de", expr("size(filter(toks, t -> t IN ('der', 'die', 'das', 'und')))"))
+      .withColumn("pred_lang",
+        expr("""CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               |     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+               |     WHEN s_fr >= s_de THEN 'fr'
+               |     ELSE 'de' END""".stripMargin))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val q24Sql: String =
+    """SELECT lang, pred_lang, COUNT(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |         WHEN s_fr >= s_de THEN 'fr'
+      |         ELSE 'de' END AS pred_lang
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a', 'is', 'of'))) AS s_en,
+      |      len(list_filter(string_split(lower(text), ' '), t -> t IN ('el', 'los', 'es', 'una'))) AS s_es,
+      |      len(list_filter(string_split(lower(text), ' '), t -> t IN ('le', 'les', 'et', 'une'))) AS s_fr,
+      |      len(list_filter(string_split(lower(text), ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS s_de
+      |    FROM documents))
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+
+  /** BPE-ish regex token counting: runs of letters, runs of digits, or
+    * single non-alnum marks — the standard pre-tokenizer shape. Per-source
+    * totals. */
+  def q25TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tok", regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"), max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("source"))
+
+  val q25Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_tokens,
+      |  round(AVG(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4) AS avg_tokens,
+      |  MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS max_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Position-weighted rolling-hash fingerprint per document (shape of
+    * Rabin-Karp / winnowing content IDs) — built only from cross-engine
+    * primitives (length/ascii/substr) so DuckDB reproduces every value. */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokensOf(col("text")))
+      .select(col("doc_id"), fingerprint("toks").as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  list_sum(list_transform(range(1, len(ss) + 1),
+      |    i -> i * (length(ss[i]) * 1000003 + ascii(ss[i]) * 1009 +
+      |              ascii(substr(ss[i], length(ss[i]), 1)) * 31 +
+      |              ascii(substr(ss[i], 2, 1))))) % 1000000007 AS fp
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ss FROM documents)
+      |ORDER BY doc_id""".stripMargin
+}

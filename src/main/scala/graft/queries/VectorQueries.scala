@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two plans for the same problem:
+  *  - q27: brute-force cosine top-k — the correctness baseline, exact,
+  *    oracle-verified against DuckDB computing the identical double fold.
+  *  - q28: LSH-bucketed (random-hyperplane) ANN — the 100 TB scale path:
+  *    signature groupBy prunes the candidate set so no all-pairs join
+  *    ever materializes. Approximate ⇒ rows-only check.
+  *
+  * All vector math is `functions.aggregate`/`zip_with` folds (codegen'd,
+  * no UDF). Norms are computed per row BEFORE the join — at scale that is
+  * the difference between O(n·k·d) and O(n²·d) work.
+  */
+object VectorQueries {
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
+    * nearest neighbors by cosine similarity.
+    * Plan: tiny query side is broadcast; candidates stream past it;
+    * per-query top-5 via row_number window (WindowGroupLimit keeps k rows
+    * per partition — no global sort).
+    * Determinism: cosine rounded to 6dp, ties broken by candidate id;
+    * DuckDB mirrors the exact fold order so values agree bitwise. */
+  def q27CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      normDouble("embedding").as("nrm"))
+    val queries = withNorm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cands = withNorm
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim",
+        round(dotDouble("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB twin — NOTE: deliberately NOT list_cosine_similarity (it
+    * accumulates in float32 and diverges from the double fold at ~1e-8);
+    * this explicit list_transform/list_sum matches Spark's aggregate
+    * fold element order exactly. */
+  val q27Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT q_id, c_id, cos_sim, rn FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (q.nrm * c.nrm), 6) AS cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |        / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rn
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** LSH-bucketed approximate nearest neighbors: 12 random hyperplanes →
+    * 12-bit sign signature → exact cosine only within each bucket →
+    * top-3 per query among bucket-mates.
+    * Hyperplane coords are a deterministic arithmetic formula (no RNG —
+    * reproducible across runs). Approximate recall ⇒ no SQL oracle.
+    * Scale: the only shuffle is the signature groupBy; bucket sizes are
+    * ~n/2^bits, so pairwise work within buckets is ~n²/2^bits — tune bit
+    * count to data size. IVF would replace the signature with a nearest-
+    * centroid id; same plan shape. */
+  def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    // plane(j, d) = sin(j * 131 + d * 7) : fixed pseudo-random hyperplanes.
+    val sigExpr =
+      """aggregate(sequence(0, 11), 0L, (acc, j) ->
+        |  acc + IF(aggregate(sequence(0, size(embedding) - 1), 0D,
+        |      (sm, d) -> sm + CAST(element_at(embedding, d + 1) AS DOUBLE) * sin(j * 131 + d * 7)) >= 0D,
+        |    shiftleft(1L, j), 0L))""".stripMargin
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), normDouble("embedding").as("nrm"))
+      .withColumn("sig", expr(sigExpr))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    e.as("q").join(e.as("c"),
+        col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < 50)
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
+        round(dotDouble("q.embedding", "c.embedding") / (col("q.nrm") * col("c.nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+}
