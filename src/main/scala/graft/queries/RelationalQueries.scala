@@ -158,20 +158,25 @@ object RelationalQueries {
       |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
-  def q07JoinAnti(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
-        "left_anti")
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_customers"))
-      .orderBy(col("c_nationkey"))
+  /** Left-anti join (NOT EXISTS): orders with no high-quantity line.
+    * (Written against lineitem rather than customer-without-orders — in
+    * this data every customer has orders, which made the anti-join
+    * vacuous: a 0-row result exercises nothing.) */
+  def q07JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   val q07Sql: String =
-    """SELECT c_nationkey, COUNT(*) AS n_customers
-      |FROM customer WHERE NOT EXISTS (
-      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+      |FROM orders WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Left-outer join preserving customers with zero orders; conditional agg.
     * Count must count o_orderkey (not *) so no-order customers show 0. */

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.operators.FanOut
+import graft.sinks.FanOutWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming mode (etl-rust EP2 `index-subscription`, S3/C1; SURVEY.md §3).
+  *
+  * The reference consumes a Pub/Sub subscription forever, each message
+  * naming extraction work (`src/main.rs:356-389`), horizontal scale =
+  * replicas sharing the subscription. The Spark-native equivalent is
+  * Structured Streaming: a streaming source of work/records → the SAME
+  * batch transforms (fan-out is identical code — T2 doesn't know it's
+  * streaming) → `foreachBatch` publishing per-table with
+  * `checkpointLocation` carrying the C1 resume contract (offsets +
+  * commits replace `./indexed_blocks/` filenames).
+  *
+  * Offline stand-in for the subscription: a file-drop directory source —
+  * every JSON file dropped is a message batch. Scale: each micro-batch is
+  * a normal Spark job over executor-partitioned data; watermarking bounds
+  * state; `Trigger.AvailableNow` gives catch-up-then-stop batch parity.
+  */
+object StreamPipeline {
+
+  /** S3 stand-in: schema-pinned JSON file-drop source (schemas are fixed
+    * at compile time in the reference — no inference, docs/protobuf.md). */
+  def fileDropSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Continuous fan-out: nested block stream → per-table sinks via
+    * foreachBatch, exactly-once bookkeeping from the checkpoint. Batch
+    * and streaming share FanOut/FanOutWriter code verbatim. */
+  def runFanOut(nestedBlocks: DataFrame, writer: FanOutWriter,
+      checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val trigger = if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("5 seconds")
+    nestedBlocks.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writer.publishBlocks(batch)
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * K7 30-minute bucket as a *streaming* operator, with late data beyond
+    * the watermark dropped (the capability the reference delegates to its
+    * warehouse). Append mode only emits finalized windows. */
+  def windowedCounts(events: DataFrame, tsCol: String,
+      watermarkDelay: String = "10 minutes", windowLen: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Per-key custom state: running high-watermark of block numbers per
+    * source — the C1 watermark as explicit `mapGroupsWithState`, showing
+    * the arbitrary-state surface (KeyValueGroupedDataset). */
+  final case class BlockSeen(source: String, blockNumber: Long)
+  final case class WatermarkState(maxBlock: Long)
+  final case class WatermarkOut(source: String, maxBlock: Long)
+
+  def highWatermarkPerSource(blocks: org.apache.spark.sql.Dataset[BlockSeen]): DataFrame = {
+    import blocks.sparkSession.implicits._
+    blocks.groupByKey(_.source)
+      .mapGroupsWithState[WatermarkState, WatermarkOut](GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[BlockSeen], state: GroupState[WatermarkState]) =>
+          val prev = state.getOption.map(_.maxBlock).getOrElse(Long.MinValue)
+          val mx = (rows.map(_.blockNumber) ++ Iterator.single(prev)).max
+          state.update(WatermarkState(mx))
+          WatermarkOut(source, mx)
+      }
+      .toDF()
+  }
+}

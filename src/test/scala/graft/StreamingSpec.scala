@@ -1,0 +1,82 @@
+package graft
+
+import graft.sinks.FanOutWriter
+import graft.sources.BlockSources
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("S3 file-drop source -> fan-out -> per-table sinks, checkpointed resume") {
+    val in = Files.createTempDirectory("drop").toString
+    val out = Files.createTempDirectory("streamout").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    // batch 1 dropped into the work directory
+    BlockSources.blockRange(spark, 0, 20).write.mode("append").json(in)
+    val schema = BlockSources.blockRange(spark, 0, 1).schema
+    val writer = FanOutWriter.jsonl(out, Seq("blocks", "transactions", "account_refs"))
+
+    val q1 = StreamPipeline.runFanOut(
+      StreamPipeline.fileDropSource(spark, in, schema), writer, ckpt)
+    q1.awaitTermination(60000)
+    assert(spark.read.json(s"$out/blocks").count() === 20)
+
+    // batch 2 dropped; restart from the SAME checkpoint -> only new files
+    BlockSources.blockRange(spark, 20, 30).write.mode("append").json(in)
+    val q2 = StreamPipeline.runFanOut(
+      StreamPipeline.fileDropSource(spark, in, schema), writer, ckpt)
+    q2.awaitTermination(60000)
+    val blocks = spark.read.json(s"$out/blocks")
+    assert(blocks.count() === 30) // no reprocessing of batch 1 (C1 resume)
+    assert(blocks.select(countDistinct(col("block_number"))).head().getLong(0) === 30)
+  }
+
+  test("watermarked 30-min windows drop late data beyond the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamPipeline.windowedCounts(events, "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    mem.addData((t(5), "click", 1.0), (t(10), "click", 2.0)) // window 10:00-10:30
+    q.processAllAvailable()
+    mem.addData((t(55), "click", 3.0)) // advances watermark to 10:45 -> finalizes 10:00 window
+    q.processAllAvailable()
+    mem.addData((t(1), "click", 99.0)) // LATE: before watermark -> dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT * FROM win_agg ORDER BY bucket_start").collect()
+    assert(rows.length === 1) // only the finalized 10:00 window emitted so far
+    assert(rows(0).getAs[Long]("n_events") === 2) // late row 99.0 NOT counted
+    assert(rows(0).getAs[Double]("total_value") === 3.0)
+  }
+
+  test("mapGroupsWithState keeps a per-source high watermark across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPipeline.BlockSeen]
+    val out = StreamPipeline.highWatermarkPerSource(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("hwm")
+      .outputMode("update").start()
+
+    mem.addData(StreamPipeline.BlockSeen("rpc1", 5), StreamPipeline.BlockSeen("rpc1", 9))
+    q.processAllAvailable()
+    mem.addData(StreamPipeline.BlockSeen("rpc1", 7)) // lower than state -> stays 9
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.sql("SELECT maxBlock FROM hwm").collect().map(_.getLong(0))
+    assert(last.last === 9)
+  }
+}
