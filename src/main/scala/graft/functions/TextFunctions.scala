@@ -33,31 +33,15 @@ object TextFunctions {
               |              element_at($toksCol, i + 2))))""".stripMargin))
       .otherwise(expr("CAST(array() AS array<string>)"))
 
-  /** MinHash signature: k 64-bit min-hashes of a shingle-set column.
-    * Hash family: xxhash64(seed_i, shingle) — xxhash64 over (int, string)
-    * is a keyed hash, one independent function per seed. Engine-internal
-    * (Spark's xxhash64 is not reproducible in DuckDB) — callers verify the
-    * LSH *output* (exact-Jaccard-confirmed pairs) against a brute-force
-    * oracle instead of the signatures. */
-  def minhashSignature(shinglesCol: String, k: Int): Column =
-    expr(s"""transform(sequence(0, ${k - 1}),
-            |  i -> array_min(transform($shinglesCol, s -> xxhash64(i, s))))""".stripMargin)
-
-  /** LSH band keys from a minhash signature: b bands of r rows; band j's
-    * key = murmur3 hash of signature slice [j*r, j*r+r). A pair agreeing on
-    * any band becomes a candidate. */
-  def lshBands(sigCol: String, b: Int, r: Int): Column =
-    expr(s"""transform(sequence(0, ${b - 1}),
-            |  j -> named_struct('band', j, 'key', hash(slice($sigCol, j * $r + 1, $r))))""".stripMargin)
-
-  /** 64-bit SimHash of a token-array column: bit i of the result is the
-    * sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
-    * Pure shift/mask arithmetic — codegen-friendly, no UDF. */
-  def simhash64(toksCol: String): Column =
-    expr(s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-            |  acc + IF(aggregate($toksCol, 0L,
-            |        (s, t) -> s + IF((xxhash64(t) >> i) % 2 != 0, 1L, -1L)) >= 0L,
-            |      shiftleft(1L, i), 0L))""".stripMargin)
+  // MinHash/SimHash signatures are NOT built here as nested SQL-lambda
+  // Columns: nested `aggregate(transform(...))` lambdas evaluate
+  // interpreted (outside whole-stage codegen) and re-walk the shingle
+  // array once per hash function / per bit — measured 583 s for SimHash
+  // alone at sf0.1. The fast shape is relational: explode shingles once,
+  // hash each once, and compute all k mins / 64 bit-sums as codegen'd
+  // aggregates in a single groupBy — see LlmQueries.minhashSigs /
+  // simhashSigs. Keep signature construction in the plan, not in a
+  // per-row lambda interpreter.
 
   /** Cross-engine token value for the rolling-hash fingerprint. Built only
     * from length/ascii/substring so DuckDB computes the identical number.

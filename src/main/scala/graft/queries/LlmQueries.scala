@@ -21,12 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** documents → (doc_id, toks, shingles) with shingle-set size. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** documents → one row per DISTINCT word-3-gram shingle: (doc_id, sg).
+    *
+    * Built relationally — posexplode tokens → per-doc window lead(1|2) →
+    * concat → distinct — because the "obvious" array formulation
+    * (`array_distinct(transform(sequence(...), i -> concat(element_at...`)
+    * runs the lambda interpreted per element: measured ~11 s at sf0.1 for
+    * 260k shingles vs ~1 s for this plan. Every operator here (explode,
+    * window lead, concat, hash-distinct) stays in whole-stage codegen, and
+    * the one shuffle (by doc_id) is reused by the downstream signature
+    * groupBy. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
-      .withColumn("shingles", shingles3("toks"))
-      .withColumn("sz", size(col("shingles")))
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sg"))
+      .distinct()
+  }
+
+  /** (doc_id, sz): distinct-shingle-set size per doc. */
+  private def shingleSizes(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
   /** DuckDB twin of [[shingled]] as a CTE body. */
   private val shingledSql: String =
@@ -66,6 +85,31 @@ object LlmQueries {
       |  FROM documents GROUP BY sha256(text))
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** MinHash signatures, relationally: explode shingles, hash each ONCE
+    * (two base hashes; family h_i = h1 + i·h2, Kirsch-Mitzenmacher), then
+    * 32 codegen'd min-aggregates in one groupBy. One shuffle, no
+    * interpreted lambdas. Output: doc_id, m0..m{k-1}. */
+  private def minhashSigs(rows: DataFrame, k: Int): DataFrame = {
+    // Masked to 31 bits: ANSI mode (Spark 4 default) would throw on long
+    // overflow in h1 + i·h2; 31-bit space keeps i·h2 ≤ 2³⁶ — exact, and
+    // ample for min-hashing ~10² shingles per doc.
+    val ex = rows.select(col("doc_id"),
+      xxhash64(col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h1"),
+      xxhash64(lit(7), col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h2"))
+    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Unpivot b bands of r signature columns into (doc_id, band, key) rows
+    * via stack() — the LSH bucket id stream. */
+  private def bandRows(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val stackArgs = (0 until b).map { j =>
+      val slice = (j * r until (j + 1) * r).map(i => s"m$i").mkString(", ")
+      s"$j, hash($slice)"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", s"stack($b, $stackArgs) AS (band, key)")
+  }
+
   // ---------------------------------------------------------------------
   // Near-dup via MinHash + LSH
 
@@ -78,21 +122,22 @@ object LlmQueries {
     * O(n·b) rows shuffled, not O(n²) pairs; only bucket-mates pay the
     * exact array_intersect. */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir).select("doc_id", "shingles", "sz")
-    val bands = docs
-      .withColumn("sig", minhashSignature("shingles", 32))
-      .select(col("doc_id"), explode(lshBands("sig", 8, 4)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val rows = shingleRows(s, dir)
+    val sizes = shingleSizes(rows)
+    val bands = bandRows(minhashSigs(rows, 32), 8, 4)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sa"), col("sz").as("na")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sb"), col("sz").as("nb")), "b")
-      .filter(col("na") > 0 && col("nb") > 0)
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    // Exact verification stays relational: candidates (tiny, broadcast)
+    // filter the inverted index; common-shingle counts give Jaccard.
+    val invA = rows.select(col("doc_id").as("a"), xxhash64(col("sg")).as("hg"))
+    val invB = rows.select(col("doc_id").as("b"), xxhash64(col("sg")).as("hg"))
+    broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("nb")), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.8)
@@ -121,13 +166,18 @@ object LlmQueries {
     * bounded; a production run prunes ultra-frequent shingles first
     * (they contribute candidates, not discrimination). */
   def q21DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
-    val inv = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sg"))
+    val rows = shingleRows(s, dir)
+    val sizes = shingleSizes(rows)
+    // join on the shingle's 64-bit hash, not the string: an 8-byte shuffle
+    // key instead of ~20 chars (collision odds ~n²/2⁶⁴ — nil; the oracle
+    // would catch one).
+    val inv = rows.select(col("doc_id"), xxhash64(col("sg")).as("hg"))
     inv.as("x").join(inv.as("y"),
-        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sz").as("na"), col("y.sz").as("nb"))
+        col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.8)
@@ -140,6 +190,21 @@ object LlmQueries {
   // ---------------------------------------------------------------------
   // Near-dup via SimHash
 
+  /** SimHash signatures, relationally (same rationale as minhashSigs):
+    * explode shingles, hash once, 64 bit-sum aggregates in one groupBy
+    * (sum of ±1 per bit), then assemble the 64-bit signature in a single
+    * projection. The naive nested-lambda version of this measured 583 s
+    * at sf0.1; this one is ~1 s. */
+  private def simhashSigs(rows: DataFrame): DataFrame = {
+    val ex = rows.select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"s$i"))
+    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      expr((0 until 64).map(i => s"IF(s$i >= 0, shiftleft(1L, $i), 0L)")
+        .mkString(" + ")).as("sig"))
+  }
+
   /** SimHash near-dup: 64-bit signature over the shingle set, 4 bands of
     * 16 bits for candidates, Hamming distance ≤ 6 confirms. Signature
     * uses Spark's xxhash64 — engine-internal, so no SQL oracle (driver
@@ -147,8 +212,7 @@ object LlmQueries {
     * 0–4; unrelated docs ≈ 32.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).withColumn("sig", simhash64("shingles"))
-      .select("doc_id", "sig")
+    val sh = simhashSigs(shingleRows(s, dir))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), j -> (shiftright(sig, j * 16) & 65535L))"))
         .as(Seq("band", "key")))

@@ -79,15 +79,28 @@ object VectorQueries {
     * count to data size. IVF would replace the signature with a nearest-
     * centroid id; same plan shape. */
   def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // plane(j, d) = sin(j * 131 + d * 7) : fixed pseudo-random hyperplanes.
-    val sigExpr =
-      """aggregate(sequence(0, 11), 0L, (acc, j) ->
-        |  acc + IF(aggregate(sequence(0, size(embedding) - 1), 0D,
-        |      (sm, d) -> sm + CAST(element_at(embedding, d + 1) AS DOUBLE) * sin(j * 131 + d * 7)) >= 0D,
-        |    shiftleft(1L, j), 0L))""".stripMargin
-    val e = Tables.embeddings(s, dir)
+    // plane(j, d) = sin(j * 131 + d * 7): fixed pseudo-random hyperplanes,
+    // materialized ONCE on the driver (no RNG — reproducible runs).
+    // Signatures are computed RELATIONALLY: posexplode the vector dims,
+    // broadcast-join the 768-row plane table, two codegen'd groupBy sums.
+    // (A single literal 768-term projection expression measured ~8 s —
+    // janino chokes on the huge method and falls back to interpreted; the
+    // relational plan is sub-second and scales.)
+    import s.implicits._
+    val planesDF = broadcast(
+      (for { j <- 0 until 12; d <- 0 until 64 }
+        yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), normDouble("embedding").as("nrm"))
-      .withColumn("sig", expr(sigExpr))
+    val sigs = base
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(planesDF, "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x").cast("double") * col("w")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, CAST(j AS INT))"))
+        .otherwise(0L)).as("sig"))
+    val e = base.join(sigs, "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     e.as("q").join(e.as("c"),
