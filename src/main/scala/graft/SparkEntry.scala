@@ -56,6 +56,13 @@ object SparkEntry {
     "q35_throughput"         -> (DataflowQueries.q35Throughput _),
     "q36_scalar_battery"     -> (DataflowQueries.q36ScalarBattery _),
     "q37_codecs"             -> (DataflowQueries.q37Codecs _),
+    "q38_range_join"         -> (AdvancedQueries.q38RangeJoin _),
+    "q39_asof_join"          -> (AdvancedQueries.q39AsofJoin _),
+    "q40_grouping_sets"      -> (AdvancedQueries.q40GroupingSets _),
+    "q41_pivot"              -> (AdvancedQueries.q41Pivot _),
+    "q42_percentiles"        -> (AdvancedQueries.q42Percentiles _),
+    "q43_sessions"           -> (AdvancedQueries.q43Sessions _),
+    "q44_udaf_modprod"       -> (AdvancedQueries.q44UdafModProduct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,5 +105,12 @@ object SparkEntry {
     "q35_throughput"       -> DataflowQueries.q35Sql,
     "q36_scalar_battery"   -> DataflowQueries.q36Sql,
     "q37_codecs"           -> DataflowQueries.q37Sql,
+    "q38_range_join"       -> AdvancedQueries.q38Sql,
+    "q39_asof_join"        -> AdvancedQueries.q39Sql,
+    "q40_grouping_sets"    -> AdvancedQueries.q40Sql,
+    "q41_pivot"            -> AdvancedQueries.q41Sql,
+    "q42_percentiles"      -> AdvancedQueries.q42Sql,
+    "q43_sessions"         -> AdvancedQueries.q43Sql,
+    "q44_udaf_modprod"     -> AdvancedQueries.q44Sql,
   )
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Oracle._
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface (SURVEY.md §2.2 rows the first wave didn't
+  * cover): non-equi/range join, as-of join, GROUPING SETS, pivot, exact
+  * percentiles, gaps-and-islands sessionization, custom typed UDAF.
+  */
+object AdvancedQueries {
+
+  /** Range (theta) join: fact rows matched to a tier dimension by value
+    * interval. Scale: the tier table is tiny and broadcast, so the
+    * non-equi predicate evaluates as a BroadcastNestedLoopJoin — the only
+    * sane plan for interval dims; never range-join two big sides without
+    * bucketing the interval space first. */
+  def q38RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = broadcast(Seq(
+      ("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 60.0)
+    ).toDF("tier", "lo", "hi"))
+    Tables.lineitem(s, dir)
+      .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("tier_value"))
+      .orderBy(col("tier"))
+  }
+
+  val q38Sql: String =
+    s"""SELECT tier, COUNT(*) AS n_items,
+      |  ${dsumSql("l_extendedprice")} AS tier_value
+      |FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0),
+      |  ('large', 25.0, 60.0)) t(tier, lo, hi)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** As-of join: for every `error` event, the most recent `click` of the
+    * same user at or before it. Implemented as the union-free single-pass
+    * pattern: one window over (user, time) with clicks ordered before
+    * errors at equal timestamps, carrying max(click ts) forward — no join
+    * at all, one shuffle by user.
+    * Scale: this beats the naive join+filter+argmax (which explodes to
+    * |errors|·|clicks| per user); the window is the canonical distributed
+    * as-of plan when both sides share a partition key. */
+  def q39AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_click_ts",
+        max(when(col("is_click") === 1, col("ts"))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val q39Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  (SELECT max(c.ts) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts <= e.ts) AS prev_click_ts
+      |FROM events e WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin
+
+  /** GROUPING SETS — the SQL-side grouping surface beyond rollup/cube. */
+  def q40GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q40Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Pivot (BigQuery-style wide aggregation): order counts by priority ×
+    * status. Explicit pivot values keep the schema static (required for a
+    * fixed-schema engine; dynamic pivot would need a pre-pass). */
+  def q41Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  val q41Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact linear-interpolation percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`). Distributed cost note: exact percentile
+    * collects per-group sorted values — at 100 TB use approx_percentile
+    * (KLL/GK sketch) instead; this query is the exact-semantics slot. */
+  def q42Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("pcts"), 1), 4).as("p25"),
+        round(element_at(col("pcts"), 2), 4).as("p50"),
+        round(element_at(col("pcts"), 3), 4).as("p75"),
+        col("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q42Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * a >30-min silence per user. Session ids by cumulative sum over a
+    * lag-derived boundary flag — one shuffle by user; the streaming twin
+    * is session_window (graft.streaming). */
+  def q43Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q43Sql: String =
+    """SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_ts IS NULL
+      |        OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Custom typed UDAF: modular product (no Spark built-in). Exact
+    * integer math, commutative — identical result under any partial/final
+    * aggregation order, which is what makes it cross-engine verifiable
+    * (DuckDB folds the same values with list_reduce). */
+  def q44UdafModProduct(s: SparkSession, dir: String): DataFrame = {
+    val modprod = udaf(Aggregators.ModProduct)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(modprod(col("l_orderkey")).as("modprod_orderkey"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q44Sql: String =
+    s"""SELECT l_returnflag,
+      |  list_reduce(list_prepend(1, list(l_orderkey % ${Aggregators.ModP})),
+      |    (a, b) -> (a * b) % ${Aggregators.ModP}) AS modprod_orderkey,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}
