@@ -63,6 +63,18 @@ object StreamPipeline {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming sessionization: dynamic-gap session windows per user —
+    * the streaming twin of AdvancedQueries.q43Sessions (gaps-and-islands
+    * in batch). State is bounded by the watermark. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      watermarkDelay: String = "10 minutes", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Per-key custom state: running high-watermark of block numbers per
     * source — the C1 watermark as explicit `mapGroupsWithState`, showing
     * the arbitrary-state surface (KeyValueGroupedDataset). */

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the scale claims each query's doc
+  * makes must be visible in `explain`, not just asserted in comments.
+  * These catch regressions like a broadcast silently becoming a shuffle
+  * join or a filter no longer reaching the parquet scan. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicates and column pruning reach the parquet scan") {
+    val p = plan(RelationalQueries.q02FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the 4 needed columns, not all 11
+    assert(!p.contains("l_shipdate"), "scan reads columns the query never uses")
+  }
+
+  test("q03: dimension side is broadcast (no shuffle of the fact table)") {
+    val p = plan(RelationalQueries.q03JoinBroadcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q15: rank-filter compiles to a per-partition group limit") {
+    val p = plan(RelationalQueries.q15TopKPerGroup(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q16: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan(RelationalQueries.q16SortLimit(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20/q21: near-dup plans contain no cartesian or nested-loop join") {
+    for (q <- Seq(LlmQueries.q20DedupMinhash _, LlmQueries.q21DedupNgramJaccard _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in an LSH plan")
+    }
+  }
+
+  test("q27: query side of brute-force top-k is broadcast") {
+    val p = plan(VectorQueries.q27CosineTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q38: interval dimension joins as broadcast nested loop (tiny side)") {
+    val p = plan(AdvancedQueries.q38RangeJoin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q39: as-of join is a single window pass — no join operator at all") {
+    val p = plan(AdvancedQueries.q39AsofJoin(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // AQE only materializes codegen spans in the FINAL plan — execute
+    // first, then inspect.
+    val df = RelationalQueries.q01PricingSummary(spark, dir)
+    df.collect()
+    // formatted mode prefixes codegen'd operators with '*'
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"), p)
+  }
+}

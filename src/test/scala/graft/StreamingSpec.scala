@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("total_value") === 3.0)
   }
 
+  test("session_window merges events within the gap, splits across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = StreamPipeline.sessionCounts(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id", gap = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two bursts 3h apart -> 2 sessions; user 2: one burst
+    mem.addData((t(10, 0), 1L), (t(10, 10), 1L), (t(13, 0), 1L), (t(10, 5), 2L))
+    q.processAllAvailable()
+    mem.addData((t(20, 0), 9L)) // advance watermark far -> finalize all
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql(
+      "SELECT user_id, n_events FROM sessions WHERE user_id <= 2 ORDER BY user_id, session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("mapGroupsWithState keeps a per-source high watermark across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
