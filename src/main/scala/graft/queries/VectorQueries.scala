@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
@@ -15,9 +16,12 @@ import org.apache.spark.sql.functions._
   *    signature groupBy prunes the candidate set so no all-pairs join
   *    ever materializes. Approximate ⇒ rows-only check.
   *
-  * All vector math is `functions.aggregate`/`zip_with` folds (codegen'd,
-  * no UDF). Norms are computed per row BEFORE the join — at scale that is
-  * the difference between O(n·k·d) and O(n²·d) work.
+  * All vector math runs through the native Catalyst expressions
+  * `vec_dot`/`vec_norm` (org.apache.spark.sql.graft.VectorExpressions):
+  * codegen'd primitive loops with the same sequential-double-fold
+  * semantics the DuckDB oracle mirrors. Norms are computed per row BEFORE
+  * the join — at scale that is the difference between O(n·k·d) and
+  * O(n²·d) work.
   */
 object VectorQueries {
 
@@ -31,7 +35,7 @@ object VectorQueries {
   def q27CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val withNorm = e.select(col("vec_id"), col("embedding"),
-      normDouble("embedding").as("nrm"))
+      vecNorm(col("embedding")).as("nrm"))
     val queries = withNorm.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val cands = withNorm
@@ -40,7 +44,7 @@ object VectorQueries {
       .orderBy(col("cos_sim").desc, col("c_id"))
     cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .withColumn("cos_sim",
-        round(dotDouble("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")), 6))
+        round(vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
@@ -91,7 +95,7 @@ object VectorQueries {
       (for { j <- 0 until 12; d <- 0 until 64 }
         yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
     val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), normDouble("embedding").as("nrm"))
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     val sigs = base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .join(planesDF, "d")
@@ -107,7 +111,7 @@ object VectorQueries {
         col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
       .filter(col("q.vec_id") < 50)
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
-        round(dotDouble("q.embedding", "c.embedding") / (col("q.nrm") * col("c.nrm")), 6)
+        round(vecDot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm")), 6)
           .as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
