@@ -63,6 +63,12 @@ object SparkEntry {
     "q42_percentiles"        -> (AdvancedQueries.q42Percentiles _),
     "q43_sessions"           -> (AdvancedQueries.q43Sessions _),
     "q44_udaf_modprod"       -> (AdvancedQueries.q44UdafModProduct _),
+    "q45_array_funcs"        -> (AdvancedQueries.q45ArrayFuncs _),
+    "q46_cosine_pairs"       -> (VectorQueries.q46CosinePairs _),
+    "q47_levenshtein"        -> (AdvancedQueries.q47Levenshtein _),
+    "q48_range_frame"        -> (AdvancedQueries.q48RangeFrame _),
+    "q49_map_ops"            -> (AdvancedQueries.q49MapOps _),
+    "q50_clean_pipeline"     -> (LlmQueries.q50CleanPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +118,11 @@ object SparkEntry {
     "q42_percentiles"      -> AdvancedQueries.q42Sql,
     "q43_sessions"         -> AdvancedQueries.q43Sql,
     "q44_udaf_modprod"     -> AdvancedQueries.q44Sql,
+    "q45_array_funcs"      -> AdvancedQueries.q45Sql,
+    "q46_cosine_pairs"     -> VectorQueries.q46Sql,
+    "q47_levenshtein"      -> AdvancedQueries.q47Sql,
+    "q48_range_frame"      -> AdvancedQueries.q48Sql,
+    "q49_map_ops"          -> AdvancedQueries.q49Sql,
+    "q50_clean_pipeline"   -> LlmQueries.q50Sql,
   )
 }

@@ -186,4 +186,91 @@ object AdvancedQueries {
       |    (a, b) -> (a * b) % ${Aggregators.ModP}) AS modprod_orderkey,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Array-function battery over the embedding column: sort/min/max/
+    * element access — the ArrayType scalar surface. Values are exact
+    * element picks (no FP accumulation), so rounding is only for display
+    * stability. */
+  def q45ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        size(col("embedding")).as("n"),
+        round(array_max(col("embedding")).cast("double"), 5).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 5).as("mn"),
+        round(element_at(array_sort(col("embedding")), 10).cast("double"), 5).as("sorted_10th"),
+        round(element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double") +
+          element_at(col("embedding"), 3).cast("double"), 5).as("head3_sum"))
+      .orderBy(col("vec_id"))
+
+  val q45Sql: String =
+    """SELECT vec_id, len(embedding) AS n,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 5) AS mx,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 5) AS mn,
+      |  round(CAST(list_sort(embedding)[10] AS DOUBLE), 5) AS sorted_10th,
+      |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+      |    + CAST(embedding[3] AS DOUBLE), 5) AS head3_sum
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
+  /** String-similarity (edit distance): near-matching name pairs. Both
+    * engines implement classic Levenshtein DP — exact integers. */
+  def q47Levenshtein(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    n.as("a").join(n.as("b"), col("a.n_nationkey") < col("b.n_nationkey"))
+      .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+        levenshtein(col("a.n_name"), col("b.n_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q47Sql: String =
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  levenshtein(a.n_name, b.n_name) AS dist
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |WHERE levenshtein(a.n_name, b.n_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** RANGE window frame (value-based, not row-based): per customer, the
+    * decimal-exact sum of orders within 1000 of the current order's
+    * price. Peer rows (ties) are all included by RANGE semantics, making
+    * the result independent of tie order — deterministic without a total
+    * sort key. */
+  def q48RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("nearby_sum",
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("decimal(38,2)"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS nearby_sum
+      |FROM orders WHERE o_custkey <= 20 ORDER BY o_orderkey""".stripMargin
+
+  /** MapType surface: build a map from row values (str_to_map), explode
+    * it, aggregate over (key, value) pairs. The oracle reproduces the
+    * same rows without map types — proving the map round-trip loses
+    * nothing. */
+  def q49MapOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("tag",
+        concat(lit("status:"), col("o_orderstatus"), lit(",prio:"), col("o_orderpriority")))
+      .select(explode(expr("str_to_map(tag, ',', ':')")).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("key"), col("value"))
+
+  val q49Sql: String =
+    """SELECT key, value, COUNT(*) AS n FROM (
+      |  SELECT 'status' AS key, o_orderstatus AS value FROM orders
+      |  UNION ALL
+      |  SELECT 'prio' AS key, o_orderpriority AS value FROM orders)
+      |GROUP BY key, value ORDER BY key, value""".stripMargin
 }

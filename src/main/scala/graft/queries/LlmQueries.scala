@@ -333,4 +333,52 @@ object LlmQueries {
       |              ascii(substr(ss[i], 2, 1))))) % 1000000007 AS fp
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ss FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Composed training-data pipeline
+
+  /** The whole LLM-data cleaning pipeline as one dataflow: quality filter
+    * (token-count band) → exact dedup (sha256, keep min doc_id) →
+    * near-dup removal (MinHash-LSH candidates, exact-Jaccard ≥ 0.8
+    * confirmed, drop the higher doc_id of each pair) → per-language
+    * survivor stats. This is the operator composition a 100 TB corpus run
+    * executes; every stage is one of the verified operators above chained
+    * without materialization barriers. */
+  def q50CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tokensOf(col("text"))))
+      .filter(col("n_tokens").between(10, 2000))
+    // exact dedup: canonical survivor per content hash
+    val exact = docs.withColumn("h", sha2(col("text"), 256))
+      .withColumn("keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))) === 1)
+      .filter(col("keep"))
+    // near-dup pairs among exact survivors (reuses the LSH machinery)
+    val dropB = q20DedupMinhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    exact.join(dropB, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q50Sql: String =
+    s"""WITH sh AS ($shingledSql),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS j
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE round(j, 4) >= 0.8),
+      |exact AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) BETWEEN 10 AND 2000
+      |  GROUP BY sha256(text))
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(lower(d.text), ' '))) AS total_tokens
+      |FROM documents d
+      |JOIN exact e ON d.doc_id = e.doc_id
+      |WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

@@ -73,6 +73,37 @@ object VectorQueries {
       |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
+    * exact, via the pruned cross product (a < b halves the work; norms
+    * precomputed). This is the exact-semantics baseline; at 100 TB the
+    * candidate set comes from q28's LSH buckets instead and only
+    * candidates pay the dot product. */
+  def q46CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(vecDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q46Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT id_a, id_b, cos_sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** LSH-bucketed approximate nearest neighbors: 12 random hyperplanes →
     * 12-bit sign signature → exact cosine only within each bucket →
     * top-3 per query among bucket-mates.
