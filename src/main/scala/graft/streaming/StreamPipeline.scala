@@ -63,6 +63,19 @@ object StreamPipeline {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop records whose content hash was already
+    * seen, with state bounded by the watermark (a duplicate arriving
+    * later than the delay is passed through — the documented at-least-
+    * once tradeoff; unbounded state would OOM a 100 TB stream). The
+    * streaming twin of LlmQueries.q19DedupExact. */
+  def dedupStream(records: DataFrame, tsCol: String, contentCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    records
+      .withColumn("__h", sha2(col(contentCol).cast("string"), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Streaming sessionization: dynamic-gap session windows per user —
     * the streaming twin of AdvancedQueries.q43Sessions (gaps-and-islands
     * in batch). State is bounded by the watermark. */

@@ -62,6 +62,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("total_value") === 3.0)
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamPipeline.dedupStream(
+      mem.toDF().toDF("ts", "payload"), "ts", "payload")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(0), "a"), (t(1), "a"), (t(2), "b")) // dup 'a' in-batch
+    q.processAllAvailable()
+    mem.addData((t(3), "a"), (t(4), "c")) // dup 'a' across batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT payload FROM dedup").collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("a", "b", "c"))
+  }
+
   test("session_window merges events within the gap, splits across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
