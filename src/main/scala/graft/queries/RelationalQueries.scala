@@ -342,10 +342,13 @@ object RelationalQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
-  /** Set operations: nations that have customers vs suppliers. */
+  /** Set operations: nations that have customers vs suppliers.
+    * Inputs are pre-distinct'd: INTERSECT/EXCEPT are set-semantics anyway,
+    * so shrinking 150k rows to ≤25 before the three set ops costs one
+    * partial-aggregated shuffle and saves the other five. */
   def q17SetOps(s: SparkSession, dir: String): DataFrame = {
-    val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
-    val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+    val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
     val both = custN.intersect(suppN).withColumn("which", lit("both"))
     val custOnly = custN.except(suppN).withColumn("which", lit("cust_only"))
     val suppOnly = suppN.except(custN).withColumn("which", lit("supp_only"))

@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join matches clicks to later errors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val errors = MemoryStream[(Timestamp, Long)]
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val e = errors.toDF().toDF("e_ts", "e_user").withWatermark("e_ts", "10 minutes")
+    // error within 15 min AFTER a click by the same user
+    val joined = c.join(e,
+      expr("""c_user = e_user AND e_ts >= c_ts AND
+             |e_ts <= c_ts + INTERVAL 15 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+
+    clicks.addData((t(0), 1L), (t(0), 2L))
+    errors.addData((t(5), 1L))  // within window for user 1
+    errors.addData((t(30), 2L)) // outside the 15-min window for user 2
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT c_user FROM ssj").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L))
+  }
+
   test("mapGroupsWithState keeps a per-source high watermark across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
