@@ -111,6 +111,30 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("C8 golden-fixture writer uses the reference's <name>_<start>_<end> layout") {
+    val root = Files.createTempDirectory("golden").toString
+    val df = FanOut.tables(BlockSources.blockRange(spark, 5, 25)).blocks
+    FileSinks.writeGolden(df, root, "blocks", 5, 25)
+    val back = spark.read.parquet(s"$root/blocks_5_25")
+    assert(back.count() === 20)
+  }
+
+  test("streaming QueueForeachWriter flushes per (partition, epoch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val dir = Files.createTempDirectory("squeue").toString
+    val q = mem.toDF().toDF("v").writeStream
+      .foreach(new QueueForeachWriter(dir, "vals", r => s"v=${r.getLong(0)}".getBytes))
+      .start()
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    val lines = Files.list(Paths.get(dir, "vals")).iterator().asScala.toSeq
+      .flatMap(p => Files.readAllLines(p).asScala)
+    assert(lines.sorted === Seq("v=1", "v=2", "v=3"))
+  }
+
   test("T6 Avro round-trip via bundled avro core") {
     val dir = Files.createTempDirectory("avro").toString
     val df = FanOut.tables(BlockSources.blockRange(spark, 0, 20)).blocks.coalesce(2)
