@@ -69,6 +69,9 @@ object SparkEntry {
     "q48_range_frame"        -> (AdvancedQueries.q48RangeFrame _),
     "q49_map_ops"            -> (AdvancedQueries.q49MapOps _),
     "q50_clean_pipeline"     -> (LlmQueries.q50CleanPipeline _),
+    "q51_typed_pipeline"     -> (TypedQueries.q51TypedPipeline _),
+    "q52_normalize"          -> (TypedQueries.q52Normalize _),
+    "q53_moments"            -> (TypedQueries.q53Moments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,5 +127,8 @@ object SparkEntry {
     "q48_range_frame"      -> AdvancedQueries.q48Sql,
     "q49_map_ops"          -> AdvancedQueries.q49Sql,
     "q50_clean_pipeline"   -> LlmQueries.q50Sql,
+    "q51_typed_pipeline"   -> TypedQueries.q51Sql,
+    "q52_normalize"        -> TypedQueries.q52Sql,
+    "q53_moments"          -> TypedQueries.q53Sql,
   )
 }

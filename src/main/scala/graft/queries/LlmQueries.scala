@@ -96,7 +96,10 @@ object LlmQueries {
     val ex = rows.select(col("doc_id"),
       xxhash64(col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h1"),
       xxhash64(lit(7), col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h2"))
-    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    // set size rides along in the same groupBy — one aggregate pays for
+    // both the signature and the |set| the Jaccard verify stage needs
+    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")) :+
+      count(lit(1)).as("sz")
     ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -123,8 +126,9 @@ object LlmQueries {
     * exact array_intersect. */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = shingleSizes(rows)
-    val bands = bandRows(minhashSigs(rows, 32), 8, 4)
+    val sigs = minhashSigs(rows, 32)
+    val sizes = sigs.select(col("doc_id"), col("sz"))
+    val bands = bandRows(sigs, 8, 4)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

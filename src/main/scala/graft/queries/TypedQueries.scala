@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Oracle._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The typed Dataset[T] surface (SURVEY §1.4: "Dataset[T] with case
+  * classes where per-record logic is nontrivial") and cross-engine-exact
+  * statistical moments.
+  */
+object TypedQueries {
+
+  /** Typed order record — mirrors the reference's prost-generated structs
+    * (fixed compile-time schema, docs/protobuf.md). */
+  final case class OrderRec(
+      o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderpriority: String)
+
+  /** Typed pipeline: as[OrderRec] → typed filter/map (arbitrary JVM
+    * logic, encoder-backed) → back to the relational surface for the
+    * aggregate. The relational groupBy at the end (not groupByKey) keeps
+    * partial aggregation — typed groupByKey would serialize whole objects
+    * through the shuffle.
+    * Note the typed filter/map become DeserializeToObject barriers —
+    * acceptable where per-record logic genuinely needs the JVM; pure
+    * column arithmetic should stay in Columns (the rest of this engine). */
+  def q51TypedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .as[OrderRec]
+      .filter((o: OrderRec) => o.o_orderstatus != "P" && o.o_totalprice > 1000.0)
+      .map((o: OrderRec) => (o.o_orderpriority, BigDecimal(o.o_totalprice)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toDF("priority", "price")
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast(DecimalType(30, 2))).cast(DecimalType(38, 2)).as("total"))
+      .orderBy(col("priority"))
+  }
+
+  val q51Sql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(30,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders WHERE o_orderstatus <> 'P' AND o_totalprice > 1000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Text normalization for dedup: lowercase, strip non-alnum, collapse
+    * whitespace — the canonicalization stage ahead of exact dedup in a
+    * corpus pipeline. Output: distinct normalized forms per language. */
+  def q52Normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct_norm"),
+        min(length(col("norm"))).as("min_len"), max(length(col("norm"))).as("max_len"))
+      .orderBy(col("lang"))
+
+  val q52Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g'))) AS n_distinct_norm,
+      |  MIN(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g')))) AS min_len,
+      |  MAX(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g')))) AS max_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Statistical moments derived from EXACT decimal sums (Σx, Σx², Σxy). Variance is
+    * rounded to 2dp, not 4: at magnitude ~2e10 a 4dp grid demands 15
+    * significant digits — the closed-form double arithmetic (catastrophic
+    * cancellation of Σx² against (Σx)²/n) agrees across engines only to
+    * ~14; 2dp leaves 50× margin.
+    * variance/stddev/correlation computed in closed form from values both
+    * engines agree on bit-for-bit — immune to the accumulation-order FP
+    * drift that makes native stddev/corr non-oracle-able across engines.
+    * Scale: the decimal sums are ordinary partial aggregates (one
+    * shuffle); the closed-form division happens on 5 group rows. */
+  def q53Moments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val y = col("o_custkey").cast("double")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(30, 6))).as("sx"),
+        sum((x * x).cast(DecimalType(30, 6))).as("sxx"),
+        sum(y.cast(DecimalType(30, 6))).as("sy"),
+        sum((y * y).cast(DecimalType(30, 6))).as("syy"),
+        sum((x * y).cast(DecimalType(30, 6))).as("sxy"))
+      .select(col("o_orderpriority"), col("n"),
+        round((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1), 2).as("var_price"),
+        round((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+               (col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))), 6)
+          .as("corr_price_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q53Sql: String =
+    """SELECT o_orderpriority, n,
+      |  round((sxx - sx * sx / n) / (n - 1), 2) AS var_price,
+      |  round((sxy - sx * sy / n) /
+      |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_price_cust
+      |FROM (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(o_totalprice * CAST(o_custkey AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      |  FROM orders GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+}
