@@ -72,6 +72,8 @@ object SparkEntry {
     "q51_typed_pipeline"     -> (TypedQueries.q51TypedPipeline _),
     "q52_normalize"          -> (TypedQueries.q52Normalize _),
     "q53_moments"            -> (TypedQueries.q53Moments _),
+    "q54_multimodal_features" -> (graft.operators.Multimodal.q54MultimodalFeatures _),
+    "q55_quality_bands"      -> (TypedQueries.q55QualityBands _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,5 +132,7 @@ object SparkEntry {
     "q51_typed_pipeline"   -> TypedQueries.q51Sql,
     "q52_normalize"        -> TypedQueries.q52Sql,
     "q53_moments"          -> TypedQueries.q53Sql,
+    // q54: multimodal decode kernel is engine-internal (rows-only).
+    "q55_quality_bands"    -> TypedQueries.q55Sql,
   )
 }

@@ -70,6 +70,18 @@ object Multimodal {
       (id, mod, bytes.length, feat)
     }
 
+  /** Registry entry (rows-only; the decode kernel is engine-internal):
+    * synthetic assets → batched feature extraction → per-modality profile.
+    * Deterministic in the asset ids, independent of sfDir. */
+  def q54MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(syntheticAssets(s, 300).repartition(8))
+    feats.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+      .orderBy(col("modality"))
+  }
+
   /** Batched partition-local feature extraction: the mapInPandas shape
     * (iterator of bounded batches per partition) on the JVM. No shuffle;
     * the operator inherits upstream partitioning. */

@@ -71,6 +71,49 @@ object TypedQueries {
       |    ' +', ' ', 'g')))) AS max_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Document quality scoring (the corpus-filter heuristic): integer
+    * points for token-count band, type-token ratio, punctuation density
+    * and stopword presence; banded low/mid/high. All-integer scoring —
+    * no FP boundary risk — so the band assignment is oracle-exact. */
+  def q55QualityBands(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9 ]")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"))
+      .withColumn("score",
+        when(col("n_tok").between(20, 1000), 2).otherwise(0) +
+        when(col("n_uniq") * 4 > col("n_tok"), 1).otherwise(0) +
+        when(col("n_punct") * 10 < col("n_tok"), 1).otherwise(0) +
+        when(col("n_stop") > 0, 1).otherwise(0))
+      .withColumn("band",
+        when(col("score") >= 4, "high").when(col("score") >= 2, "mid").otherwise("low"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang"), col("band"))
+
+  val q55Sql: String =
+    """SELECT lang, band, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens FROM (
+      |  SELECT lang, n_tok,
+      |    CASE WHEN score >= 4 THEN 'high' WHEN score >= 2 THEN 'mid' ELSE 'low' END AS band
+      |  FROM (
+      |    SELECT lang, n_tok,
+      |      (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 2 ELSE 0 END +
+      |       CASE WHEN n_uniq * 4 > n_tok THEN 1 ELSE 0 END +
+      |       CASE WHEN n_punct * 10 < n_tok THEN 1 ELSE 0 END +
+      |       CASE WHEN n_stop > 0 THEN 1 ELSE 0 END) AS score
+      |    FROM (
+      |      SELECT lang,
+      |        len(string_split(lower(text), ' ')) AS n_tok,
+      |        len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+      |        len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+      |        len(list_filter(string_split(lower(text), ' '),
+      |          t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+      |      FROM documents)))
+      |GROUP BY lang, band ORDER BY lang, band""".stripMargin
+
   /** Statistical moments derived from EXACT decimal sums (Σx, Σx², Σxy). Variance is
     * rounded to 2dp, not 4: at magnitude ~2e10 a 4dp grid demands 15
     * significant digits — the closed-form double arithmetic (catastrophic
