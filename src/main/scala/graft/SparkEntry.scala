@@ -74,6 +74,7 @@ object SparkEntry {
     "q53_moments"            -> (TypedQueries.q53Moments _),
     "q54_multimodal_features" -> (graft.operators.Multimodal.q54MultimodalFeatures _),
     "q55_quality_bands"      -> (TypedQueries.q55QualityBands _),
+    "q56_ann_ivf"            -> (VectorQueries.q56AnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -73,6 +73,40 @@ object VectorQueries {
       |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** IVF (inverted-file) approximate nearest neighbors — the other
+    * standard ANN scale path beside q28's hyperplane LSH. "Training" is
+    * deterministic: the first 16 vectors serve as coarse centroids
+    * (k-means would refine them; the plan shape is identical). Every
+    * vector is assigned to its nearest centroid (one broadcast join +
+    * per-vector argmax — no shuffle of the big side), then queries probe
+    * only their own cell: candidate work drops from n² to Σ|cell|².
+    * Approximate ⇒ rows-only check. */
+  def q56AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val centroids = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = e.crossJoin(centroids)
+      .withColumn("cent_cos",
+        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < 50)
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
+        round(vecDot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
     * exact, via the pruned cross product (a < b halves the work; norms
     * precomputed). This is the exact-semantics baseline; at 100 TB the
