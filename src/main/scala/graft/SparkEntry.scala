@@ -135,5 +135,6 @@ object SparkEntry {
     "q53_moments"          -> TypedQueries.q53Sql,
     // q54: multimodal decode kernel is engine-internal (rows-only).
     "q55_quality_bands"    -> TypedQueries.q55Sql,
+    // q56: IVF ANN is approximate by design (rows-only).
   )
 }

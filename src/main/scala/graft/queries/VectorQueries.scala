@@ -77,8 +77,9 @@ object VectorQueries {
     * standard ANN scale path beside q28's hyperplane LSH. "Training" is
     * deterministic: the first 16 vectors serve as coarse centroids
     * (k-means would refine them; the plan shape is identical). Every
-    * vector is assigned to its nearest centroid (one broadcast join +
-    * per-vector argmax — no shuffle of the big side), then queries probe
+    * vector is assigned to its nearest centroid (broadcast join +
+    * max_by argmax: partial aggregation reduces the n×16 cross product
+    * map-side, so only ~n rows shuffle), then queries probe
     * only their own cell: candidate work drops from n² to Σ|cell|².
     * Approximate ⇒ rows-only check. */
   def q56AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -86,25 +87,20 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     val centroids = broadcast(e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+    // argmax as an aggregate, not a window: max_by gets map-side partial
+    // aggregation, so only ~n pre-reduced rows shuffle — a window over the
+    // n×16 cross-join output would shuffle all of it. Tie-break: higher
+    // cos, then lower cent_id (lexicographic struct ordering).
     val assigned = e.crossJoin(centroids)
       .withColumn("cent_cos",
         vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    assigned.as("q").join(assigned.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-      .filter(col("q.vec_id") < 50)
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
-        round(vecDot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm")), 6)
-          .as("cos_sim"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .orderBy(col("q_id"), col("rn"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("embedding"), col("nrm")),
+        struct(col("cent_cos"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+    topKWithinBucket(assigned, "cell", k = 3)
   }
 
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
@@ -170,16 +166,24 @@ object VectorQueries {
       .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, CAST(j AS INT))"))
         .otherwise(0L)).as("sig"))
     val e = base.join(sigs, "vec_id")
+    topKWithinBucket(e, "sig", k = 3)
+  }
+
+  /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
+    * of each query (vec_id < 50), per-query top-k with deterministic
+    * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,
+    * nrm, bucketCol). */
+  private def topKWithinBucket(vecs: DataFrame, bucketCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
-    e.as("q").join(e.as("c"),
-        col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
+    vecs.as("q").join(vecs.as("c"),
+        col(s"q.$bucketCol") === col(s"c.$bucketCol") && col("q.vec_id") =!= col("c.vec_id"))
       .filter(col("q.vec_id") < 50)
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
         round(vecDot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm")), 6)
           .as("cos_sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
 }
