@@ -75,6 +75,8 @@ object SparkEntry {
     "q54_multimodal_features" -> (graft.operators.Multimodal.q54MultimodalFeatures _),
     "q55_quality_bands"      -> (TypedQueries.q55QualityBands _),
     "q56_ann_ivf"            -> (VectorQueries.q56AnnIvf _),
+    "q57_sliding_windows"    -> (DataflowQueries.q57SlidingWindows _),
+    "q58_approx_percentiles" -> (AdvancedQueries.q58ApproxPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,5 +138,7 @@ object SparkEntry {
     // q54: multimodal decode kernel is engine-internal (rows-only).
     "q55_quality_bands"    -> TypedQueries.q55Sql,
     // q56: IVF ANN is approximate by design (rows-only).
+    "q57_sliding_windows"  -> DataflowQueries.q57Sql,
+    // q58: GK/KLL sketch percentiles are engine-internal (rows-only).
   )
 }

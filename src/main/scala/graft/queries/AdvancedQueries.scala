@@ -254,6 +254,21 @@ object AdvancedQueries {
       |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS nearby_sum
       |FROM orders WHERE o_custkey <= 20 ORDER BY o_orderkey""".stripMargin
 
+  /** Sketch-based percentiles (approx_percentile, GK/KLL-family): the
+    * constant-memory scale path q42's exact version points at. Sketch
+    * internals are engine-specific ⇒ rows-only check (same policy as the
+    * HLL slot q10). */
+  def q58ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p75"), col("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** MapType surface: build a map from row values (str_to_map), explode
     * it, aggregate over (key, value) pairs. The oracle reproduces the
     * same rows without map types — proving the map round-trip loses

@@ -142,6 +142,28 @@ object DataflowQueries {
       |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sliding time windows (30-min length, 10-min slide): every event
+    * lands in exactly 3 overlapping windows. The oracle reconstructs the
+    * same assignment arithmetically (epoch-aligned 10-min grid, k∈0..2),
+    * proving Spark's window() slide semantics. Scale: slide factor
+    * multiplies rows 3× before the shuffle — partial aggregation still
+    * combines map-side per (window, key). */
+  def q57SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+
+  val q57Sql: String =
+    s"""SELECT win_start, COUNT(*) AS n_events,
+      |  ${dsumSql("value")} AS total_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts)
+      |    - to_minutes(10 * k) AS win_start, value
+      |  FROM events, unnest(range(0, 3)) t(k))
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
   /** C5 throughput estimator (etl-rust `src/benchmark.rs:18-64`):
     * bytes/s = record-size proxy × records / window-seconds, as one
     * aggregate over the event stream (record size ≈ serialized props +
