@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_ann_ivf"            -> (VectorQueries.q56AnnIvf _),
     "q57_sliding_windows"    -> (DataflowQueries.q57SlidingWindows _),
     "q58_approx_percentiles" -> (AdvancedQueries.q58ApproxPercentiles _),
+    "q59_sql_cte"            -> (AdvancedQueries.q59SqlCte _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +141,6 @@ object SparkEntry {
     // q56: IVF ANN is approximate by design (rows-only).
     "q57_sliding_windows"  -> DataflowQueries.q57Sql,
     // q58: GK/KLL sketch percentiles are engine-internal (rows-only).
+    "q59_sql_cte"          -> AdvancedQueries.q59Sql,
   )
 }

@@ -254,6 +254,28 @@ object AdvancedQueries {
       |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS nearby_sum
       |FROM orders WHERE o_custkey <= 20 ORDER BY o_orderkey""".stripMargin
 
+  /** SQL front-end surface: CTE + correlated scalar subquery through
+    * spark.sql — Catalyst de-correlates the subquery into an outer join
+    * + aggregate (visible in the plan), so "SQL a warehouse user would
+    * write" still gets a distributed plan. */
+  def q59SqlCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_cte")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_cte")
+    s.sql(
+      """WITH big_cust AS (
+        |  SELECT c_custkey, c_name FROM customer_cte WHERE c_acctbal > 5000)
+        |SELECT b.c_name,
+        |  (SELECT COUNT(*) FROM orders_cte o WHERE o.o_custkey = b.c_custkey) AS n_orders
+        |FROM big_cust b ORDER BY b.c_name LIMIT 100""".stripMargin)
+  }
+
+  val q59Sql: String =
+    """WITH big_cust AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+      |SELECT b.c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = b.c_custkey) AS n_orders
+      |FROM big_cust b ORDER BY b.c_name LIMIT 100""".stripMargin
+
   /** Sketch-based percentiles (approx_percentile, GK/KLL-family): the
     * constant-memory scale path q42's exact version points at. Sketch
     * internals are engine-specific ⇒ rows-only check (same policy as the
