@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{EngineMetrics, HighWatermark}
+import graft.sinks.FanOutWriter
+import graft.sources.BlockSources
+import graft.streaming.StreamPipeline
+
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Paths
+
+/** The reference's CLI surface (etl-rust `src/main.rs:45-105`) as Spark
+  * mains — what an etl-rust operator would invoke after switching:
+  *
+  *   index-range     → graft.IndexRange <start> <end> <outDir> [--reverse]
+  *   index-subscription → graft.IndexSubscription <dropDir> <outDir> <ckptDir>
+  *
+  * EP1 (`index-range`, src/main.rs:391-429): resume past completed work
+  * (C1), extract the range (S1), fan out to per-table sinks (T2+K8),
+  * record the high-watermark after the sink commit, report metrics (C4).
+  *
+  * EP2 (`index-subscription`, src/main.rs:356-389): consume a work
+  * directory forever (S3 stand-in for the Pub/Sub subscription), same
+  * fan-out, exactly-once bookkeeping from the streaming checkpoint.
+  */
+object GraftCli {
+  private[graft] def session(app: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val tables: Seq[String] = Seq("blocks", "transactions", "account_refs")
+}
+
+object IndexRange {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: graft.IndexRange <start> <end> <outDir> [--reverse]")
+      sys.exit(2)
+    }
+    val (start, end, outDir) = (args(0).toLong, args(1).toLong, args(2))
+    val reverse = args.contains("--reverse")
+    require(!(reverse && start == 0), "cannot index backwards from genesis") // main.rs:392-394
+    val spark = GraftCli.session("graft-index-range")
+    val metrics = new EngineMetrics(spark.sparkContext)
+    val wmDir = Paths.get(outDir, "indexed_blocks") // main.rs:31 marker dir
+    val (s2, e2opt) = HighWatermark.resume(wmDir, start, end, reverse)
+    val e2 = e2opt.getOrElse(end)
+    println(s"[graft] extracting [$s2, $e2) (requested [$start, $end), reverse=$reverse)")
+    val blocks = BlockSources.blockRange(spark, s2, e2, reverse)
+    FanOutWriter.jsonl(outDir, GraftCli.tables).publishBlocks(blocks)
+    HighWatermark.markDone(wmDir, s2, e2) // AFTER the sink commit (at-least-once)
+    metrics.recordsPublished.add(e2 - s2)
+    println(s"[graft] done; metrics=${metrics.snapshot()}")
+    spark.stop()
+  }
+}
+
+object IndexSubscription {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: graft.IndexSubscription <dropDir> <outDir> <ckptDir> [--follow]")
+      sys.exit(2)
+    }
+    val Array(dropDir, outDir, ckptDir) = args.take(3)
+    val follow = args.contains("--follow") // keep running vs catch-up-and-stop
+    val spark = GraftCli.session("graft-index-subscription")
+    val schema = BlockSources.blockRange(spark, 0, 1).schema
+    val source = StreamPipeline.fileDropSource(spark, dropDir, schema)
+    val writer = FanOutWriter.jsonl(outDir, GraftCli.tables)
+    val q = StreamPipeline.runFanOut(source, writer, ckptDir, availableNow = !follow)
+    q.awaitTermination()
+    spark.stop()
+  }
+}
