@@ -78,6 +78,8 @@ object SparkEntry {
     "q57_sliding_windows"    -> (DataflowQueries.q57SlidingWindows _),
     "q58_approx_percentiles" -> (AdvancedQueries.q58ApproxPercentiles _),
     "q59_sql_cte"            -> (AdvancedQueries.q59SqlCte _),
+    "q60_resample"           -> (DataflowQueries.q60Resample _),
+    "q61_histogram"          -> (DataflowQueries.q61Histogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +144,7 @@ object SparkEntry {
     "q57_sliding_windows"  -> DataflowQueries.q57Sql,
     // q58: GK/KLL sketch percentiles are engine-internal (rows-only).
     "q59_sql_cte"          -> AdvancedQueries.q59Sql,
+    "q60_resample"         -> DataflowQueries.q60Sql,
+    "q61_histogram"        -> DataflowQueries.q61Sql,
   )
 }

@@ -187,6 +187,78 @@ object DataflowQueries {
       |    (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))), 2) AS records_per_sec
       |FROM events""".stripMargin
 
+  /** Time-series resampling: project each user's event stream onto an
+    * hourly grid with forward-fill (last observation carried forward).
+    * Single-pass union+window — the same carry-forward pattern as the
+    * as-of join (q39), here against a generated grid. NULL-safe total
+    * ordering via coalesce(event_id, MAX) — engines disagree on default
+    * NULL sort order, so never let a NULL reach a window ORDER BY.
+    * Scale: grid rows are generated per partition (no shuffle to build
+    * them); the one shuffle is the per-user window. */
+  def q60Resample(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val users = events.select(col("user_id")).distinct()
+    // hourly grid: 2024-01-01T00:00Z .. +48h
+    val grid = users.crossJoin(
+        s.range(0, 48).select(
+          timestamp_millis(lit(1704067200000L) + col("id") * 3600000L).as("ts")))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("event_id", lit(null).cast("bigint"))
+      .withColumn("is_event", lit(0))
+    val tagged = events.withColumn("is_event", lit(1))
+      .unionByName(grid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event").desc,
+        coalesce(col("event_id"), lit(Long.MaxValue)))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("ffill_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 0)
+      .select(col("user_id"), col("ts").as("grid_ts"), col("ffill_value"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
+  val q60Sql: String =
+    """SELECT user_id, ts AS grid_ts,
+      |  last_value(value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY ts, is_event DESC, COALESCE(event_id, 9223372036854775807)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+      |FROM (
+      |  SELECT user_id, ts, value, event_id, 1 AS is_event
+      |  FROM events WHERE user_id < 5
+      |  UNION ALL
+      |  SELECT u.user_id, epoch_ms(1704067200000 + h * 3600000) AS ts,
+      |    NULL AS value, NULL AS event_id, 0 AS is_event
+      |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u,
+      |    unnest(range(0, 48)) t(h))
+      |QUALIFY is_event = 0
+      |ORDER BY user_id, grid_ts""".stripMargin
+
+  /** Histogram via width_bucket: fixed-width value buckets per event
+    * type — the profiling aggregation. Integer bucket ids ⇒ oracle-exact. */
+  def q61Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("bucket_sum"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** DuckDB 1.0 has no width_bucket — the oracle mirrors its semantics
+    * (0 below min, numBuckets+1 at/above max, else floor-scaled + 1). */
+  val q61Sql: String =
+    s"""SELECT event_type,
+      |  CASE WHEN value < 0.0 THEN 0
+      |       WHEN value >= 100.0 THEN 11
+      |       ELSE CAST(floor(value * 10 / 100.0) AS BIGINT) + 1 END AS bucket,
+      |  COUNT(*) AS n, ${dsumSql("value")} AS bucket_sum
+      |FROM events GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** Scalar function battery (string/date/math) — the §2.2 scalar surface
     * exercised in one projection; codecs base64/hex covered in q37. */
   def q36ScalarBattery(s: SparkSession, dir: String): DataFrame =
