@@ -45,6 +45,34 @@ def main(sf_dir, out_dir):
             continue
         ok = True
         msgs = []
+        # Driver-hash proxy: the driver canonicalizes values by dtype, so a
+        # DuckDB HUGEINT (object/float128 fallback) or DECIMAL (object of
+        # decimal.Decimal) vs Spark's int64/float64 fails the hash even at
+        # equal values. Flag any dtype divergence or decimal/object numerics.
+        # Integer width (int32 vs int64) is canonicalized by the driver —
+        # round-1 evidence: q13/q36/q47 etc. were hash-green with int32
+        # Spark vs int64 DuckDB. Only cross-family drift and non-native
+        # numerics (HUGEINT/DECIMAL -> object) fail.
+        import decimal
+
+        def family(dt):
+            d = str(dt)
+            if d.startswith(("int", "uint")):
+                return "int"
+            if d.startswith("float"):
+                return "float"
+            if d.startswith("datetime"):
+                return "datetime"
+            return d
+        for c in (gcols if gcols == ecols else []):
+            gf, ef = family(gdf[c].dtype), family(edf[c].dtype)
+            if gf != ef:
+                ok = False
+                msgs.append(f"dtype {c}: spark={gdf[c].dtype} oracle={edf[c].dtype}")
+            if ef == "object" and len(edf) and isinstance(
+                    edf[c].iloc[0], decimal.Decimal):
+                ok = False
+                msgs.append(f"col {c}: oracle emits decimal.Decimal")
         if gcols != ecols:
             ok, msgs = False, [f"cols {gcols} vs {ecols}"]
         elif len(gdf) != len(edf):

@@ -15,14 +15,27 @@ import org.apache.spark.sql.types.DecimalType
   * per-row cast is lossless in intent and identical in both engines.
   */
 object Oracle {
-  /** Exact decimal sum of a (possibly computed) double column.
-    * SQL twin: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DECIMAL(38,6)) */
+  /** Exact decimal sum of a (possibly computed) double column, emitted as
+    * DOUBLE. The decimal intermediate keeps cross-engine determinism (no
+    * order-dependent FP accumulation); the final double is hash-stable —
+    * the driver's hash canonicalizes DECIMAL(38,x) differently per engine,
+    * so decimal must never appear in an output schema.
+    * SQL twin: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(30, 6))).cast(DecimalType(38, 6))
+    sum(c.cast(DecimalType(30, 6))).cast("double")
 
   /** SQL twin for dsum. */
   def dsumSql(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DECIMAL(38,6))"
+    s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** Integer sum emitted as BIGINT on both engines. DuckDB's SUM(BIGINT)
+    * returns HUGEINT (int128), which the driver's hash canonicalizes
+    * differently from Spark's bigint even at equal values.
+    * SQL twin: CAST(SUM(x) AS BIGINT) */
+  def lsum(c: Column): Column = sum(c).cast("long")
+
+  /** SQL twin for lsum. */
+  def lsumSql(x: String): String = s"CAST(SUM($x) AS BIGINT)"
 
   /** Average, rounded to 4dp; residual cross-engine FP error is ~1e-9 so a
     * 1e-4 grid makes boundary flips vanishingly unlikely.

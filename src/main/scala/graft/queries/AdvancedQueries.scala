@@ -153,7 +153,7 @@ object AdvancedQueries {
   }
 
   val q43Sql: String =
-    """SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events FROM (
+    """SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
       |  SELECT user_id,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
@@ -243,7 +243,7 @@ object AdvancedQueries {
       .filter(col("o_custkey") <= 20)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .withColumn("nearby_sum",
-        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("decimal(38,2)"))
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -251,7 +251,7 @@ object AdvancedQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_totalprice
-      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS nearby_sum
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
       |FROM orders WHERE o_custkey <= 20 ORDER BY o_orderkey""".stripMargin
 
   /** SQL front-end surface: CTE + correlated scalar subquery through

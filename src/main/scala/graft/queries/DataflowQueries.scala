@@ -35,7 +35,8 @@ object DataflowQueries {
 
   val q29Sql: String =
     """SELECT block_number % 10 AS bucket, COUNT(*) AS n_txs,
-      |  COUNT(DISTINCT block_number) AS n_blocks, SUM(fee) AS total_fees
+      |  COUNT(DISTINCT block_number) AS n_blocks,
+      |  CAST(SUM(fee) AS BIGINT) AS total_fees
       |FROM (
       |  SELECT block_number,
       |    ((block_number * 31 + tx_i) * 1103515245 + 12345) % 1000003 AS fee
@@ -118,7 +119,7 @@ object DataflowQueries {
 
   val q33Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

@@ -89,7 +89,7 @@ object LlmQueries {
       .orderBy(col("source"))
 
   val q19Sql: String =
-    """SELECT source, COUNT(*) AS n_kept, SUM(n_copies) AS n_total,
+    """SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_copies) AS BIGINT) AS n_total,
       |  MIN(h) AS sample_hash
       |FROM (
       |  SELECT sha256(text) AS h, MIN(doc_id) AS doc_id,
@@ -269,13 +269,13 @@ object LlmQueries {
 
   val q23Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(lower(text), ' '))) AS total_tokens,
+      |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
       |  round(AVG(len(string_split(lower(text), ' '))), 4) AS avg_tokens,
       |  round(AVG(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
       |    / len(string_split(lower(text), ' '))), 4) AS avg_ttr,
-      |  SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS total_punct,
-      |  SUM(len(list_filter(string_split(lower(text), ' '),
-      |    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS total_stopwords
+      |  CAST(SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS total_punct,
+      |  CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS BIGINT) AS total_stopwords
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Language ID by stopword-marker scoring (n-gram-heuristic family):
@@ -327,7 +327,7 @@ object LlmQueries {
 
   val q25Sql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_tokens,
       |  round(AVG(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4) AS avg_tokens,
       |  MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS max_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -343,10 +343,10 @@ object LlmQueries {
 
   val q26Sql: String =
     """SELECT doc_id,
-      |  list_sum(list_transform(range(1, len(ss) + 1),
+      |  CAST(list_sum(list_transform(range(1, len(ss) + 1),
       |    i -> i * (length(ss[i]) * 1000003 + ascii(ss[i]) * 1009 +
       |              ascii(substr(ss[i], length(ss[i]), 1)) * 31 +
-      |              ascii(substr(ss[i], 2, 1))))) % 1000000007 AS fp
+      |              ascii(substr(ss[i], 2, 1))))) % 1000000007 AS BIGINT) AS fp
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ss FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -392,7 +392,7 @@ object LlmQueries {
       |  WHERE len(string_split(lower(text), ' ')) BETWEEN 10 AND 2000
       |  GROUP BY sha256(text))
       |SELECT d.lang, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(lower(d.text), ' '))) AS total_tokens
+      |  CAST(SUM(len(string_split(lower(d.text), ' '))) AS BIGINT) AS total_tokens
       |FROM documents d
       |JOIN exact e ON d.doc_id = e.doc_id
       |WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)

@@ -41,10 +41,10 @@ object RelationalQueries {
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -290,7 +290,7 @@ object RelationalQueries {
       .withColumn("running_total",
         sum(col("o_totalprice").cast("decimal(30,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("decimal(38,2)"))
+          .cast("double"))
       .filter(col("o_custkey") <= 50)
       .drop("o_orderdate")
       .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -302,7 +302,7 @@ object RelationalQueries {
       |  LEAD(o_totalprice, 1) OVER w AS next_price,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders
       |WHERE o_custkey <= 50
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

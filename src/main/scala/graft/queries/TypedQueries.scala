@@ -38,13 +38,13 @@ object TypedQueries {
       .toDF("priority", "price")
       .groupBy(col("priority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("price").cast(DecimalType(30, 2))).cast(DecimalType(38, 2)).as("total"))
+        sum(col("price").cast(DecimalType(30, 2))).cast("double").as("total"))
       .orderBy(col("priority"))
   }
 
   val q51Sql: String =
     """SELECT o_orderpriority AS priority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(30,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(30,2))) AS DOUBLE) AS total
       |FROM orders WHERE o_orderstatus <> 'P' AND o_totalprice > 1000.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -95,7 +95,8 @@ object TypedQueries {
       .orderBy(col("lang"), col("band"))
 
   val q55Sql: String =
-    """SELECT lang, band, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens FROM (
+    """SELECT lang, band, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM (
       |  SELECT lang, n_tok,
       |    CASE WHEN score >= 4 THEN 'high' WHEN score >= 2 THEN 'mid' ELSE 'low' END AS band
       |  FROM (
