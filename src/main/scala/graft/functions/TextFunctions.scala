@@ -21,17 +21,10 @@ object TextFunctions {
   /** Lowercased whitespace tokens. Mirror: DuckDB `string_split(lower(x),' ')`. */
   def tokensOf(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word 3-gram shingles of a token array column named `toksCol`.
-    * Mirror SQL (DuckDB): list_distinct(list_transform(range(1, len(t)-1),
-    * i -> t[i]||' '||t[i+1]||' '||t[i+2])).
-    * Guarded for <3 tokens (Spark `sequence(1,0)` would descend, not stop). */
-  def shingles3(toksCol: String): Column =
-    when(size(col(toksCol)) >= 3,
-      expr(s"""array_distinct(transform(sequence(1, size($toksCol) - 2),
-              |  i -> concat(element_at($toksCol, i), ' ',
-              |              element_at($toksCol, i + 1), ' ',
-              |              element_at($toksCol, i + 2))))""".stripMargin))
-      .otherwise(expr("CAST(array() AS array<string>)"))
+  // Shingling lives in LlmQueries.shingleRows as a relational pipeline
+  // (arrays_zip of slices → explode → xxhash64 → distinct), not here as an
+  // array Column: the lambda-transform formulation evaluates interpreted
+  // per element and measured ~11 s at sf0.1 vs ~1 s relational.
 
   // MinHash/SimHash signatures are NOT built here as nested SQL-lambda
   // Columns: nested `aggregate(transform(...))` lambdas evaluate

@@ -21,39 +21,59 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** documents → one row per DISTINCT word-3-gram shingle: (doc_id, sg).
+  /** documents → one row per DISTINCT word-3-gram shingle, pre-hashed:
+    * (doc_id, hg: bigint = xxhash64 of the trigram).
     *
-    * Built relationally — posexplode tokens → per-doc window lead(1|2) →
-    * concat → distinct — because the "obvious" array formulation
-    * (`array_distinct(transform(sequence(...), i -> concat(element_at...`)
-    * runs the lambda interpreted per element: measured ~11 s at sf0.1 for
-    * 260k shingles vs ~1 s for this plan. Every operator here (explode,
-    * window lead, concat, hash-distinct) stays in whole-stage codegen, and
-    * the one shuffle (by doc_id) is reused by the downstream signature
-    * groupBy. */
+    * Built as arrays_zip of three array slices (token i, i+1, i+2) →
+    * explode → xxhash64 → distinct. Everything before the distinct is
+    * per-partition codegen'd projection — no window sort, no shuffle —
+    * and the shingle string is never materialized: the trigram is hashed
+    * straight out of the zipped struct, so the one shuffle (the distinct)
+    * moves 16-byte (doc_id, hg) rows instead of ~30-char strings.
+    *
+    * Earlier shapes, for the record: lambda-transform shingling ran
+    * interpreted (~11 s at sf0.1); posexplode + window-lead ran ~1 s
+    * locally but its shuffle+sort amplified 6× under machine contention
+    * in the round-1 driver bench. This one has no sort to amplify.
+    *
+    * Downstream identity is the 64-bit hash (collision odds across
+    * ~10⁶ distinct shingles ≈ n²/2⁶⁴ — nil; the exact-Jaccard oracle
+    * would catch one). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
+    memo(s, dir, "shingles") {
+      val n = size(col("toks"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sg"))
+        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+        .filter(n >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), n - 2).as("t0"),
+          slice(col("toks"), lit(2), n - 2).as("t1"),
+          slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
+        .select(col("doc_id"),
+          xxhash64(col("tg.t0"), col("tg.t1"), col("tg.t2")).as("hg"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** The shingle pass feeds four queries (q20/q21/q22/q50) and appears up
     * to three times inside one query's plan (signature path + both sides
     * of the verify join); Spark's exchange reuse does not canonicalize
     * across these subtrees (measured: 0 ReusedExchange, 6 FileScans), so
     * the distinct'd shingle stream is persisted once per (session, dir).
-    * ~30 bytes/shingle — a few MB at sf0.1; a long-lived production
-    * session would manage this lifecycle explicitly. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * ~16 bytes/shingle — a few MB at sf0.1; a long-lived production
+    * session would manage this lifecycle explicitly.
+    *
+    * The same recompute applies one level up: a band self-join references
+    * the signature subtree on BOTH sides, so un-persisted signatures are
+    * computed 2–3× per query (profiled: q20 warm 2.3 s of which ~2.5 s
+    * was 3× the 0.84 s signature groupBy). Signatures are one row per doc
+    * (~33 longs) — persisting them is microscopic memory for a 3× cut. */
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(s: SparkSession, dir: String, tag: String)
+      (mk: => DataFrame): DataFrame =
+    dfCache.getOrElseUpdate((s, dir, tag),
+      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** (doc_id, sz): distinct-shingle-set size per doc. */
   private def shingleSizes(rows: DataFrame): DataFrame =
@@ -69,6 +89,43 @@ object LlmQueries {
       |                  string_split(lower(text), ' ')[i + 2])))
       |  ELSE CAST([] AS VARCHAR[]) END AS shingles
       |FROM documents""".stripMargin
+
+  /** Labeled sub-stage actions for graft.Prof (dev profiling only). */
+  def profileStages(s: SparkSession, dir: String): Seq[(String, () => Long)] = {
+    def rows = shingleRows(s, dir)
+    val n = size(col("toks"))
+    def base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(n >= 3)
+    def zipped = base.select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), n - 2).as("t0"),
+        slice(col("toks"), lit(2), n - 2).as("t1"),
+        slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
+    def hashed = zipped.select(col("doc_id"),
+      xxhash64(col("tg.t0"), col("tg.t1"), col("tg.t2")).as("hg"))
+    Seq(
+      "scan_split" -> (() => base.count()),
+      "zip_explode" -> (() => zipped.count()),
+      "hash_only" -> (() => hashed.count()),
+      "hash_distinct" -> (() => hashed.distinct().count()),
+      "shingles_cold" -> (() => rows.count()),
+      "shingles_warm" -> (() => rows.count()),
+      "minhash_sigs" -> (() => minhashSigs(rows, 64).count()),
+      "band_rows" -> (() => bandRows(minhashSigs(rows, 64), 16, 4).count()),
+      "cand_pairs" -> (() => {
+        val bands = bandRows(minhashSigs(rows, 64), 16, 4)
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().count()
+      }),
+      "q20_full" -> (() => q20DedupMinhash(s, dir).count()),
+      "q20_again" -> (() => q20DedupMinhash(s, dir).count()),
+      "q21_full" -> (() => q21DedupNgramJaccard(s, dir).count()),
+      "q22_full" -> (() => q22DedupSimhash(s, dir).count()),
+      "q50_full" -> (() => q50CleanPipeline(s, dir).count()))
+  }
 
   // ---------------------------------------------------------------------
   // Exact dedup
@@ -97,22 +154,25 @@ object LlmQueries {
       |  FROM documents GROUP BY sha256(text))
       |GROUP BY source ORDER BY source""".stripMargin
 
-  /** MinHash signatures, relationally: explode shingles, hash each ONCE
-    * (two base hashes; family h_i = h1 + i·h2, Kirsch-Mitzenmacher), then
-    * 32 codegen'd min-aggregates in one groupBy. One shuffle, no
-    * interpreted lambdas. Output: doc_id, m0..m{k-1}. */
+  /** MinHash signatures, relationally: k independent seeded re-hashes of
+    * the persisted shingle hash (h_i = xxhash64(i, hg)) as k codegen'd
+    * min-aggregates in one groupBy. One shuffle, no interpreted lambdas.
+    * Output: doc_id, m0..m{k-1}, sz.
+    *
+    * NOT the Kirsch-Mitzenmacher trick (h_i = h1 + i·h2): with only two
+    * base hashes, the element that minimizes BOTH h1 and h2 is the min of
+    * every h_i simultaneously — P ≈ 1/n² per doc for n shingles, which on
+    * short documents collapses the whole signature onto one shingle and
+    * systematically drops true near-dup pairs (observed: docs 26/455 at
+    * sf0.01, J = 0.9, missed by all 16 bands). Independent per-i seeds
+    * make the bands genuinely independent; 64 extra xxhash64 evals per
+    * shingle row stay in whole-stage codegen and are memory-bound cheap. */
   private def minhashSigs(rows: DataFrame, k: Int): DataFrame = {
-    // Masked to 31 bits: ANSI mode (Spark 4 default) would throw on long
-    // overflow in h1 + i·h2; 31-bit space keeps i·h2 ≤ 2³⁶ — exact, and
-    // ample for min-hashing ~10² shingles per doc.
-    val ex = rows.select(col("doc_id"),
-      xxhash64(col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h1"),
-      xxhash64(lit(7), col("sg")).bitwiseAND(lit(0x7FFFFFFFL)).as("h2"))
     // set size rides along in the same groupBy — one aggregate pays for
     // both the signature and the |set| the Jaccard verify stage needs
-    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")) :+
-      count(lit(1)).as("sz")
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("hg"))).as(s"m$i")) :+ count(lit(1)).as("sz")
+    rows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Unpivot b bands of r signature columns into (doc_id, band, key) rows
@@ -128,19 +188,23 @@ object LlmQueries {
   // ---------------------------------------------------------------------
   // Near-dup via MinHash + LSH
 
-  /** Near-duplicate pairs via MinHash+LSH: shingle → 32 minhashes → 8
+  /** Near-duplicate pairs via MinHash+LSH: shingle → 64 minhashes → 16
     * bands × 4 rows → band-bucket self-join for candidates → exact
-    * Jaccard ≥ 0.8 verification. At the data's similarity gap (planted
-    * pairs ≥ 0.9, background < 0.07) LSH recall is ≈ 1 − (1 − J⁴)⁸ ≈ 1,
-    * so the output equals the brute-force oracle.
+    * Jaccard ≥ 0.8 verification. Band geometry is threshold-driven, not
+    * luck-driven: at the J = 0.8 decision boundary a pair is missed with
+    * probability (1 − J⁴)¹⁶ = 0.59¹⁶ ≈ 2·10⁻⁴ (b = 8 was ~1.5% — one
+    * planted pair actually flipped when the hash family changed), while
+    * background pairs (J < 0.07) collide in a band with p = J⁴ ≈ 2·10⁻⁵,
+    * so candidates stay ~linear in n. Exactness still comes from the
+    * verification join, so the output equals the brute-force oracle.
     * Scale: candidates come from a groupBy on (band, key) — cost is
     * O(n·b) rows shuffled, not O(n²) pairs; only bucket-mates pay the
     * exact array_intersect. */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sigs = minhashSigs(rows, 32)
+    val sigs = memo(s, dir, "minhash64")(minhashSigs(rows, 64))
     val sizes = sigs.select(col("doc_id"), col("sz"))
-    val bands = bandRows(sigs, 8, 4)
+    val bands = bandRows(sigs, 16, 4)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -148,8 +212,8 @@ object LlmQueries {
       .distinct()
     // Exact verification stays relational: candidates (tiny, broadcast)
     // filter the inverted index; common-shingle counts give Jaccard.
-    val invA = rows.select(col("doc_id").as("a"), xxhash64(col("sg")).as("hg"))
-    val invB = rows.select(col("doc_id").as("b"), xxhash64(col("sg")).as("hg"))
+    val invA = rows.select(col("doc_id").as("a"), col("hg"))
+    val invB = rows.select(col("doc_id").as("b"), col("hg"))
     broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), "a")
@@ -183,11 +247,10 @@ object LlmQueries {
     * (they contribute candidates, not discrimination). */
   def q21DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = shingleSizes(rows)
-    // join on the shingle's 64-bit hash, not the string: an 8-byte shuffle
-    // key instead of ~20 chars (collision odds ~n²/2⁶⁴ — nil; the oracle
-    // would catch one).
-    val inv = rows.select(col("doc_id"), xxhash64(col("sg")).as("hg"))
+    val sizes = memo(s, dir, "sizes")(shingleSizes(rows))
+    // the persisted shingle stream is already (doc_id, 64-bit hash) — an
+    // 8-byte join key by construction
+    val inv = rows
     inv.as("x").join(inv.as("y"),
         col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -212,7 +275,7 @@ object LlmQueries {
     * projection. The naive nested-lambda version of this measured 583 s
     * at sf0.1; this one is ~1 s. */
   private def simhashSigs(rows: DataFrame): DataFrame = {
-    val ex = rows.select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val ex = rows.select(col("doc_id"), col("hg").as("h"))
     val bitSums = (0 until 64).map(i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"s$i"))
     val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -228,7 +291,7 @@ object LlmQueries {
     * 0–4; unrelated docs ≈ 32.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashSigs(shingleRows(s, dir))
+    val sh = memo(s, dir, "simhash")(simhashSigs(shingleRows(s, dir)))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), j -> (shiftright(sig, j * 16) & 65535L))"))
         .as(Seq("band", "key")))
