@@ -104,16 +104,40 @@ object VectorQueries {
   }
 
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
-    * exact, via the pruned cross product (a < b halves the work; norms
-    * precomputed). This is the exact-semantics baseline; at 100 TB the
-    * candidate set comes from q28's LSH buckets instead and only
-    * candidates pay the dot product. */
+    * exact, via a BLOCKED self-join. Vectors are assigned to B blocks by
+    * id; the B(B+1)/2 block pairs (i ≤ j) become an equi-join key, so the
+    * all-pairs comparison decomposes into independent hash-join
+    * partitions. No side is ever broadcast whole and there is no
+    * nested-loop operator: each executor holds two blocks (n/B rows), not
+    * the full table — the property a BroadcastNestedLoopJoin loses the
+    * moment n stops fitting in one executor. Replication factor is
+    * (B+1)/2 per side (the theoretical optimum for all-pairs on p
+    * reducers is Θ(√p)); at 100 TB, B grows so a block fits executor
+    * memory. Total pairwise compute is unchanged (exactness needs every
+    * pair) — only its distribution changes. The sub-quadratic alternative
+    * when the threshold permits is q28's LSH candidates. */
   def q46CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 8
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(vecDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val blockPairs = broadcast(
+      (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj"))
+    val aSide = e.join(blockPairs, col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val bSide = e.join(blockPairs, col("blk") === col("bj"))
+      .select(col("bi").as("bi2"), col("bj").as("bj2"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    aSide.join(bSide, col("bi") === col("bi2") && col("bj") === col("bj2"))
+      // off-diagonal keys (bi<bj) see each unordered pair once; diagonal
+      // keys (bi=bj) see both orderings — keep one
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy(col("id_a"), col("id_b"))

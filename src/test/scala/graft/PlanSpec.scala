@@ -45,6 +45,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q46: exact all-pairs runs as blocked equi-join — no nested loop") {
+    val p = plan(VectorQueries.q46CosinePairs(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q27: query side of brute-force top-k is broadcast") {
     val p = plan(VectorQueries.q27CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
