@@ -80,6 +80,7 @@ object SparkEntry {
     "q59_sql_cte"            -> (AdvancedQueries.q59SqlCte _),
     "q60_resample"           -> (DataflowQueries.q60Resample _),
     "q61_histogram"          -> (DataflowQueries.q61Histogram _),
+    "q62_proto_encode"       -> (DataflowQueries.q62ProtoEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +147,6 @@ object SparkEntry {
     "q59_sql_cte"          -> AdvancedQueries.q59Sql,
     "q60_resample"         -> DataflowQueries.q60Sql,
     "q61_histogram"        -> DataflowQueries.q61Sql,
+    "q62_proto_encode"     -> DataflowQueries.q62Sql,
   )
 }

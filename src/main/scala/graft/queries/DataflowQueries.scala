@@ -260,6 +260,55 @@ object DataflowQueries {
       |FROM events GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** T5 protobuf record serialization (etl-rust publishes prost
+    * `encode_to_vec()` bytes from every queue sink —
+    * `src/output/google_pubsub.rs:188-190`, `apache_kafka.rs:107-109`):
+    * proto3-encode each synthetic tx record via the native
+    * `proto_encode_tx` expression (graft.functions.Proto3) and aggregate
+    * encoded sizes per bucket. The oracle recomputes every record's
+    * encoded length analytically (varint width arithmetic in SQL);
+    * byte-level exactness is proven by Proto3Spec's round-trip and
+    * golden wire vectors. Scale: encode is a per-row codegen'd
+    * projection — no shuffle added to the pipeline it serializes. */
+  def q62ProtoEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ProtoExpressions.protoEncodeTx
+    s.range(0L, 2000L).toDF("block_number")
+      .withColumn("n_tx", (col("block_number") * 2654435761L) % 97 % 7)
+      .withColumn("tx_i",
+        explode(when(col("n_tx") > 0, sequence(lit(0L), col("n_tx") - 1))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      .withColumn("fee",
+        ((col("block_number") * 31 + col("tx_i")) * 1103515245L + 12345L) % 1000003L)
+      .withColumn("tx_hash", md5(concat_ws("-", col("block_number"), col("tx_i"))))
+      .withColumn("enc", protoEncodeTx(col("block_number"), col("tx_i"),
+        col("fee"), col("tx_hash")))
+      .groupBy((col("block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        sum(length(col("enc"))).cast("long").as("total_bytes"),
+        min(length(col("enc"))).as("min_bytes"),
+        max(length(col("enc"))).as("max_bytes"))
+      .orderBy(col("bucket"))
+  }
+
+  val q62Sql: String = {
+    import graft.functions.Proto3.encodedLenSql
+    s"""SELECT bucket, COUNT(*) AS n_txs,
+      |  CAST(SUM(enc_len) AS BIGINT) AS total_bytes,
+      |  MIN(enc_len) AS min_bytes, MAX(enc_len) AS max_bytes
+      |FROM (
+      |  SELECT block_number % 10 AS bucket,
+      |    ${encodedLenSql("block_number", "tx_i", "fee", "tx_hash")} AS enc_len
+      |  FROM (
+      |    SELECT block_number, tx_i,
+      |      ((block_number * 31 + tx_i) * 1103515245 + 12345) % 1000003 AS fee,
+      |      md5(concat(block_number, '-', tx_i)) AS tx_hash
+      |    FROM (
+      |      SELECT block_number,
+      |        unnest(range(0, (block_number * 2654435761) % 97 % 7)) AS tx_i
+      |      FROM range(0, 2000) t(block_number))))
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Scalar function battery (string/date/math) — the §2.2 scalar surface
     * exercised in one projection; codecs base64/hex covered in q37. */
   def q36ScalarBattery(s: SparkSession, dir: String): DataFrame =
