@@ -81,6 +81,7 @@ object SparkEntry {
     "q60_resample"           -> (DataflowQueries.q60Resample _),
     "q61_histogram"          -> (DataflowQueries.q61Histogram _),
     "q62_proto_encode"       -> (DataflowQueries.q62ProtoEncode _),
+    "q63_fetch_stage"        -> (graft.sources.FetchStage.q63FetchStage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +149,6 @@ object SparkEntry {
     "q60_resample"         -> DataflowQueries.q60Sql,
     "q61_histogram"        -> DataflowQueries.q61Sql,
     "q62_proto_encode"     -> DataflowQueries.q62Sql,
+    "q63_fetch_stage"      -> graft.sources.FetchStage.q63Sql,
   )
 }

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.operators.EngineMetrics
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S4 — the RPC fetch stage (etl-rust `docs/extraction.md:3`: "All RPC
+  * requests are retried with backoff upon failure"; `src/main.rs:256-272`:
+  * one client built once and reused for every request;
+  * `docs/environment-variables.md` `ENDPOINT`/`FALLBACK_ENDPOINT`: a
+  * second address used when the primary is failing).
+  *
+  * Spark shape: the index stream partitions across executors (S1/S2), and
+  * the fetch is a typed `mapPartitions` — the sanctioned drop out of
+  * Column-land, because a network call per row is genuine per-partition
+  * imperative logic. One transport is built per partition (the reference's
+  * client-per-thread), closed on task completion, and every attempt is
+  * metered through [[EngineMetrics]] (the reference's request_count /
+  * failed_request_count Prometheus counters).
+  *
+  * The wire itself is injectable ([[BlockTransport]]): offline tests and
+  * the registry query use deterministic synthetic transports; a production
+  * deployment supplies an HTTP JSON-RPC implementation with the same
+  * contract. Retry policy: linear backoff (sleep k·unit after the k-th
+  * failure), bounded at maxRetries per endpoint, then the fallback
+  * endpoint gets its own bounded retry loop, then the task fails (Spark
+  * task retry + idempotent sinks give at-least-once, same policy as the
+  * queue sinks).
+  */
+trait BlockTransport extends AutoCloseable {
+  /** Fetch one block's payload (JSON) from an endpoint. Throws on failure. */
+  def fetchBlock(endpoint: String, blockNumber: Long): String
+  override def close(): Unit = ()
+}
+
+object FetchStage {
+
+  final case class FetchConfig(
+      endpoint: String,
+      fallbackEndpoint: Option[String] = None,
+      maxRetries: Int = 3,
+      backoffMillis: Long = 10)
+
+  /** ids(block_number) → (block_number, payload). `transport` is a
+    * serializable factory invoked once per partition. */
+  def fetchBlocks(
+      ids: DataFrame,
+      cfg: FetchConfig,
+      transport: (() => BlockTransport) with Serializable,
+      metrics: Option[EngineMetrics] = None): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("block_number")).as[Long]
+      .mapPartitions { it =>
+        val t = transport()
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => t.close()))
+        it.map(bn => (bn, fetchOne(t, cfg, bn, metrics)))
+      }
+      .toDF("block_number", "payload")
+  }
+
+  /** Primary with bounded linear-backoff retry, then fallback likewise. */
+  private def fetchOne(t: BlockTransport, cfg: FetchConfig, bn: Long,
+      metrics: Option[EngineMetrics]): String = {
+    def attemptLoop(endpoint: String): String = {
+      var attempt = 0
+      while (true) {
+        try return metered(metrics)(t.fetchBlock(endpoint, bn))
+        catch {
+          case e: Throwable =>
+            attempt += 1
+            if (attempt > cfg.maxRetries) throw e
+            Thread.sleep(cfg.backoffMillis * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    try attemptLoop(cfg.endpoint)
+    catch {
+      case primary: Throwable =>
+        cfg.fallbackEndpoint match {
+          case Some(fb) => attemptLoop(fb)
+          case None => throw primary
+        }
+    }
+  }
+
+  private def metered[T](metrics: Option[EngineMetrics])(body: => T): T =
+    metrics match {
+      case Some(m) => m.countRequest(body)
+      case None => body
+    }
+
+  /** Offline stand-in wire: synthesizes the reference-shaped block JSON
+    * deterministically from the block number (same arithmetic as the S1
+    * generator, so the fetch→parse path is DuckDB-oracle-verifiable). */
+  final class SyntheticRpcTransport extends BlockTransport {
+    override def fetchBlock(endpoint: String, bn: Long): String = {
+      val nTx = ((bn * 2654435761L) % 97 % 7).toInt
+      val txs = (0 until nTx).map { i =>
+        val fee = ((bn * 31 + i) * 1103515245L + 12345L) % 1000003L
+        s"""{"fee":$fee}"""
+      }.mkString("[", ",", "]")
+      s"""{"block_number":$bn,"txs":$txs}"""
+    }
+  }
+
+  /** S4 registry query: fetch a block range through the full stage
+    * (pooled transport, retry policy, metering), parse payloads with
+    * from_json, fan transactions out, aggregate — the same values the S1
+    * arithmetic generator produces, so q29's oracle shape verifies the
+    * fetch→deserialize path end-to-end. */
+  def q63FetchStage(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ids = s.range(0L, 2000L).toDF("block_number")
+    val fetched = fetchBlocks(ids,
+      FetchConfig("synthetic://primary", Some("synthetic://fallback")),
+      new (() => BlockTransport) with Serializable {
+        def apply(): BlockTransport = new SyntheticRpcTransport
+      })
+    fetched
+      .withColumn("parsed", from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "block_number BIGINT, txs ARRAY<STRUCT<fee: BIGINT>>")))
+      .select(col("block_number"), explode(col("parsed.txs")).as("tx"))
+      .groupBy((col("block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        countDistinct(col("block_number")).as("n_blocks"),
+        sum(col("tx.fee")).cast("long").as("total_fees"))
+      .orderBy(col("bucket"))
+  }
+
+  val q63Sql: String =
+    """SELECT block_number % 10 AS bucket, COUNT(*) AS n_txs,
+      |  COUNT(DISTINCT block_number) AS n_blocks,
+      |  CAST(SUM(fee) AS BIGINT) AS total_fees
+      |FROM (
+      |  SELECT block_number,
+      |    ((block_number * 31 + tx_i) * 1103515245 + 12345) % 1000003 AS fee
+      |  FROM (
+      |    SELECT block_number,
+      |      unnest(range(0, (block_number * 2654435761) % 97 % 7)) AS tx_i
+      |    FROM range(0, 2000) t(block_number)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,13 +1,101 @@
 package graft
 
-import graft.sources.BlockSources
+import graft.sources.{BlockSources, BlockTransport, FetchStage}
+import graft.sources.FetchStage.FetchConfig
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+/** Call ledger for the flaky test transport — static so executor threads
+  * (same JVM at local[*]) and the spec share it. */
+object FetchLedger {
+  val calls = TrieMap.empty[String, AtomicLong] // per endpoint
+  val opened = new AtomicLong(0)
+  val failPlan = TrieMap.empty[Long, Int] // block -> failures to inject on primary
+  def count(ep: String): Long = calls.get(ep).map(_.get).getOrElse(0L)
+  def record(ep: String): Unit = calls.getOrElseUpdate(ep, new AtomicLong).incrementAndGet()
+  def reset(): Unit = { calls.clear(); opened.set(0); failPlan.clear() }
+}
+
+/** Primary endpoint fails per FetchLedger.failPlan (Int.MaxValue = always);
+  * fallback always succeeds. */
+final class FlakyTransport extends BlockTransport {
+  FetchLedger.opened.incrementAndGet()
+  override def fetchBlock(endpoint: String, bn: Long): String = {
+    FetchLedger.record(endpoint)
+    if (endpoint == "primary") {
+      val left = FetchLedger.failPlan.getOrElse(bn, 0)
+      if (left > 0) {
+        if (left != Int.MaxValue) FetchLedger.failPlan.update(bn, left - 1)
+        throw new RuntimeException(s"injected failure for block $bn")
+      }
+    }
+    s"""{"block_number":$bn,"via":"$endpoint"}"""
+  }
+}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  private val flakyFactory = new (() => BlockTransport) with Serializable {
+    def apply(): BlockTransport = new FlakyTransport
+  }
+
+  test("S4 fetch: transient primary failures retry with backoff, no fallback") {
+    FetchLedger.reset()
+    FetchLedger.failPlan.update(3L, 2) // block 3 fails twice, then succeeds
+    val out = FetchStage.fetchBlocks(
+      spark.range(0, 8).toDF("block_number").coalesce(1),
+      FetchConfig("primary", Some("fallback"), maxRetries = 3, backoffMillis = 0),
+      flakyFactory).collect()
+    assert(out.length === 8)
+    assert(out.forall(_.getString(1).contains("\"via\":\"primary\"")))
+    assert(FetchLedger.count("primary") === 8 + 2) // 2 retries
+    assert(FetchLedger.count("fallback") === 0)
+  }
+
+  test("S4 fetch: exhausted primary fails over to the fallback endpoint") {
+    FetchLedger.reset()
+    FetchLedger.failPlan.update(5L, Int.MaxValue) // block 5: primary never works
+    val out = FetchStage.fetchBlocks(
+      spark.range(0, 8).toDF("block_number").coalesce(1),
+      FetchConfig("primary", Some("fallback"), maxRetries = 2, backoffMillis = 0),
+      flakyFactory).collect()
+    val via5 = out.find(_.getLong(0) == 5L).get.getString(1)
+    assert(via5.contains("\"via\":\"fallback\""))
+    assert(FetchLedger.count("primary") === 7 + 3) // 1 + maxRetries attempts on block 5
+    assert(FetchLedger.count("fallback") === 1)
+  }
+
+  test("S4 fetch: no fallback configured -> the task error propagates") {
+    FetchLedger.reset()
+    FetchLedger.failPlan.update(1L, Int.MaxValue)
+    val ex = intercept[Exception] {
+      FetchStage.fetchBlocks(
+        spark.range(0, 3).toDF("block_number").coalesce(1),
+        FetchConfig("primary", None, maxRetries = 1, backoffMillis = 0),
+        flakyFactory).collect()
+    }
+    assert(ex.getMessage.contains("injected failure") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected failure")))
+  }
+
+  test("S4 fetch: one pooled transport per partition; attempts are metered") {
+    FetchLedger.reset()
+    FetchLedger.failPlan.update(2L, 1)
+    val metrics = new graft.operators.EngineMetrics(spark.sparkContext)
+    val df = FetchStage.fetchBlocks(
+      spark.range(0, 40).toDF("block_number").repartition(4),
+      FetchConfig("primary", Some("fallback"), maxRetries = 3, backoffMillis = 0),
+      flakyFactory, Some(metrics))
+    assert(df.count() === 40)
+    assert(FetchLedger.opened.get === 4, "expected one transport per partition")
+    assert(metrics.snapshot()("request_count") === 41) // 40 + 1 retry
+    assert(metrics.snapshot()("failed_request_count") === 1)
+  }
 
   test("S1 blockRange: one row per index, deterministic nested txs") {
     val df = BlockSources.blockRange(spark, 10, 60)
