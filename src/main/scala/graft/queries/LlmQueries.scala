@@ -210,8 +210,16 @@ object LlmQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // Exact verification stays relational: candidates (tiny, broadcast)
-    // filter the inverted index; common-shingle counts give Jaccard.
+    verifyCandidates(rows, sizes, cand, 0.8)
+  }
+
+  /** Shared exact-verification tail (q20 LSH / q21 inverted-index): the
+    * candidate pairs (tiny, broadcast) filter the full inverted index;
+    * common-shingle counts against FULL per-doc set sizes give exact
+    * Jaccard — whatever generated the candidates, the emitted pairs and
+    * values are exact. */
+  private def verifyCandidates(rows: DataFrame, sizes: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
     val invA = rows.select(col("doc_id").as("a"), col("hg"))
     val invB = rows.select(col("doc_id").as("b"), col("hg"))
     broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
@@ -220,7 +228,7 @@ object LlmQueries {
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("nb")), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -239,29 +247,36 @@ object LlmQueries {
   // ---------------------------------------------------------------------
   // Near-dup via inverted-index n-gram Jaccard
 
-  /** Same near-dup semantics as q20, different distributed plan: an
-    * inverted index (explode shingles → self-join on shingle → count
-    * common per pair). No LSH approximation — exact by construction.
-    * Scale: cost is Σ_shingle freq² — fine while shingle frequencies are
-    * bounded; a production run prunes ultra-frequent shingles first
-    * (they contribute candidates, not discrimination). */
-  def q21DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Same near-dup semantics as q20, different candidate generator: an
+    * inverted index (self-join on shingle hash) with FREQUENT-SHINGLE
+    * PRUNING. The self-join costs Σ_shingle df², so a shingle in df
+    * documents contributes df² candidate rows while adding almost no
+    * discrimination — the classic production guard drops shingles with
+    * df > cap from candidate generation. Pruning touches ONLY candidate
+    * generation: verification recounts intersections against the full
+    * index and full set sizes, so every emitted pair carries its exact
+    * Jaccard. A qualifying pair is missed only if ALL of its common
+    * shingles have df > cap — for J ≥ 0.8 that needs a near-duplicate
+    * cluster wider than cap docs, at which point exact dedup (q19) owns
+    * it. LlmQueriesSpec proves pruned == unpruned output on data where
+    * the cap demonstrably prunes. */
+  def q21DedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    q21PrunedNgramJaccard(s, dir, cap = 64)
+
+  /** q21 with an explicit document-frequency cap (exposed for the
+    * pruning-invariance spec). */
+  def q21PrunedNgramJaccard(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val rows = shingleRows(s, dir)
     val sizes = memo(s, dir, "sizes")(shingleSizes(rows))
-    // the persisted shingle stream is already (doc_id, 64-bit hash) — an
-    // 8-byte join key by construction
-    val inv = rows
-    inv.as("x").join(inv.as("y"),
+    val rare = rows.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("hg"))
+    val candIndex = rows.join(rare, "hg")
+    val cand = candIndex.as("x").join(candIndex.as("y"),
         col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyCandidates(rows, sizes, cand, 0.8)
   }
 
   val q21Sql: String = q20Sql

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.TextFunctions.tokensOf
+import graft.queries.LlmQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pruning-invariance proof for q21's frequent-shingle guard: dropping
+  * high-document-frequency shingles from CANDIDATE GENERATION must not
+  * change the emitted pairs, because verification recounts intersections
+  * against the full inverted index. The cap must demonstrably prune on
+  * this data (otherwise the test proves nothing). */
+class LlmQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Shingle document frequencies recomputed independently of the
+    * (private) production pass — same tokenization, trigram shingles. */
+  private lazy val dfCounts: Map[Long, Long] = {
+    val n = size(col("toks"))
+    Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(n >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), n - 2).as("t0"),
+        slice(col("toks"), lit(2), n - 2).as("t1"),
+        slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
+      .select(col("doc_id"),
+        xxhash64(col("tg.t0"), col("tg.t1"), col("tg.t2")).as("hg"))
+      .distinct()
+      .groupBy(col("hg")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("cap=4 demonstrably prunes shingles at sf0.001") {
+    val pruned = dfCounts.count(_._2 > 4)
+    assert(pruned > 0, s"cap=4 prunes nothing (max df = ${dfCounts.values.max})")
+  }
+
+  test("pruned candidate generation emits exactly the unpruned pairs") {
+    val unpruned = LlmQueries.q21PrunedNgramJaccard(spark, TestSpark.sfDir, Int.MaxValue)
+      .collect().toSeq
+    val pruned = LlmQueries.q21PrunedNgramJaccard(spark, TestSpark.sfDir, 4)
+      .collect().toSeq
+    assert(unpruned.nonEmpty, "no near-dup pairs at sf0.001 — invariance vacuous")
+    assert(pruned == unpruned)
+  }
+
+  test("cap=0 suppresses all candidates (the cap is live)") {
+    assert(LlmQueries.q21PrunedNgramJaccard(spark, TestSpark.sfDir, 0).count() == 0)
+  }
+}
