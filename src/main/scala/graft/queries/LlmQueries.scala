@@ -264,18 +264,45 @@ object LlmQueries {
     q21PrunedNgramJaccard(s, dir, cap = 64)
 
   /** q21 with an explicit document-frequency cap (exposed for the
-    * pruning-invariance spec). */
+    * pruning-invariance spec).
+    *
+    * Shape: posting lists in ONE aggregation (groupBy shingle hash →
+    * collect_list), persisted because two branches read them and Spark
+    * does not reuse exchanges across identical subtrees. Branch 1
+    * explodes rare lists (2 ≤ df ≤ cap) into ordered pairs and counts
+    * common-rare-shingles per pair — Σ df² codegen'd generator rows into
+    * a map-side-combinable groupBy, NOT a re-join against the index.
+    * Branch 2 counts each doc's pruned (df > cap) shingles. Together
+    * they give a sound upper bound on the true Jaccard:
+    * I ≤ ir + min(pa, pb), and j = I/(na+nb−I) is increasing in I, so
+    * filtering on the bound never drops a qualifying pair. Only
+    * bound-passing pairs (a handful — a background pair shares a few
+    * shingles, a near-dup shares ~half) pay the exact verification
+    * recount, which keeps emitted values exact under any cap. */
   def q21PrunedNgramJaccard(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val rows = shingleRows(s, dir)
     val sizes = memo(s, dir, "sizes")(shingleSizes(rows))
-    val rare = rows.groupBy(col("hg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select(col("hg"))
-    val candIndex = rows.join(rare, "hg")
-    val cand = candIndex.as("x").join(candIndex.as("y"),
-        col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val lists = memo(s, dir, "postings")(
+      rows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
+    val interRare = lists.filter(size(col("ids")).between(2, cap))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ir"))
+    val prunedPerDoc = lists.filter(size(col("ids")) > cap)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+    val stats = sizes.join(prunedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), coalesce(col("np"), lit(0L)).as("np"))
+    val cand = interRare
+      .join(broadcast(stats.select(col("doc_id").as("a"),
+        col("sz").as("na"), col("np").as("pa"))), "a")
+      .join(broadcast(stats.select(col("doc_id").as("b"),
+        col("sz").as("nb"), col("np").as("pb"))), "b")
+      .withColumn("iub", col("ir") + least(col("pa"), col("pb")))
+      .filter(round(col("iub").cast("double")
+        / (col("na") + col("nb") - col("iub")), 4) >= 0.8)
+      .select(col("a"), col("b"))
     verifyCandidates(rows, sizes, cand, 0.8)
   }
 
