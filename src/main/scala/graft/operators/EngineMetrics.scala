@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.HttpServer
 import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.util.LongAccumulator
@@ -10,7 +15,10 @@ import org.apache.spark.util.LongAccumulator
   *
   * Accumulators aggregate from every executor to the driver with no extra
   * shuffle or RPC of ours; the listener adds task-level failure counting
-  * for free. Spark's own metrics sinks/UI replace the actix server role.
+  * for free. Spark's own metrics sinks/UI cover ops dashboards; for
+  * drop-in parity with the reference's scrape target, [[exposition]]
+  * renders the Prometheus text format and [[serve]] binds it on a
+  * driver-side /metrics endpoint (JDK HttpServer — no dependencies).
   */
 final class EngineMetrics(sc: SparkContext) extends Serializable {
   val requestCount: LongAccumulator = sc.longAccumulator("graft.request_count")
@@ -26,12 +34,44 @@ final class EngineMetrics(sc: SparkContext) extends Serializable {
     "request_count" -> requestCount.value,
     "failed_request_count" -> failedRequestCount.value,
     "records_published" -> recordsPublished.value)
+
+  /** Prometheus text exposition format (HELP/TYPE/sample per counter) —
+    * the same names and help strings the reference registers
+    * (`src/main.rs:297-306`), plus the records counter. */
+  def exposition(): String = {
+    val help = Map(
+      "request_count" -> "Total number of requests for all APIs",
+      "failed_request_count" -> "Total number of request failures for all APIs",
+      "records_published" -> "Total number of records published to sinks")
+    snapshot().toSeq.sortBy(_._1).map { case (name, v) =>
+      s"# HELP $name ${help(name)}\n# TYPE $name counter\n$name $v\n"
+    }.mkString
+  }
+
+  /** Bind /metrics on the driver (reference: actix server on
+    * METRICS_PORT). Port 0 picks a free port; returns the server —
+    * caller stops it with `.stop(0)`. */
+  def serve(port: Int): HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/metrics", exchange => {
+      val body = exposition().getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      exchange.sendResponseHeaders(200, body.length.toLong)
+      val os = exchange.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    srv
+  }
 }
 
 /** Task-failure listener: register with sc.addSparkListener to count
-  * failed tasks across the app (driver side, no serialization). */
+  * failed tasks across the app. The listener bus is single-threaded but
+  * an AtomicLong is the honest type for a cross-thread-read counter. */
 final class TaskFailureListener extends SparkListener {
-  @volatile var failedTasks: Long = 0L
+  private val failed = new AtomicLong(0L)
+  def failedTasks: Long = failed.get()
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
-    if (taskEnd.reason != org.apache.spark.Success) failedTasks += 1
+    if (taskEnd.reason != org.apache.spark.Success) failed.incrementAndGet()
 }

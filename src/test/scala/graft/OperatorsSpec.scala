@@ -44,6 +44,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HighWatermark.resume(dir, 100, 200) === ((120L, None)))
   }
 
+  test("C1 resume: reference single-number markers are honored (main.rs:203-231)") {
+    val dir = Files.createTempDirectory("wm")
+    // a reference-written dir: block 119 indexed -> forward resumes at 120
+    Files.writeString(dir.resolve("119"), "")
+    assert(HighWatermark.resume(dir, 100, 200) === ((120L, None)))
+    // reverse: completed start 119 -> new exclusive end 119
+    assert(HighWatermark.resume(dir, 10, 200, reverse = true) === ((10L, Some(119L))))
+  }
+
+  test("C1 resume: overflowing digit strings are foreign files, not crashes") {
+    val dir = Files.createTempDirectory("wm")
+    Files.writeString(dir.resolve("99999999999999999999999999"), "")
+    HighWatermark.markDone(dir, 100, 120)
+    assert(HighWatermark.resume(dir, 100, 200) === ((120L, None)))
+  }
+
   // ---- C4 metrics ----------------------------------------------------
 
   test("C4 accumulators count requests and failures from executors") {
@@ -56,6 +72,37 @@ class OperatorsSpec extends AnyFunSuite {
     val snap = m.snapshot()
     assert(snap("request_count") === 100)
     assert(snap("failed_request_count") === 10)
+  }
+
+  test("C4 Prometheus text exposition matches the reference scrape format") {
+    val m = new EngineMetrics(spark.sparkContext)
+    m.requestCount.add(7)
+    m.failedRequestCount.add(2)
+    val text = m.exposition()
+    // reference counter names + help strings (src/main.rs:297-306)
+    assert(text.contains("# HELP request_count Total number of requests for all APIs\n"))
+    assert(text.contains("# TYPE request_count counter\nrequest_count 7\n"))
+    assert(text.contains("# HELP failed_request_count Total number of request failures for all APIs\n"))
+    assert(text.contains("failed_request_count 2\n"))
+    // every sample line is NAME SPACE INT, every meta line HELP/TYPE
+    text.linesIterator.foreach { l =>
+      assert(l.startsWith("# HELP ") || l.startsWith("# TYPE ")
+        || l.matches("[a-z_]+ \\d+"), s"malformed exposition line: $l")
+    }
+  }
+
+  test("C4 /metrics endpoint serves the exposition over HTTP") {
+    val m = new EngineMetrics(spark.sparkContext)
+    m.recordsPublished.add(41)
+    val srv = m.serve(0)
+    try {
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/metrics").toURL
+      val body = new String(url.openStream().readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(body.contains("records_published 41\n"))
+      assert(body == m.exposition())
+    } finally srv.stop(0)
   }
 
   // ---- C6/C7 config validation --------------------------------------
