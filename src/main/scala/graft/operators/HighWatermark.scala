@@ -47,15 +47,30 @@ object HighWatermark {
     Files.write(dir.resolve(s"${start}_$end"), Array.emptyByteArray)
   }
 
-  private def completedRanges(dir: Path): Seq[(Long, Long)] =
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .flatMap { n =>
-        n.split("_") match {
-          case Array(a, b) if a.forall(_.isDigit) && b.forall(_.isDigit) =>
-            Some((a.toLong, b.toLong))
-          case _ => None // foreign files are ignored, like the reference's scan
+  /** Parse marker filenames. Two accepted forms:
+    *   - `<start>_<end>` (ours, end exclusive);
+    *   - `<n>` — the reference's single-number `./indexed_blocks/` marker
+    *     (`src/main.rs:203-231`: forward resumes at n+1, reverse ends at
+    *     n−1 inclusive), which maps exactly to the range (n, n+1) here —
+    *     so reference-written checkpoint dirs resume correctly.
+    * Anything unparseable (including digit strings overflowing Long) is a
+    * foreign file and is ignored, like the reference's scan. */
+  private def completedRanges(dir: Path): Seq[(Long, Long)] = {
+    def num(s: String): Option[Long] =
+      if (s.nonEmpty && s.forall(_.isDigit)) scala.util.Try(s.toLong).toOption
+      else None
+    val stream = Files.list(dir)
+    try
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .flatMap { n =>
+          n.split("_") match {
+            case Array(a, b) => for (x <- num(a); y <- num(b)) yield (x, y)
+            case Array(a)    => num(a).map(x => (x, x + 1))
+            case _           => None
+          }
         }
-      }
-      .toSeq
+        .toList
+    finally stream.close()
+  }
 }

@@ -69,7 +69,11 @@ object AvroSink {
           val v: AnyRef =
             if (row.isNullAt(i)) null
             else f.dataType match {
-              case TimestampType => Long.box(row.getTimestamp(i).getTime * 1000L)
+              case TimestampType =>
+                // true epoch micros: getTime carries only millis; the
+                // sub-millisecond digits live in getNanos
+                val ts = row.getTimestamp(i)
+                Long.box(ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
               case BinaryType    => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
               case _             => row.get(i).asInstanceOf[AnyRef]
             }

@@ -28,9 +28,19 @@ import java.nio.charset.StandardCharsets
   * operator under test.
   */
 trait QueueConnection extends AutoCloseable {
+  /** Publish a batch. Contract: either deliver all-or-nothing, or throw
+    * [[BulkPartialDelivery]] reporting how many messages of the batch
+    * made it out — the publisher uses that offset so retries and the
+    * per-message fallback never re-send delivered messages. A plain
+    * exception is treated as zero delivered. */
   def publishBulk(msgs: Seq[Array[Byte]]): Unit
   def publish(msg: Array[Byte]): Unit
 }
+
+/** Thrown by a [[QueueConnection]] whose bulk publish delivered a prefix
+  * of the batch before failing. */
+final class BulkPartialDelivery(val delivered: Int, cause: Throwable)
+    extends RuntimeException(s"bulk publish failed after $delivered messages", cause)
 
 /** Local-filesystem queue transport: one JSONL-of-bytes file per
   * (queue, partition) — stands in for a broker connection. */
@@ -40,8 +50,15 @@ final class LocalFileQueueConnection(dir: String, queueName: String, partitionId
     Files.createDirectories(Paths.get(dir, queueName))
     Paths.get(dir, queueName, f"part-$partitionId%05d")
   }
-  override def publishBulk(msgs: Seq[Array[Byte]]): Unit =
-    msgs.foreach(publish)
+  override def publishBulk(msgs: Seq[Array[Byte]]): Unit = {
+    // one append syscall for the whole batch — all-or-nothing at this
+    // transport, so the publisher's no-duplicate accounting holds
+    val nl = "\n".getBytes(StandardCharsets.UTF_8)
+    val buf = new java.io.ByteArrayOutputStream()
+    msgs.foreach { m => buf.write(m); buf.write(nl) }
+    Files.write(path, buf.toByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
   override def publish(msg: Array[Byte]): Unit = {
     Files.write(path, msg ++ "\n".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -72,12 +89,28 @@ final class QueuePublisher(
     } finally conn.close()
   }
 
-  private def publishChunk(conn: QueueConnection, chunk: Seq[Array[Byte]]): Unit =
-    try withRetry(conn.publishBulk(chunk))
-    catch {
-      // bulk → per-message fallback (google_pubsub.rs:159-171)
-      case _: Throwable => chunk.foreach(m => withRetry(conn.publish(m)))
+  /** Bulk with retries, then per-message fallback
+    * (google_pubsub.rs:159-171). `offset` tracks messages already
+    * delivered by partially-failed bulk attempts so neither a retry nor
+    * the fallback ever re-sends them. */
+  private def publishChunk(conn: QueueConnection, chunk: Seq[Array[Byte]]): Unit = {
+    var offset = 0
+    var attempt = 0
+    var bulkOk = false
+    while (!bulkOk && attempt <= maxRetries) {
+      try { conn.publishBulk(chunk.drop(offset)); bulkOk = true }
+      catch {
+        case e: Throwable =>
+          e match {
+            case p: BulkPartialDelivery => offset += p.delivered
+            case _ => ()
+          }
+          attempt += 1
+          if (attempt <= maxRetries) sleep(backoffMillis * attempt)
+      }
     }
+    if (!bulkOk) chunk.drop(offset).foreach(m => withRetry(conn.publish(m)))
+  }
 
   /** Linear backoff: sleep k*unit after the k-th failure; bounded. */
   private def withRetry(body: => Unit): Unit = {

@@ -58,6 +58,25 @@ class SinksSpec extends AnyFunSuite {
     assert(conn.published.toSeq === (0 until 5).map(i => s"m$i"))
   }
 
+  test("K1 partial bulk delivery: retries and fallback resume past delivered prefix") {
+    // bulk delivers 2 messages then dies, every time; the publisher must
+    // advance past each delivered prefix (2, then 2 more) and finish the
+    // tail via fallback — every message exactly once, in order
+    val conn = new QueueConnection {
+      val published = mutable.ArrayBuffer.empty[String]
+      override def publishBulk(msgs: Seq[Array[Byte]]): Unit = {
+        val k = math.min(2, msgs.size)
+        published ++= msgs.take(k).map(new String(_))
+        throw new BulkPartialDelivery(k, new RuntimeException("mid-batch"))
+      }
+      override def publish(msg: Array[Byte]): Unit = published += new String(msg)
+      override def close(): Unit = ()
+    }
+    val pub = new QueuePublisher(_ => conn, maxRetries = 1, sleep = _ => ())
+    pub.publishPartition(0, Iterator.tabulate(6)(i => s"m$i".getBytes))
+    assert(conn.published.toSeq === (0 until 6).map(i => s"m$i"))
+  }
+
   test("bounded retry rethrows when both paths stay down") {
     val conn = new FlakyConnection(Int.MaxValue, Int.MaxValue)
     val pub = new QueuePublisher(_ => conn, maxRetries = 1, sleep = _ => ())
@@ -144,5 +163,17 @@ class SinksSpec extends AnyFunSuite {
     assert(back.map(_("block_number").asInstanceOf[Long]).sorted === (0L until 20L).toSeq)
     // timestamp carried as epoch micros (INT_TIMESTAMP mode)
     assert(back.head.contains("block_time"))
+  }
+
+  test("T6 Avro timestamps keep sub-millisecond precision (true epoch micros)") {
+    val dir = Files.createTempDirectory("avro-us").toString
+    val df = spark.sql(
+      "SELECT to_timestamp('2024-01-02 03:04:05.123456') AS ts")
+    AvroSink.write(df.coalesce(1), dir, "ts_table")
+    val expected = java.time.LocalDateTime
+      .of(2024, 1, 2, 3, 4, 5, 123456000)
+      .toInstant(java.time.ZoneOffset.UTC)
+    val expectedMicros = expected.getEpochSecond * 1000000L + expected.getNano / 1000L
+    assert(AvroSink.readAll(dir).head("ts") === expectedMicros)
   }
 }
