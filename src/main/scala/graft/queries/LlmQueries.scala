@@ -326,16 +326,20 @@ object LlmQueries {
         .mkString(" + ")).as("sig"))
   }
 
-  /** SimHash near-dup: 64-bit signature over the shingle set, 4 bands of
-    * 16 bits for candidates, Hamming distance ≤ 6 confirms. Signature
-    * uses Spark's xxhash64 — engine-internal, so no SQL oracle (driver
-    * records rows-only). Planted near-dups (J ≈ 0.98) land at Hamming
-    * 0–4; unrelated docs ≈ 32.
+  /** SimHash near-dup: 64-bit signature over the shingle set, 8 bands of
+    * 8 bits for candidates, Hamming distance ≤ 6 confirms. Band geometry
+    * is PIGEONHOLE-COMPLETE for the threshold: ≤ 7 differing bits cannot
+    * dirty all 8 bands, so every pair at Hamming ≤ 6 collides in at
+    * least one band — candidate generation provably misses nothing the
+    * confirm step would accept (4×16 banding could drop Hamming-5/6
+    * pairs: 6 flips spread 2+2+1+1). Signature uses Spark's xxhash64 —
+    * engine-internal, so no SQL oracle (driver records rows-only);
+    * SelfConsistencySpec asserts recall 1 on the tight exact pairs.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sh = memo(s, dir, "simhash")(simhashSigs(shingleRows(s, dir)))
     val withPos = sh.select(col("doc_id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 3), j -> (shiftright(sig, j * 16) & 65535L))"))
+      posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
         .as(Seq("band", "key")))
     val cand = withPos.as("x").join(withPos.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

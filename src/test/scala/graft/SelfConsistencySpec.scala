@@ -1,0 +1,153 @@
+package graft
+
+import graft.queries.{AdvancedQueries, LlmQueries, RelationalQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level checks for the registry queries that have no SQL oracle
+  * (approximate by design): each is validated against an exact
+  * computation done independently in this spec, with bounds that follow
+  * from the algorithm's declared guarantees. All inputs are
+  * deterministic, so these are exact regression gates, not flaky
+  * statistical tests. */
+class SelfConsistencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  /** (vec_id -> embedding) collected once; 500 × 64 floats. */
+  private lazy val vecs: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** Exact cosine with the same sequential double fold the engine uses. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact top-k neighbor ids per query id, cos desc then id asc. */
+  private def exactTopK(qIds: Seq[Long], k: Int): Map[Long, Seq[Long]] =
+    qIds.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, round6(cosine(vecs(q), vecs(c)))))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(k).map(_._1)
+    }.toMap
+
+  // ---- q28 hyperplane-LSH ANN -----------------------------------------
+
+  test("q28 LSH: every emitted cosine equals the exact value; ranks are sound") {
+    val rows = VectorQueries.q28AnnLsh(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, c, cos, rn) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(cos === round6(cosine(vecs(q), vecs(c))),
+        s"q28 cos for ($q,$c) diverges from exact")
+      assert(rn >= 1 && rn <= 3)
+    }
+    // per query: ranks contiguous from 1, cosine non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length))
+      val coss = sorted.map(_.getDouble(2)).toSeq
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b }, s"q28 q=$q not sorted")
+    }
+  }
+
+  test("q28 LSH: recall@3 against exact brute force clears the floor") {
+    val ann = VectorQueries.q28AnnLsh(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = exactTopK(ann.keys.toSeq, 3)
+    val hits = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
+    val recall = hits.toDouble / (ann.size * 3)
+    info(f"q28 recall@3 = $recall%.3f over ${ann.size} queries")
+    assert(recall >= 0.3, f"q28 recall@3 $recall%.3f below floor")
+  }
+
+  // ---- q56 IVF ANN ----------------------------------------------------
+
+  test("q56 IVF: every emitted cosine equals the exact value; recall floor holds") {
+    val rows = VectorQueries.q56AnnIvf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) === round6(cosine(vecs(r.getLong(0)), vecs(r.getLong(1)))),
+        s"q56 cos for (${r.getLong(0)},${r.getLong(1)}) diverges from exact")
+    }
+    val ann = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = exactTopK(ann.keys.toSeq, 3)
+    val recall = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
+      .toDouble / (ann.size * 3)
+    info(f"q56 recall@3 = $recall%.3f over ${ann.size} queries")
+    assert(recall >= 0.35, f"q56 recall@3 $recall%.3f below floor")
+  }
+
+  // ---- q10 HLL approx distinct ---------------------------------------
+
+  test("q10 HLL: approx distinct within 5x the declared 1% rsd of exact") {
+    val approx = RelationalQueries.q10AggApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      info(f"q10 flag=$k exact=$n approx=${approx(k)} err=$err%.4f")
+      assert(err <= 0.05, f"HLL error $err%.4f for $k exceeds bound")
+    }
+  }
+
+  // ---- q58 approx percentiles ----------------------------------------
+
+  test("q58 sketch percentiles sit within the declared rank error of exact") {
+    val byPrio = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    AdvancedQueries.q58ApproxPercentiles(spark, dir).collect().foreach { r =>
+      val sorted = byPrio(r.getString(0))
+      val n = sorted.length
+      // approx_percentile(accuracy=10000): rank error <= max(n/10000, 1)
+      val tol = math.max(n / 10000, 1)
+      Seq(0.25 -> r.getDouble(1), 0.50 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (p, v) =>
+          val below = sorted.count(_ < v)
+          val atMost = sorted.count(_ <= v)
+          val target = p * (n - 1)
+          assert(below - tol <= target && target <= atMost + tol,
+            s"q58 p$p=$v rank [$below,$atMost] misses target $target (n=$n)")
+          assert(sorted.contains(v), s"q58 p$p=$v is not an actual element")
+        }
+    }
+  }
+
+  // ---- q22 SimHash ----------------------------------------------------
+
+  test("q22 SimHash recovers every tight exact near-dup pair (J >= 0.95)") {
+    // the emitted threshold is Hamming <= 6, not Jaccard — a J=0.8 pair
+    // can legitimately sit above Hamming 6. But tight near-dups must
+    // land inside it, and the 8x8 banding is pigeonhole-complete for
+    // Hamming <= 7, so candidate generation cannot be the reason a
+    // tight pair is missing.
+    val exactRows = LlmQueries.q21DedupNgramJaccard(spark, dir).collect()
+    val tight = exactRows.filter(_.getDouble(2) >= 0.95)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = LlmQueries.q22DedupSimhash(spark, dir).collect()
+    val simhashPairs = simhash.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.nonEmpty)
+    assert(simhash.forall(_.getInt(2) <= 6), "q22 emitted a pair above Hamming 6")
+    val missed = tight -- simhashPairs
+    info(s"q22 pairs=${simhashPairs.size} tight-exact=${tight.size} missed=${missed.size}")
+    assert(missed.isEmpty, s"SimHash missed tight near-dup pairs: $missed")
+  }
+}
