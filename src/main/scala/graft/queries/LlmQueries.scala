@@ -341,15 +341,17 @@ object LlmQueries {
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
         .as(Seq("band", "key")))
-    val cand = withPos.as("x").join(withPos.as("y"),
+    // Hamming confirm BEFORE the distinct: band collisions are cheap to
+    // re-check (one xor+popcount on values already in the join row) and
+    // the filter cuts the distinct's input from every-band-collision
+    // (~n²/2^b rows of background pairs) to just the accepted pairs.
+    withPos.as("x").join(withPos.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
-      .distinct()
-    cand.withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
       .filter(col("hamming") <= 6)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
+    for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in an LSH plan")
+    }
+  }
+
   test("q27: query side of brute-force top-k is broadcast") {
     val p = plan(VectorQueries.q27CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
