@@ -192,6 +192,17 @@ object Multimodal {
       (w, h, px)
     }
 
+    /** Nearest-neighbor resize, BMP in → BMP out (the classic batch
+      * pre-processing kernel: normalize raster dims before feature
+      * extraction). Pure integer source-index math — deterministic. */
+    def resize(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, px) = decode(bytes)
+      encode(w2, h2, (x, y) => {
+        val p = px(math.min(h - 1, y * h / h2) * w + math.min(w - 1, x * w / w2))
+        (p >> 16 & 0xff, p >> 8 & 0xff, p & 0xff)
+      })
+    }
+
     /** Channel / luminance / gradient statistics, integer-accumulated. */
     def features(bytes: Array[Byte]): Array[Float] = {
       val (w, h, px) = decode(bytes)

@@ -74,33 +74,52 @@ object VectorQueries {
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   /** IVF (inverted-file) approximate nearest neighbors — the other
-    * standard ANN scale path beside q28's hyperplane LSH. "Training" is
-    * deterministic: the first 16 vectors serve as coarse centroids
-    * (k-means would refine them; the plan shape is identical). Every
-    * vector is assigned to its nearest centroid (broadcast join +
-    * max_by argmax: partial aggregation reduces the n×16 cross product
-    * map-side, so only ~n rows shuffle), then queries probe
-    * only their own cell: candidate work drops from n² to Σ|cell|².
-    * Approximate ⇒ rows-only check. */
+    * standard ANN scale path beside q28's hyperplane LSH. Training is
+    * real k-means, run RELATIONALLY and deterministically: the first 16
+    * vectors seed the centroids, then two Lloyd iterations re-estimate
+    * them as per-cell dimension means (posexplode → groupBy(cell, d) →
+    * exact DECIMAL mean, so the result is independent of partition
+    * combine order — a double sum would wobble at the ulp level between
+    * runs). Every vector is assigned to its nearest centroid (broadcast
+    * join + max_by argmax: partial aggregation reduces the n×16 cross
+    * product map-side, so only ~n rows shuffle), then queries probe only
+    * their own cell: candidate work drops from n² to Σ|cell|².
+    * Approximate ⇒ rows-only check; SelfConsistencySpec pins cosine
+    * exactness and the recall floor.
+    * Scale: each Lloyd iteration is one n×d-row shuffle (d longs per
+    * row) and the centroid table stays k×d — broadcast-sized for any
+    * realistic k; iterations are a fixed small constant. */
   def q56AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-    val centroids = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
     // argmax as an aggregate, not a window: max_by gets map-side partial
-    // aggregation, so only ~n pre-reduced rows shuffle — a window over the
-    // n×16 cross-join output would shuffle all of it. Tie-break: higher
-    // cos, then lower cent_id (lexicographic struct ordering).
-    val assigned = e.crossJoin(centroids)
-      .withColumn("cent_cos",
-        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cent_id"), col("embedding"), col("nrm")),
-        struct(col("cent_cos"), -col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
-    topKWithinBucket(assigned, "cell", k = 3)
+    // aggregation — a window over the n×16 cross-join output would
+    // shuffle all of it. Tie-break: higher cos, then lower cent_id
+    // (lexicographic struct ordering).
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cent_id"), col("embedding"), col("nrm")),
+          struct(col("cent_cos"), -col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+    var centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    for (_ <- 1 to 2) {
+      centroids = assign(centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("c_emb"))
+        .withColumn("c_nrm", vecNorm(col("c_emb")))
+    }
+    topKWithinBucket(assign(centroids), "cell", k = 3)
   }
 
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —

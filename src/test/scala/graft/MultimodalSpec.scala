@@ -58,6 +58,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(7) === 0f)  // lum 124 is not > 127
   }
 
+  test("BMP resize: nearest-neighbor 2x up and down keeps exact pixels") {
+    val src = Bmp.encode(2, 2, (x, y) => (x * 100, y * 100, 50))
+    val (w, h, up) = Bmp.decode(Bmp.resize(src, 4, 4))
+    assert((w, h) === ((4, 4)))
+    // each source pixel becomes a 2x2 block
+    assert(up.toSeq === Seq(
+      0x000032, 0x000032, 0x640032, 0x640032,
+      0x000032, 0x000032, 0x640032, 0x640032,
+      0x006432, 0x006432, 0x646432, 0x646432,
+      0x006432, 0x006432, 0x646432, 0x646432))
+    // downscale back picks the top-left of each block -> original image
+    assert(Bmp.decode(Bmp.resize(Bmp.resize(src, 4, 4), 2, 2))._3.toSeq
+      === Bmp.decode(src)._3.toSeq)
+  }
+
   test("video frame split + sampling: identical frames average to the frame features") {
     val frame = Bmp.encode(5, 3, (x, y) => (x * 40, y * 80, 128))
     val stream = frame ++ frame ++ frame ++ frame
