@@ -67,13 +67,9 @@ object LlmQueries {
     * computed 2–3× per query (profiled: q20 warm 2.3 s of which ~2.5 s
     * was 3× the 0.84 s signature groupBy). Signatures are one row per doc
     * (~33 longs) — persisting them is microscopic memory for a 3× cut. */
-  private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
   private def memo(s: SparkSession, dir: String, tag: String)
       (mk: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((s, dir, tag),
-      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.PlanCache.memo(s, dir, tag)(mk)
 
   /** (doc_id, sz): distinct-shingle-set size per doc. */
   private def shingleSizes(rows: DataFrame): DataFrame =
@@ -204,6 +200,9 @@ object LlmQueries {
     val rows = shingleRows(s, dir)
     val sigs = memo(s, dir, "minhash64")(minhashSigs(rows, 64))
     val sizes = sigs.select(col("doc_id"), col("sz"))
+    // band rows sit on both sides of the candidate self-join; they are a
+    // trivial codegen projection off the PERSISTED sigs, so recomputing
+    // them twice beats paying a second materialization (measured)
     val bands = bandRows(sigs, 16, 4)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

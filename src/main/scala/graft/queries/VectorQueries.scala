@@ -207,7 +207,9 @@ object VectorQueries {
         yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-    val bands = base
+    // the band table sits on both sides of the candidate self-join and
+    // costs two aggregations to build — memoized per (session, dir)
+    val bands = graft.PlanCache.memo(s, dir, "lsh_bands")(base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .join(planesDF, "d")
       .groupBy(col("vec_id"), col("j"))
@@ -215,7 +217,7 @@ object VectorQueries {
       // table id = j / b, bit = j % b → one b-bit key per (vector, table)
       .groupBy(col("vec_id"), (col("j") / b).cast("int").as("tbl"))
       .agg(sum(when(col("dot") >= 0, expr(s"shiftleft(1L, CAST(j % $b AS INT))"))
-        .otherwise(0L)).as("key"))
+        .otherwise(0L)).as("key")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.vec_id") =!= col("y.vec_id"))
