@@ -82,6 +82,9 @@ object SparkEntry {
     "q61_histogram"          -> (DataflowQueries.q61Histogram _),
     "q62_proto_encode"       -> (DataflowQueries.q62ProtoEncode _),
     "q63_fetch_stage"        -> (graft.sources.FetchStage.q63FetchStage _),
+    "q64_embedding_dedup"    -> (VectorQueries.q64EmbeddingDedup _),
+    "q65_window_battery"     -> (AdvancedQueries.q65WindowBattery _),
+    "q66_unpivot"            -> (AdvancedQueries.q66Unpivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,5 +153,8 @@ object SparkEntry {
     "q61_histogram"        -> DataflowQueries.q61Sql,
     "q62_proto_encode"     -> DataflowQueries.q62Sql,
     "q63_fetch_stage"      -> graft.sources.FetchStage.q63Sql,
+    "q64_embedding_dedup"  -> VectorQueries.q64Sql,
+    "q65_window_battery"   -> AdvancedQueries.q65Sql,
+    "q66_unpivot"          -> AdvancedQueries.q66Sql,
   )
 }

@@ -310,4 +310,64 @@ object AdvancedQueries {
       |  UNION ALL
       |  SELECT 'prio' AS key, o_orderpriority AS value FROM orders)
       |GROUP BY key, value ORDER BY key, value""".stripMargin
+
+  /** Full analytic-window battery in one pass: ntile, percent_rank,
+    * cume_dist, lag, lead, first_value — the window functions q13/q14
+    * don't already cover. Ordering key (o_totalprice, o_orderkey) is
+    * unique, so every function is deterministic and the default
+    * RANGE-to-current-row frame of first_value agrees across engines.
+    * Scale: one shuffle on the partition key; all six functions share a
+    * single Window physical operator (same partitioning + ordering). */
+  def q65WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val q65Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_orderkey) OVER w AS cheapest_key
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Unpivot (wide → long): aggregate three per-flag metrics as columns,
+    * then stack() them into (metric, value) rows — Spark's unpivot
+    * primitive, mirrored by a UNION ALL oracle. All values cast BIGINT
+    * (stack needs uniform column types; the hash gate needs no INT). */
+  def q66Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        max(col("l_linenumber")).cast("bigint").as("max_line"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'n_rows', n_rows, 'n_orders', n_orders, 'max_line', max_line) AS (metric, value)")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val q66Sql: String =
+    """SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'n_rows' AS metric, COUNT(*) AS value
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_orders', COUNT(DISTINCT l_orderkey)
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT l_returnflag, 'max_line', CAST(MAX(l_linenumber) AS BIGINT)
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag, metric""".stripMargin
 }

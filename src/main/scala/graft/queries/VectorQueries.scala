@@ -239,6 +239,45 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate DEDUP: the corpus-cleaning operator
+    * built on q46's exact pair detection — of every pair with cosine ≥
+    * 0.4, the higher vec_id is dropped (deterministic canonical
+    * survivor), and the survivor set is profiled per id-bucket. This is
+    * the embedding-space sibling of q19 (exact hash dedup) and q20
+    * (MinHash text dedup): same drop-the-greater-id policy, different
+    * similarity notion.
+    * Scale: inherits q46's blocked all-pairs join; the anti-join against
+    * the (tiny) drop list is broadcast. */
+  def q64EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val drop = q46CosinePairs(s, dir).select(col("id_b").as("vec_id")).distinct()
+    Tables.embeddings(s, dir)
+      .join(broadcast(drop), Seq("vec_id"), "left_anti")
+      .groupBy(pmod(col("vec_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  val q64Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * b.nrm), 6) AS cos_sim
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  WHERE cos_sim >= 0.4)
+      |SELECT CAST(vec_id % 10 AS BIGINT) AS bucket, COUNT(*) AS n_kept,
+      |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+      |FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,
