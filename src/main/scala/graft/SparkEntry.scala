@@ -85,6 +85,7 @@ object SparkEntry {
     "q64_embedding_dedup"    -> (VectorQueries.q64EmbeddingDedup _),
     "q65_window_battery"     -> (AdvancedQueries.q65WindowBattery _),
     "q66_unpivot"            -> (AdvancedQueries.q66Unpivot _),
+    "q67_salted_join"        -> (AdvancedQueries.q67SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +157,6 @@ object SparkEntry {
     "q64_embedding_dedup"  -> VectorQueries.q64Sql,
     "q65_window_battery"   -> AdvancedQueries.q65Sql,
     "q66_unpivot"          -> AdvancedQueries.q66Sql,
+    "q67_salted_join"      -> AdvancedQueries.q67Sql,
   )
 }

@@ -359,6 +359,32 @@ object AdvancedQueries {
         "stack(3, 'n_rows', n_rows, 'n_orders', n_orders, 'max_line', max_line) AS (metric, value)")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Skew-safe salted join as a registry operator: lineitem⋈orders
+    * through ScaleJoins.saltedJoin (hot-key rows spread over 8 salt
+    * sub-keys, dimension side replicated across them), then a per-
+    * priority rollup. The oracle is the PLAIN join — proving the salt
+    * never leaks into results, which is the whole contract of the
+    * technique. Scale: turns one straggler reducer per hot key into
+    * `salt` parallel ones; AQE skew-join does this adaptively for SMJ,
+    * this explicit form covers aggregations and non-AQE paths. */
+  def q67SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val left = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val right = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.ScaleJoins.saltedJoin(left, right, "okey",
+        salt = 8, saltSource = col("l_quantity"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q67Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  ${dsumSql("l_quantity")} AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val q66Sql: String =
     """SELECT l_returnflag, metric, value FROM (
       |  SELECT l_returnflag, 'n_rows' AS metric, COUNT(*) AS value
