@@ -52,6 +52,12 @@ object IndexRange {
     require(!(reverse && start == 0), "cannot index backwards from genesis") // main.rs:392-394
     val spark = GraftCli.session("graft-index-range")
     val metrics = new EngineMetrics(spark.sparkContext)
+    // env:METRICS_PORT — reference serves Prometheus /metrics during the
+    // run (src/main.rs:279-306, docs/environment-variables.md:20-27);
+    // optional here, same exposition format
+    val metricsSrv = sys.env.get("GRAFT_METRICS_PORT").map(p => metrics.serve(p.toInt))
+    metricsSrv.foreach(srv => println(
+      s"[graft] /metrics on 127.0.0.1:${srv.getAddress.getPort}"))
     val wmDir = Paths.get(outDir, "indexed_blocks") // main.rs:31 marker dir
     val (s2, e2opt) = HighWatermark.resume(wmDir, start, end, reverse)
     val e2 = e2opt.getOrElse(end)
@@ -61,6 +67,7 @@ object IndexRange {
     HighWatermark.markDone(wmDir, s2, e2) // AFTER the sink commit (at-least-once)
     metrics.recordsPublished.add(e2 - s2)
     println(s"[graft] done; metrics=${metrics.snapshot()}")
+    metricsSrv.foreach(_.stop(0))
     spark.stop()
   }
 }
