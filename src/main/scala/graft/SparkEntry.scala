@@ -86,6 +86,7 @@ object SparkEntry {
     "q65_window_battery"     -> (AdvancedQueries.q65WindowBattery _),
     "q66_unpivot"            -> (AdvancedQueries.q66Unpivot _),
     "q67_salted_join"        -> (AdvancedQueries.q67SaltedJoin _),
+    "q68_streaming_windows"  -> (graft.streaming.StreamPipeline.q68StreamingWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +159,6 @@ object SparkEntry {
     "q65_window_battery"   -> AdvancedQueries.q65Sql,
     "q66_unpivot"          -> AdvancedQueries.q66Sql,
     "q67_salted_join"      -> AdvancedQueries.q67Sql,
+    "q68_streaming_windows" -> graft.streaming.StreamPipeline.q68Sql,
   )
 }

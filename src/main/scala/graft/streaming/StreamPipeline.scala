@@ -107,4 +107,56 @@ object StreamPipeline {
       }
       .toDF()
   }
+
+  private val q68Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Registry entry — Structured Streaming under the driver's correctness
+    * gate, not just specs: the events table is replayed as a REAL
+    * streaming job (parquet file source, `Trigger.AvailableNow`), put
+    * through an hourly windowed aggregation into a memory sink, and the
+    * final table is returned batch-style so the DuckDB oracle can
+    * hash-compare it. Complete output mode: bounded replay, so the final
+    * state IS the answer (append mode would hold back the last window
+    * behind the watermark at end-of-stream). The same window/agg code
+    * runs unchanged in batch (q34/q57) — the point of Structured
+    * Streaming. Scale: one streaming shuffle on (window, event_type);
+    * memory sink is test-harness-only, production uses foreachBatch
+    * (runFanOut above). */
+  def q68StreamingWindows(s: SparkSession, dir: String): DataFrame = {
+    import graft.Oracle.dsum
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    // the file streaming source requires a DIRECTORY (its derived
+    // basePath rejects plain files) — stage a temp dir holding a symlink
+    // to the single-file table; the source follows links
+    val streamDir = java.nio.file.Files.createTempDirectory("q68_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(batchSchema).parquet(streamDir.toString)
+    val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val name = s"q68_windows_${q68Counter.incrementAndGet()}"
+    val q = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  val q68Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+      |  COUNT(*) AS n_events, ${graft.Oracle.dsumSql("value")} AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
