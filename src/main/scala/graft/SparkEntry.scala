@@ -87,6 +87,7 @@ object SparkEntry {
     "q66_unpivot"            -> (AdvancedQueries.q66Unpivot _),
     "q67_salted_join"        -> (AdvancedQueries.q67SaltedJoin _),
     "q68_streaming_windows"  -> (graft.streaming.StreamPipeline.q68StreamingWindows _),
+    "q69_avro_roundtrip"     -> (DataflowQueries.q69AvroRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,5 +161,6 @@ object SparkEntry {
     "q66_unpivot"          -> AdvancedQueries.q66Sql,
     "q67_salted_join"      -> AdvancedQueries.q67Sql,
     "q68_streaming_windows" -> graft.streaming.StreamPipeline.q68Sql,
+    "q69_avro_roundtrip"   -> DataflowQueries.q69Sql,
   )
 }

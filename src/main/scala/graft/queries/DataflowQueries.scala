@@ -353,4 +353,39 @@ object DataflowQueries {
       |  upper(hex(encode(n_name))) AS hx, md5(n_name) AS name_md5,
       |  octet_length(from_base64(to_base64(encode(n_name)))) AS rt_len
       |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** T6 round-trip under the hash gate: the transactions fan-out is
+    * written as Avro containers (AvroSink, one file per partition) and
+    * read back DISTRIBUTED (AvroSource, one task per file), then
+    * aggregated — the oracle recomputes the same values from the S1
+    * generator arithmetic, so any loss in the Avro encode/decode
+    * (including timestamp micros) breaks the hash. */
+  def q69AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q69_avro").toString
+    val tx = graft.operators.FanOut
+      .tables(graft.sources.BlockSources.blockRange(s, 0, 2000))
+      .transactions.coalesce(4)
+    graft.sinks.AvroSink.write(tx, tmp, "transactions")
+    graft.sources.AvroSource.read(s, tmp, tx.schema)
+      .groupBy((col("block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        countDistinct(col("tx_id")).as("n_distinct_tx"),
+        sum(col("fee")).cast("long").as("total_fees"),
+        max(col("block_time")).as("max_time"))
+      .orderBy(col("bucket"))
+  }
+
+  val q69Sql: String =
+    """SELECT bucket, COUNT(*) AS n_txs, COUNT(DISTINCT tx_id) AS n_distinct_tx,
+      |  CAST(SUM(fee) AS BIGINT) AS total_fees, MAX(ts) AS max_time
+      |FROM (
+      |  SELECT block_number % 10 AS bucket,
+      |    concat('tx_', block_number, '_', i - 1) AS tx_id,
+      |    ((block_number * 31 + i - 1) * 1103515245 + 12345) % 1000003 AS fee,
+      |    epoch_ms(1700000000000 + block_number * 400) AS ts
+      |  FROM (
+      |    SELECT block_number,
+      |      unnest(range(1, (block_number * 2654435761) % 97 % 7 + 1)) AS i
+      |    FROM range(0, 2000) t(block_number)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -37,8 +37,13 @@ object BlockSources {
     ordered
       .withColumn("block_time", timestamp_millis(lit(1700000000000L) + col("block_number") * 400))
       .withColumn("n_tx", (col("block_number") * 2654435761L) % 97 % 7)
+      // NB sequence(1, 0) is DESCENDING [1, 0] in Spark — an unguarded
+      // sequence(1, n_tx) fabricates two transactions for empty blocks
+      // (caught by q69's Avro round-trip oracle); guard with slice to an
+      // empty array when n_tx = 0
       .withColumn("txs", expr(
-        """transform(sequence(1, CAST(n_tx AS INT)), i -> named_struct(
+        """transform(slice(sequence(1, greatest(CAST(n_tx AS INT), 1)), 1, CAST(n_tx AS INT)),
+          | i -> named_struct(
           |  'tx_id', concat('tx_', block_number, '_', i - 1),
           |  'fee', ((block_number * 31 + i - 1) * 1103515245 + 12345) % 1000003,
           |  'accounts', transform(sequence(0, CAST((block_number + i) % 3 AS INT)),

@@ -109,6 +109,14 @@ class SourcesSpec extends AnyFunSuite {
     // fan-out arity matches the generator's formula
     val row = df.filter(col("block_number") === 13).select(size(col("txs"))).head()
     assert(row.getInt(0) === ((13L * 2654435761L) % 97 % 7).toInt)
+    // EVERY block's arity matches — in particular n_tx = 0 blocks carry
+    // ZERO txs (sequence(1, 0) is descending [1, 0]; the regression
+    // fabricated two transactions per empty block)
+    val bad = df.select(col("block_number"), size(col("txs")).as("n")).collect()
+      .filter(r => r.getInt(1) != ((r.getLong(0) * 2654435761L) % 97 % 7).toInt)
+    assert(bad.isEmpty, s"blocks with wrong tx arity: ${bad.take(5).mkString(",")}")
+    assert(df.selectExpr("size(filter(txs, t -> t.fee < 0))").collect()
+      .forall(_.getInt(0) == 0), "negative fees leaked from the i-1 underflow")
   }
 
   test("S1 blockRange: reverse iterates high-to-low") {
