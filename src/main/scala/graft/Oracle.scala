@@ -20,6 +20,14 @@ object Oracle {
     * order-dependent FP accumulation); the final double is hash-stable —
     * the driver's hash canonicalizes DECIMAL(38,x) differently per engine,
     * so decimal must never appear in an output schema.
+    *
+    * Magnitude bound: the final cast is exact only while the SCALED sum
+    * (|sum| × 10⁶) stays below 2⁵³ (≈ |sum| < 9.0e9). Above that, DuckDB's
+    * int128→double→divide conversion can differ by 1 ulp from the JVM's
+    * correctly-rounded BigDecimal.doubleValue, and no post-rounding can
+    * reconcile a >1-magnitude ulp. All current oracled sums are ≤ 1e9 at
+    * sf0.1; queries aggregating beyond that bound must pre-aggregate per
+    * group or reduce scale (DECIMAL(30,2)) before the double cast.
     * SQL twin: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) */
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(30, 6))).cast("double")

@@ -9,15 +9,28 @@ import org.apache.spark.storage.StorageLevel
   * scan→aggregate subtrees (measured: 0 ReusedExchange on the dedup
   * plans), so a subtree referenced on both sides of a self-join — or
   * shared by several registry queries — is recomputed once per
-  * reference. Persisting it once per (session, sfDir, tag) turns those
-  * recomputes into InMemoryTableScans. A long-lived production session
-  * would manage this lifecycle explicitly (unpersist on table change);
-  * entries here live as long as the session.
+  * reference. Persisting it once per (session, sfDir, tag, params)
+  * turns those recomputes into InMemoryTableScans.
+  *
+  * The key includes an explicit `params` component: a memoized subtree
+  * is only as reusable as its parameterization (shingle width, LSH
+  * bands/rows, hash family size), so tuning constants MUST appear in
+  * the key or a stale plan would be served silently after a parameter
+  * change. [[clear]] unpersists and drops a session's entries — call it
+  * on session close or when the underlying tables change.
   */
 object PlanCache {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  def memo(s: SparkSession, dir: String, tag: String)(mk: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, tag), mk.persist(StorageLevel.MEMORY_AND_DISK))
+  def memo(s: SparkSession, dir: String, tag: String, params: String = "")
+      (mk: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir, s"$tag[$params]"),
+      mk.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every entry belonging to `s` (all dirs/tags). */
+  def clear(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
 }

@@ -110,9 +110,11 @@ object Proto3 {
           hash = new String(bytes, i, len, java.nio.charset.StandardCharsets.UTF_8)
           i += len
         case (_, 0) => readVarint() // skip unknown varint
+        case (_, 1) => i += 8 // skip unknown fixed64 (prost skips these too)
         case (_, 2) => // skip unknown bytes; NB read the length BEFORE
           val skip = readVarint().toInt // touching i (+= reads i first)
           i += skip
+        case (_, 5) => i += 4 // skip unknown fixed32
         case (f, w) => throw new IllegalArgumentException(s"wire type $w field $f")
       }
     }

@@ -40,7 +40,7 @@ object LlmQueries {
     * ~10⁶ distinct shingles ≈ n²/2⁶⁴ — nil; the exact-Jaccard oracle
     * would catch one). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "shingles") {
+    memo(s, dir, "shingles", "w3") {
       val n = size(col("toks"))
       Tables.documents(s, dir)
         .select(col("doc_id"), tokensOf(col("text")).as("toks"))
@@ -67,9 +67,9 @@ object LlmQueries {
     * computed 2–3× per query (profiled: q20 warm 2.3 s of which ~2.5 s
     * was 3× the 0.84 s signature groupBy). Signatures are one row per doc
     * (~33 longs) — persisting them is microscopic memory for a 3× cut. */
-  private def memo(s: SparkSession, dir: String, tag: String)
+  private def memo(s: SparkSession, dir: String, tag: String, params: String)
       (mk: => DataFrame): DataFrame =
-    graft.PlanCache.memo(s, dir, tag)(mk)
+    graft.PlanCache.memo(s, dir, tag, params)(mk)
 
   /** (doc_id, sz): distinct-shingle-set size per doc. */
   private def shingleSizes(rows: DataFrame): DataFrame =
@@ -198,7 +198,7 @@ object LlmQueries {
     * exact array_intersect. */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sigs = memo(s, dir, "minhash64")(minhashSigs(rows, 64))
+    val sigs = memo(s, dir, "minhash", "w3,k64")(minhashSigs(rows, 64))
     val sizes = sigs.select(col("doc_id"), col("sz"))
     // band rows sit on both sides of the candidate self-join; they are a
     // trivial codegen projection off the PERSISTED sigs, so recomputing
@@ -280,8 +280,8 @@ object LlmQueries {
     * recount, which keeps emitted values exact under any cap. */
   def q21PrunedNgramJaccard(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes")(shingleSizes(rows))
-    val lists = memo(s, dir, "postings")(
+    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val lists = memo(s, dir, "postings", "w3")(
       rows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
     val interRare = lists.filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -336,7 +336,7 @@ object LlmQueries {
     * SelfConsistencySpec asserts recall 1 on the tight exact pairs.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = memo(s, dir, "simhash")(simhashSigs(shingleRows(s, dir)))
+    val sh = memo(s, dir, "simhash", "w3,b64")(simhashSigs(shingleRows(s, dir)))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
         .as(Seq("band", "key")))

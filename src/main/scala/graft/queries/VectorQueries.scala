@@ -209,7 +209,7 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     // the band table sits on both sides of the candidate self-join and
     // costs two aggregations to build — memoized per (session, dir)
-    val bands = graft.PlanCache.memo(s, dir, "lsh_bands")(base
+    val bands = graft.PlanCache.memo(s, dir, "lsh_bands", s"L$L,b$b")(base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .join(planesDF, "d")
       .groupBy(col("vec_id"), col("j"))

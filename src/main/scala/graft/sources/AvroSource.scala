@@ -1,12 +1,13 @@
 package graft.sources
 
-import java.io.File
-
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import scala.jdk.CollectionConverters._
 
@@ -17,6 +18,12 @@ import scala.jdk.CollectionConverters._
   * Uses the same bundled avro-1.12.1 core (the spark-avro connector jar
   * is not available offline).
   *
+  * All I/O goes through the Hadoop FileSystem API (listing on the
+  * driver, FsInput-backed readers on executors, the Hadoop conf shipped
+  * via broadcast), so the source works against any cluster filesystem
+  * (HDFS, object stores, local) — not only when driver and executors
+  * share a local disk.
+  *
   * Scale: files parallelize one-per-task (a container file is one
   * upstream partition's output, so this preserves the writer's
   * parallelism); each task streams its file through GenericDatumReader.
@@ -26,13 +33,21 @@ import scala.jdk.CollectionConverters._
 object AvroSource {
 
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val files =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+        .map(_.getPath.toString).sorted
+    val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { path =>
         val reader = new DataFileReader[GenericRecord](
-          new File(path), new GenericDatumReader[GenericRecord]())
+          new FsInput(new Path(path), confBc.value.value),
+          new GenericDatumReader[GenericRecord]())
         try reader.iterator().asScala.map(rowOf(_, schema)).toList
         finally reader.close()
       }

@@ -149,10 +149,19 @@ object StreamPipeline {
       .outputMode(OutputMode.Complete())
       .start()
     q.awaitTermination()
-    s.table(name)
+    // Materialize the (bounded: windows × event types) final table, then
+    // drop the memory-sink view and the staged temp dir so repeated
+    // invocations (bench warm-up + timed runs) don't accumulate either.
+    val out = s.table(name)
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("bucket_start"), col("event_type"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    s.createDataFrame(rows, schema)
   }
 
   val q68Sql: String =
