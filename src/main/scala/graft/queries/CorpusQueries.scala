@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.{Oracle, Tables}
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation and graph operators a large-scale training-data
+  * pipeline layers on top of the dedup family: duplicate-cluster
+  * assignment (connected components), relevance scoring (TF-IDF, BM25),
+  * deterministic sampling, PII scrubbing, columnar-format round-trips,
+  * and link-graph analytics (degree/strength, PageRank).
+  *
+  * Reference context: etl-rust ships records to BigQuery precisely so
+  * this tier of processing can happen in a warehouse (README.md:3);
+  * here the engine owns it. Every query is a declarative DataFrame plan
+  * (Catalyst pushdown/codegen apply throughout); the iterative graph
+  * algorithms bound their lineage explicitly (see ConnectedComponents).
+  */
+object CorpusQueries {
+
+  // ---------------------------------------------------------------------
+  // q70 — duplicate clusters: near-dup pairs → connected components
+
+  /** Cluster assignment for every document in a near-duplicate
+    * component: edges are q20's verified MinHash-LSH pairs (Jaccard ≥
+    * 0.8), components via alternating large-star/small-star. cluster_id
+    * = min doc_id of the component, so "keep one doc per cluster" is
+    * `filter(doc_id = cluster_id)`. Scale: edge volume is the dedup
+    * pair count (≪ n); every CC round is a groupBy-min + join on the
+    * shrinking edge set — no collect, no O(n²). */
+  def q70DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = LlmQueries.q20DedupMinhash(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: brute-force exact-Jaccard pairs (same CTE as q20's oracle)
+    * + transitive closure by recursive CTE; component id = min reachable
+    * node (including self via symmetric edges). */
+  val q70Sql: String =
+    s"""WITH RECURSIVE sh AS (${LlmQueries.shingledSql}),
+      |pairs AS (
+      |  SELECT a, b FROM (
+      |    SELECT a.doc_id AS a, b.doc_id AS b,
+      |      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS j
+      |    FROM sh a JOIN sh b
+      |      ON a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+      |  WHERE j >= 0.8),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q71 — TF-IDF term weighting
+
+  /** One row per whitespace token of a document (blank tokens dropped —
+    * both engines agree on split semantics for repeated spaces). */
+  private def docTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-(doc, term) TF-IDF over the full corpus for the first 20 docs:
+    * tf from the doc subset (filter pushes to the scan), df and N from
+    * the WHOLE corpus (a weight is meaningless against a sample).
+    * idf = ln(N/df); emitted on a 1e-6 grid (ln differs by ≤1 ulp
+    * across engines). Scale: two hash aggregations + one broadcast-able
+    * join on term — no windows, no self-join. */
+  def q71Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docTerms(docs)
+    val tf = terms.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val q71Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |  WHERE doc_id < 20 AND term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t
+      |  WHERE term <> '' GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, tf.term AS term, tf, df,
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |ORDER BY doc_id, term""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q72 — BM25 relevance ranking
+
+  private val bm25K1 = 1.2
+  private val bm25B  = 0.75
+  private val bm25Terms = Seq("spark", "vector", "stream")
+
+  /** BM25 top-20 documents for a fixed keyword query. Standard Robertson
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)); length norm against the corpus
+    * average token count. Scoring is a per-doc sum over ≤3 matched
+    * terms — the term tf table is filtered to the query terms FIRST, so
+    * the join input is tiny and broadcast; doc lengths come from one
+    * hash aggregation. Deterministic across engines: scores snap to a
+    * 1e-6 grid and ties break on doc_id before the limit. */
+  def q72Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docTerms(docs)
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val qt = terms.filter(col("term").isin(bm25Terms: _*))
+    val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = qt.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
+    tf.join(broadcast(idf), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("part", col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
+        (col("tf") + lit(bm25K1) *
+          (lit(1.0 - bm25B) + lit(bm25B) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(Oracle.dsum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q72Sql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t WHERE term <> '' GROUP BY 1),
+      |stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |  WHERE term IN ($inList) GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t
+      |  WHERE term IN ($inList) GROUP BY 1),
+      |idf AS (SELECT term,
+      |  ln(CAST(1 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf
+      |  FROM df CROSS JOIN stats)
+      |SELECT doc_id, round(${Oracle.dsumSql(
+          s"idf * (tf * CAST(${bm25K1 + 1.0} AS DOUBLE)) / " +
+          s"(tf + CAST($bm25K1 AS DOUBLE) * (CAST(${1.0 - bm25B} AS DOUBLE) " +
+          s"+ CAST($bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))")}, 6) AS score
+      |FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN (SELECT avgdl FROM stats) s
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q73 — deterministic stratified hash sampling
+
+  /** Reproducible stratified sampling without RNG: keep a document iff
+    * (doc_id × 2654435761) mod 1000 < rate(stratum) — Knuth
+    * multiplicative hashing, so the sample is a fixed, re-derivable
+    * property of the id (any engine, any run, any partitioning picks the
+    * SAME rows; rerunning a 100 TB pipeline never resamples). English
+    * docs at 20%, others at 10%. The multiply stays ≪ 2⁶³ for any
+    * realistic id, safe under ANSI overflow checking. */
+  def q73SampleHash(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(200L)).otherwise(lit(100L))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Oracle.lsum(col("n_chars")).as("sampled_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val q73Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+      |  ${Oracle.lsumSql("n_chars")} AS sampled_chars,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 < (CASE WHEN lang = 'en' THEN 200 ELSE 100 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q74 — ORC round-trip (second columnar format)
+
+  /** Columnar-format interop under the hash gate: orders is written as
+    * ORC (Spark's built-in vectorized ORC writer), read back, and
+    * aggregated; the oracle computes the same aggregate from the
+    * original parquet — any loss in the ORC encode/decode (types,
+    * timestamps, nulls) breaks the hash. The staged directory is
+    * removed after the small aggregate materializes (same hygiene as
+    * q69). Scale: both write and read are distributed columnar scans;
+    * the round-trip is per-partition with no shuffle until the final
+    * 3-row aggregate. */
+  def q74OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q74_orc").toString
+    Tables.orders(s, dir).write.mode("overwrite").orc(tmp)
+    val out = s.read.orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Oracle.dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("o_orderstatus"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val root = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    s.createDataFrame(rows, schema)
+  }
+
+  val q74Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  ${Oracle.dsumSql("o_totalprice")} AS total_price,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75 — PII scrubbing
+
+  private val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Regex PII redaction — the standard pre-training scrub pass. The
+    * corpus is synthetic, so PII-shaped spans are planted
+    * deterministically per doc (email + E.164-ish phone), then redacted
+    * and counted; the oracle plants and scrubs identically. Patterns
+    * stay in the Java-regex ∩ RE2 common subset so both engines match
+    * the same spans. Pure codegen'd projection — no UDF, no shuffle;
+    * at 100 TB this runs scan-local at I/O speed. */
+  def q75PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"), lit(" ok"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("raw"), lit(emailRe), lit("[EMAIL]")),
+          lit(phoneRe), lit("[PHONE]")).as("redacted"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id,
+      |    concat(substr(text, 1, 40), ' contact user', doc_id,
+      |      '@mail.example.com or +1-555-',
+      |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'), ' ok') AS raw
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(raw, '$emailRe', '[EMAIL]', 'g'),
+      |    '$phoneRe', '[PHONE]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones
+      |FROM planted ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q76 — link-graph degree/strength
+
+  /** Bipartite customer–supplier graph from the order lines: per
+    * supplier, distinct-customer degree and total traded value. The
+    * graph materializes as one shuffle (groupBy suppkey with partial
+    * aggregation); customers per supplier dedup via count_distinct. */
+  def q76GraphDegree(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(countDistinct(col("o_custkey")).as("degree"),
+        count(lit(1)).as("n_edges"),
+        Oracle.dsum(col("l_extendedprice")).as("strength"))
+      .orderBy(col("suppkey"))
+
+  val q76Sql: String =
+    s"""SELECT l_suppkey AS suppkey, COUNT(DISTINCT o_custkey) AS degree,
+      |  COUNT(*) AS n_edges, ${Oracle.dsumSql("l_extendedprice")} AS strength
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q77 — PageRank (fixed iterations, cross-engine deterministic)
+
+  /** PageRank over the undirected customer↔supplier graph (each edge in
+    * both directions, so no dangling nodes), damping 0.85, exactly 3
+    * iterations, unrolled identically in the SQL oracle.
+    *
+    * Cross-engine determinism: per-edge contributions (rank/outdegree —
+    * pure IEEE division, bit-identical in both engines) are cast to
+    * DECIMAL(28,14) before summing, so the per-node reduction is exact
+    * decimal arithmetic with no combine-order dependence; the conversion
+    * itself is safe because rank values carry ≤14 significant decimal
+    * digits at this scale — under the ~16-digit double discrepancy
+    * horizon (see Oracle.dsum's bound note).
+    *
+    * Scale: each iteration = one join (rank ⋈ edges, rank is the small
+    * side) + one groupBy with map-side partial aggregation; supplier
+    * nodes concentrate mass but the agg handles skew partial-first.
+    * 3 fixed iterations keep the oracle expressible; production would
+    * loop to convergence with localCheckpoint per round exactly like
+    * ConnectedComponents. */
+  def q77PageRank(s: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("p"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count() // one scalar action drives the loop constants
+    val n = nNodes.toDouble
+    var rank = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          (col("r") / col("od")).cast(DecimalType(28, 14)).as("contrib"))
+      rank = contribs.groupBy(col("node"))
+        .agg((lit((1.0 - d) / n) + lit(d) * sum(col("contrib")).cast("double"))
+          .as("r"))
+    }
+    val out = rank
+      .select(col("node"), round(col("r") * lit(1000.0), 9).as("rank_x1000"))
+      .orderBy(col("rank_x1000").desc, col("node"))
+      .limit(30)
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    s.createDataFrame(rows, schema)
+  }
+
+  val q77Sql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(prev: String, next: String) =
+      s"""$next AS (
+        |  SELECT e.dst AS node,
+        |    (CAST(1 AS DOUBLE) - $d) / n.n + $d * CAST(SUM(
+        |      CAST($prev.r / deg.od AS DECIMAL(28,14))) AS DOUBLE) AS r
+        |  FROM e JOIN $prev ON e.src = $prev.node
+        |    JOIN deg ON e.src = deg.src CROSS JOIN n
+        |  GROUP BY e.dst, n.n)""".stripMargin
+    s"""WITH base AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT c AS src, p AS dst FROM base
+      |  UNION ALL SELECT p AS src, c AS dst FROM base),
+      |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+      |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS r FROM deg CROSS JOIN n),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |SELECT node, round(r * CAST(1000 AS DOUBLE), 9) AS rank_x1000
+      |FROM r3 ORDER BY rank_x1000 DESC, node LIMIT 30""".stripMargin
+  }
+}

@@ -75,8 +75,9 @@ object LlmQueries {
   private def shingleSizes(rows: DataFrame): DataFrame =
     rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
-  /** DuckDB twin of [[shingled]] as a CTE body. */
-  private val shingledSql: String =
+  /** DuckDB twin of [[shingled]] as a CTE body (shared with the
+    * clustering oracle in CorpusQueries). */
+  private[queries] val shingledSql: String =
     """SELECT doc_id,
       |  CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
       |    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
