@@ -326,16 +326,21 @@ object CorpusQueries {
       .distinct()
     val edges = base.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // The big invariant table (edge ⋈ out-degree) is hash-partitioned on
+    // the join key ONCE and persisted: every iteration's join then only
+    // exchanges the small rank vector into the cached partitioning — the
+    // edge set never reshuffles (the same trick a Pregel superstep uses).
+    val ed = edges.join(deg, "src")
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNodes = deg.count() // one scalar action drives the loop constants
+    val nNodes = ed.select(col("src")).distinct().count() // drives loop constants
     val n = nNodes.toDouble
-    var rank = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
+    var rank = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to 3) {
-      val contribs = edges
+      val contribs = ed
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"),
           (col("r") / col("od")).cast(DecimalType(28, 14)).as("contrib"))
       rank = contribs.groupBy(col("node"))
@@ -348,10 +353,135 @@ object CorpusQueries {
       .limit(30)
     val schema = out.schema
     val rows = java.util.Arrays.asList(out.collect(): _*)
-    edges.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
     s.createDataFrame(rows, schema)
   }
+
+  // ---------------------------------------------------------------------
+  // q78 — CDC latest-wins upsert (at-least-once stream → exact state)
+
+  /** The merge the reference's delivery model implies: every queue sink
+    * is at-least-once (etl-rust retries: `src/output/google_pubsub.rs:137-155`,
+    * `apache_kafka.rs:72-88`), so the warehouse dedups to latest-per-key
+    * on load. Engine-side: one window over (key) ordered by (ts, id)
+    * descending — the deterministic tiebreak makes replays idempotent.
+    * Scale: single shuffle on the key; WindowGroupLimit pushes the
+    * rn=1 filter into the sort (same shape PlanSpec proves for q15). */
+  def q78CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("user_id") < 200)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q78Sql: String =
+    """SELECT user_id, event_type AS last_type, value AS last_value,
+      |  ts AS last_ts
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND user_id < 200 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q79 — partition-pruned scan over a date-partitioned layout
+
+  /** The 100 TB table layout: data written `partitionBy(year)` (the
+    * production form of K7's time-bucketed sink), then queried with a
+    * partition predicate — Spark prunes non-matching directories at
+    * PLANNING time, so the scan touches one year's files no matter how
+    * many years exist. CorpusSpec asserts the pruning on the live plan
+    * (1 of N partition dirs read); the oracle recomputes from the flat
+    * table, so the hash also proves partitioned write+read loses
+    * nothing. Staged dir is cleaned after the aggregate materializes. */
+  def q79PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q79_part").toString
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    val out = partitionedAgg(s.read.parquet(tmp))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val root = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Shared by the registry query and the spec's plan assertion. */
+  def partitionedAgg(partitioned: DataFrame): DataFrame =
+    partitioned.filter(col("o_year") === 1995)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Oracle.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val q79Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  ${Oracle.dsumSql("o_totalprice")} AS total_price
+      |FROM orders WHERE year(o_orderdate) = 1995
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q80 — quantile binning (feature engineering)
+
+  /** Decile binning of order value — the standard numeric-feature
+    * bucketizer. ntile over a GLOBALLY sorted frame with a unique
+    * tiebreak (price, then key) is deterministic in both engines.
+    * Scale note: a global ntile is a single-partition sort — the honest
+    * production shape is approx_percentile cutpoints + a broadcast
+    * range join (q58's sketch pairs with this); here the exact form is
+    * kept because it is the oracle-able semantics. */
+  def q80QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        Oracle.dsum(col("o_totalprice")).as("bin_total"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("decile"))
+  }
+
+  val q80Sql: String =
+    s"""SELECT decile, COUNT(*) AS n, ${Oracle.dsumSql("o_totalprice")} AS bin_total,
+      |  round(MIN(o_totalprice), 2) AS lo, round(MAX(o_totalprice), 2) AS hi
+      |FROM (SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |    AS decile, o_totalprice FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q81 — BPE-ish regex tokenization
+
+  private val bpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Subword-style token counting: letter runs, digit runs, and single
+    * non-alphanumerics as separate tokens (the GPT-2-family pre-split
+    * shape), next to the whitespace count q25 uses — the brief's
+    * "whitespace + BPE-ish regex" pair. Both engines run the same
+    * pattern (Java-regex ∩ RE2 subset). Codegen'd projection; one
+    * shuffle for the per-language aggregate. */
+  def q81BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_ws"),
+        size(regexp_extract_all(lower(col("text")), lit(bpeRe), lit(0)))
+          .cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        Oracle.lsum(col("n_ws")).as("ws_tokens"),
+        Oracle.lsum(col("n_bpe")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+
+  val q81Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+      |  ${Oracle.lsumSql("len(string_split_regex(trim(text), ' +'))")} AS ws_tokens,
+      |  ${Oracle.lsumSql(s"len(regexp_extract_all(lower(text), '$bpeRe'))")} AS bpe_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"

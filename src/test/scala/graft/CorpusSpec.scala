@@ -103,6 +103,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaOrc === direct)
   }
 
+  test("q79 partition predicate prunes the partitioned layout at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("q79_spec").toString
+    Tables.orders(spark, TestSpark.sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    val nYears = Tables.orders(spark, TestSpark.sfDir)
+      .select(year(col("o_orderdate"))).distinct().count()
+    assert(nYears > 1, "need multiple partitions for pruning to mean anything")
+    val agg = CorpusQueries.partitionedAgg(spark.read.parquet(tmp))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("o_year"), p)
+    // the live scan must select exactly the one matching partition
+    // (sparkPlan: AQE's wrapper node hides children from collect())
+    val scans = agg.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 1,
+      s"expected 1 of $nYears partitions, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
+  test("q78 upsert keeps exactly one latest row per key and is replay-idempotent") {
+    val out = CorpusQueries.q78CdcUpsert(spark, TestSpark.sfDir)
+    val keys = out.select("user_id").collect().map(_.getLong(0))
+    assert(keys.length === keys.distinct.length, "duplicate keys after upsert")
+    // replaying the merge over its own output is a no-op (idempotence)
+    val again = CorpusQueries.q78CdcUpsert(spark, TestSpark.sfDir)
+    assert(out.collect().toSeq === again.collect().toSeq)
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
