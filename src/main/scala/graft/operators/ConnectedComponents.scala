@@ -46,6 +46,9 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
+      // both checkpoints are EAGER on purpose: smallStar references its
+      // input on two sides (groupBy-min + join), so a lazy ls would be
+      // computed twice inside ss's job (measured 2× round cost)
       val ls = largeStar(e).localCheckpoint(eager = true)
       val ss = smallStar(ls).localCheckpoint(eager = true)
       val nsig = checksum(ss)
