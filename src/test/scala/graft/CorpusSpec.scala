@@ -133,6 +133,52 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.collect().toSeq === again.collect().toSeq)
   }
 
+  test("connected components matches driver-side union-find on a random graph") {
+    // deterministic pseudo-random graph: 300 nodes, ~350 multiplicative-
+    // hash edges (mix of chains, merges, isolates) — no RNG, reproducible
+    val edgeList = (0 until 350).map { i =>
+      val a = (i * 2654435761L) % 300
+      val b = (i * 40503L + 7) % 300
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    // reference: classic union-find with path compression
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n.toInt).toLong).toMap
+    val got = ConnectedComponents.run(edgeList.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find roots are not necessarily component minima; compare the
+    // PARTITION (same-component relation), then check CC labels are minima
+    val byExpected = expected.groupBy(_._2).values.map(_.keySet).toSet
+    val byGot = got.groupBy(_._2).values.map(_.keySet).toSet
+    assert(byGot === byExpected)
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min, s"label $label is not the component min")
+    }
+  }
+
+  test("q71/q72 relevance joins broadcast the small side (no fact-table shuffle join)") {
+    val p71 = CorpusQueries.q71Tfidf(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(p71.contains("BroadcastNestedLoopJoin") || p71.contains("BroadcastExchange"), p71)
+    val p72 = CorpusQueries.q72Bm25(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(p72.contains("BroadcastHashJoin"), p72)
+    assert(!p72.contains("CartesianProduct"), p72)
+  }
+
+  test("q78 rn=1 filter compiles to a window group limit") {
+    val p = CorpusQueries.q78CdcUpsert(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
