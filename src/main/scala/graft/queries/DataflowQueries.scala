@@ -396,4 +396,36 @@ object DataflowQueries {
       |      unnest(range(1, (block_number * 2654435761) % 97 % 7 + 1)) AS i
       |    FROM range(0, 2000) t(block_number)))
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** zstd-compressed parquet round-trip (the reference carries zstd as a
+    * first-class codec dep, etl-rust `Cargo.toml:15`): lineitem is
+    * rewritten with `compression=zstd`, read back, and aggregated; the
+    * oracle recomputes from the original (snappy) files, so the hash
+    * proves the recompression is lossless. Scale: columnar write+read
+    * are per-partition; zstd typically halves storage vs snappy at
+    * similar scan speed — the codec you'd actually pick for a 100 TB
+    * archive tier. Staged dir removed after the aggregate materializes. */
+  def q82ZstdRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q82_zstd").toString
+    graft.Tables.lineitem(s, dir)
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    val out = s.read.parquet(tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Oracle.dsum(col("l_extendedprice")).as("total_price"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val root = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    s.createDataFrame(rows, schema)
+  }
+
+  val q82Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  ${graft.Oracle.dsumSql("l_extendedprice")} AS total_price,
+      |  MAX(l_shipdate) AS last_ship
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -168,4 +168,58 @@ object StreamPipeline {
     s"""SELECT date_trunc('hour', ts) AS bucket_start, event_type,
       |  COUNT(*) AS n_events, ${graft.Oracle.dsumSql("value")} AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val q83Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Second streaming entry under the driver's hash gate: STREAMING
+    * DEDUP. The events table replays as a real stream and
+    * `dropDuplicatesWithinWatermark` keeps the first row per
+    * (user_id, event_type); with the watermark delay exceeding the
+    * replayed time range, the streaming result provably equals batch
+    * DISTINCT — which is exactly what the oracle computes. Production
+    * sets a realistic delay and accepts the documented at-least-once
+    * tradeoff past it (state stays bounded); the equality here is the
+    * semantics check, per-key state expiry is StreamingSpec's job.
+    * The dedup emits in append mode (no window holdback), so the final
+    * aggregate runs batch-side on the materialized distinct rows. */
+  def q83StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("q83_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(batchSchema).parquet(streamDir.toString)
+    val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val name = s"q83_dedup_${q83Counter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "3650 days") // > replay range ⇒ exact global dedup
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("event_type"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    s.createDataFrame(rows, schema)
+  }
+
+  val q83Sql: String =
+    """SELECT event_type, COUNT(*) AS n_keys
+      |FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
