@@ -493,6 +493,43 @@ object CorpusQueries {
       |  ${Oracle.lsumSql(s"len(regexp_extract_all(lower(text), '$bpeRe'))")} AS bpe_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q84 — z-ordered layout round-trip
+
+  /** Morton-curve layout under the hash gate: lineitem is rewritten
+    * z-ordered on (l_partkey, l_suppkey) (operators/ZOrder — normalized
+    * bit interleave, range-partitioned write), read back with a box
+    * predicate on BOTH keys, and aggregated; the oracle recomputes from
+    * the original layout, so the hash proves the curve reorders without
+    * loss. ZOrderSpec measures the skipping benefit itself (per-file
+    * bounding boxes); staged dir removed after materialization. */
+  def q84ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q84_zorder").toString
+    graft.operators.ZOrder.writeZOrdered(
+      Tables.lineitem(s, dir), "l_partkey", "l_suppkey", tmp,
+      nFiles = 16, bits = 11)
+    val out = s.read.parquet(tmp)
+      .filter(col("l_partkey") < 500 && col("l_suppkey") < 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Oracle.lsum(col("l_partkey")).as("sum_part"),
+        Oracle.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_returnflag"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val root = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    s.createDataFrame(rows, schema)
+  }
+
+  val q84Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  ${Oracle.lsumSql("l_partkey")} AS sum_part,
+      |  ${Oracle.dsumSql("l_extendedprice")} AS total_price
+      |FROM lineitem WHERE l_partkey < 500 AND l_suppkey < 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
     def iter(prev: String, next: String) =
