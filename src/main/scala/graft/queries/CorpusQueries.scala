@@ -530,6 +530,62 @@ object CorpusQueries {
       |FROM lineitem WHERE l_partkey < 500 AND l_suppkey < 25
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85 — PMI collocations (phrase mining)
+
+  /** Pointwise mutual information over adjacent token pairs — the
+    * classic collocation/phrase-mining score: PMI(a,b) =
+    * ln(N·c(ab) / (c(a)·c(b))) with N = total bigram count, c(a)/c(b)
+    * = left/right marginal occurrence counts. Bigrams are built with
+    * the same zip-of-slices shape as the dedup shingles (codegen'd
+    * projection, no window sort); the three counts are hash aggregates
+    * with map-side partials. Frequency floor (≥ 20 at sf0.01-scale)
+    * keeps rare-pair noise out, mirroring standard collocation
+    * extraction. Deterministic: PMI emitted on a 1e-6 grid, ordering
+    * with full tiebreaks. Scale: bigram cardinality ≤ token count; the
+    * marginal tables are vocabulary-sized → broadcast joins. */
+  def q85PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokensOf(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val n = size(col("t"))
+    val bi = toks.select(explode(arrays_zip(
+        slice(col("t"), lit(1), n - 1).as("a"),
+        slice(col("t"), lit(2), n - 1).as("b"))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val pairC = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val leftC = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val rightC = bi.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val total = bi.agg(count(lit(1)).cast("double").as("n_bi"))
+    pairC.filter(col("c_ab") >= 20)
+      .join(broadcast(leftC), "a").join(broadcast(rightC), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("n_bi") * col("c_ab") / (col("c_a") * col("c_b")).cast("double")), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  val q85Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bi AS (
+      |  SELECT t[i] AS a, t[i + 1] AS b
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+      |  WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+      |lc AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+      |rc AS (SELECT b, COUNT(*) AS c_b FROM bi GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bi FROM bi)
+      |SELECT a, b, c_ab,
+      |  round(ln(n_bi * c_ab / CAST(c_a * c_b AS DOUBLE)), 6) AS pmi
+      |FROM pc JOIN lc USING (a) JOIN rc USING (b) CROSS JOIN n
+      |WHERE c_ab >= 20
+      |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
+
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
     def iter(prev: String, next: String) =
