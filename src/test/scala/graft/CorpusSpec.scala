@@ -179,6 +179,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q85 PMI is symmetric in marginal scaling and respects the frequency floor") {
+    val out = CorpusQueries.q85PmiCollocations(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    // floor: every emitted pair occurs >= 20 times
+    assert(out.forall(_.getLong(2) >= 20L))
+    // sorted by pmi desc with tiebreaks
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.toSeq === pmis.sortBy(-_).toSeq)
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
