@@ -221,12 +221,7 @@ object CorpusQueries {
         Oracle.dsum(col("o_totalprice")).as("total_price"),
         max(col("o_orderdate")).as("last_order"))
       .orderBy(col("o_orderstatus"))
-    val schema = out.schema
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    s.createDataFrame(rows, schema)
+    graft.Staging.materializeThenDelete(out, tmp)
   }
 
   val q74Sql: String =
@@ -413,12 +408,7 @@ object CorpusQueries {
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
     val out = partitionedAgg(s.read.parquet(tmp))
-    val schema = out.schema
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    s.createDataFrame(rows, schema)
+    graft.Staging.materializeThenDelete(out, tmp)
   }
 
   /** Shared by the registry query and the spec's plan assertion. */
@@ -515,12 +505,7 @@ object CorpusQueries {
         Oracle.lsum(col("l_partkey")).as("sum_part"),
         Oracle.dsum(col("l_extendedprice")).as("total_price"))
       .orderBy(col("l_returnflag"))
-    val schema = out.schema
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    s.createDataFrame(rows, schema)
+    graft.Staging.materializeThenDelete(out, tmp)
   }
 
   val q84Sql: String =

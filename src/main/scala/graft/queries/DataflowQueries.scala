@@ -373,14 +373,7 @@ object DataflowQueries {
         sum(col("fee")).cast("long").as("total_fees"),
         max(col("block_time")).as("max_time"))
       .orderBy(col("bucket"))
-    // Materialize the 10-row aggregate, then remove the staged Avro dir so
-    // repeated invocations (bench warm-up + timed runs) don't accumulate.
-    val schema = out.schema
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    s.createDataFrame(rows, schema)
+    graft.Staging.materializeThenDelete(out, tmp)
   }
 
   val q69Sql: String =
@@ -415,12 +408,7 @@ object DataflowQueries {
         graft.Oracle.dsum(col("l_extendedprice")).as("total_price"),
         max(col("l_shipdate")).as("last_ship"))
       .orderBy(col("l_returnflag"))
-    val schema = out.schema
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    s.createDataFrame(rows, schema)
+    graft.Staging.materializeThenDelete(out, tmp)
   }
 
   val q82Sql: String =
