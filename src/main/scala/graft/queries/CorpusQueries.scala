@@ -571,6 +571,81 @@ object CorpusQueries {
       |WHERE c_ab >= 20
       |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q86 — feature-hashed bag-of-words (embedding generation)
+
+  /** The hashing trick (Weinberger et al. '09): project a document's
+    * token counts into a fixed 64-bucket vector with dim = hash(token)
+    * mod 64 — the standard no-vocabulary featurizer for corpus-scale
+    * classifiers/near-dup prefilters. The token hash is the engine's
+    * cross-engine portable `tokval` (length/ascii arithmetic —
+    * TextFunctions.tokvalSql), so DuckDB reproduces the exact buckets.
+    * Long-form output (doc_id, dim, weight): sparse, shuffle-friendly,
+    * and the shape a downstream `VectorAssembler`-style op consumes.
+    * One explode + one hash aggregate; no vocabulary table at all. */
+  def q86FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokvalSql
+    docTerms(Tables.documents(s, dir))
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        expr(s"${tokvalSql("term")} % 64").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  val q86Sql: String = {
+    // tokvalSql carries Spark-SQL long-literal suffixes (1000003L);
+    // DuckDB has no L suffix — strip it (q26's oracle hand-writes the
+    // same formula, this derives it so the two can never drift)
+    val tv = graft.functions.TextFunctions.tokvalSql("term")
+      .replaceAll("(\\d)L\\b", "$1")
+      .replace("substring", "substr")
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents WHERE doc_id < 30)
+      |SELECT doc_id, $tv % 64 AS dim, COUNT(*) AS weight
+      |FROM t WHERE term <> '' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q87 — unigram log-probability quality score (perplexity filtering)
+
+  /** The CCNet-style quality signal: score each document by the mean
+    * negative log-probability of its tokens under the corpus's own
+    * unigram model — wildly improbable token streams (boilerplate,
+    * garbage encodings) score high and get filtered. p(t) is estimated
+    * on the FULL corpus, the per-doc mean uses Oracle.dsum's decimal
+    * grid so the sum of ln's is combine-order-independent (plain
+    * avg(double) would hash-mismatch across partitionings). The prob
+    * table is vocabulary-sized → broadcast; one aggregate per side. */
+  def q87UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val terms = docTerms(Tables.documents(s, dir))
+    val total = terms.agg(count(lit(1)).cast("double").as("n_total"))
+    val probs = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), log(col("c") / col("n_total")).as("lnp"))
+    terms.filter(col("doc_id") < 200)
+      .join(broadcast(probs), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(-Oracle.dsum(col("lnp")) / count(lit(1)), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tt),
+      |p AS (SELECT term, ln(COUNT(*) / n_total) AS lnp
+      |  FROM tt CROSS JOIN n GROUP BY term, n_total)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  round(-${Oracle.dsumSql("lnp")} / COUNT(*), 6) AS nll
+      |FROM tt JOIN p USING (term) WHERE doc_id < 200
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
     def iter(prev: String, next: String) =

@@ -508,4 +508,47 @@ object LlmQueries {
       |JOIN exact e ON d.doc_id = e.doc_id
       |WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — benchmark decontamination (n-gram overlap)
+
+  /** The decontamination pass every training corpus needs: measure each
+    * document's shingle overlap against a held-out "benchmark" set
+    * (here: docs 0–4 stand in for an eval set) and flag high-overlap
+    * documents for removal, so evaluation data never leaks into
+    * training data. Reuses the memoized hashed-shingle stream; the
+    * benchmark's distinct shingles are a broadcast-able set, overlap is
+    * one join + count per doc, and docs with zero overlap are kept via
+    * the left join (the oracle's list_intersect shape). Exactness
+    * argument is q20's: intersecting 64-bit-hashed shingles equals
+    * intersecting the raw trigrams barring ~n²/2⁶⁴ collisions.
+    * Scale: benchmark sets are small by construction (eval suites);
+    * the corpus side streams through one broadcast hash join. */
+  def q88Contamination(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(s, dir)
+    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val bench = rows.filter(col("doc_id") < 5).select(col("hg")).distinct()
+    val common = rows.filter(col("doc_id") >= 5 && col("doc_id") < 100)
+      .join(broadcast(bench), "hg")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    sizes.filter(col("doc_id") >= 5 && col("doc_id") < 100)
+      .join(common, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / col("sz"), 6)
+          .as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Sql: String =
+    s"""WITH sh AS ($shingledSql),
+      |bench AS (
+      |  SELECT list(DISTINCT sg) AS bl FROM (
+      |    SELECT unnest(shingles) AS sg FROM sh WHERE doc_id < 5))
+      |SELECT doc_id,
+      |  CAST(len(list_intersect(shingles, bl)) AS BIGINT) AS n_common,
+      |  round(CAST(len(list_intersect(shingles, bl)) AS DOUBLE) / len(shingles), 6) AS frac
+      |FROM sh CROSS JOIN bench
+      |WHERE doc_id >= 5 AND doc_id < 100 AND len(shingles) > 0
+      |ORDER BY doc_id""".stripMargin
 }
