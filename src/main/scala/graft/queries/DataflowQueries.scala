@@ -416,4 +416,37 @@ object DataflowQueries {
       |  ${graft.Oracle.dsumSql("l_extendedprice")} AS total_price,
       |  MAX(l_shipdate) AS last_ship
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Schema evolution on an append-only table — the lifecycle every
+    * long-lived ingest hits (the reference pins schemas at compile time
+    * per chain version, `docs/protobuf.md:7-8`; a redeploy with new
+    * proto fields is exactly this append): v1 files carry 3 columns,
+    * v2 appends a 4th, `mergeSchema` reads the union with nulls
+    * back-filled for v1 rows. The oracle simulates the same evolution
+    * with a CASE over the flat table, so the hash proves null
+    * back-filling and the merged footer schema are lossless. */
+  def q89SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q89_evo").toString
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(tmp)
+    orders.filter(col("o_orderkey") >= 1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("append").parquet(tmp)
+    val out = s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("n_with_status"),
+        graft.Oracle.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("bucket"))
+    graft.Staging.materializeThenDelete(out, tmp)
+  }
+
+  val q89Sql: String =
+    s"""SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+      |  COUNT(CASE WHEN o_orderkey >= 1000 THEN o_orderstatus END) AS n_with_status,
+      |  ${graft.Oracle.dsumSql("o_totalprice")} AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
