@@ -189,6 +189,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(pmis.toSeq === pmis.sortBy(-_).toSeq)
   }
 
+  test("q86 feature hashing: dims in [0,64), per-doc weights sum to token count") {
+    val out = CorpusQueries.q86FeatureHashing(spark, TestSpark.sfDir)
+    val dims = out.select("dim").distinct().collect().map(_.getLong(0))
+    assert(dims.forall(d => d >= 0 && d < 64))
+    val weightSums = out.groupBy("doc_id").agg(sum("weight").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokCounts = Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weightSums === tokCounts, "hashing must conserve token mass")
+  }
+
+  test("q87 quality scores are positive and q88 contamination fractions lie in [0,1]") {
+    val nll = CorpusQueries.q87UnigramLogprob(spark, TestSpark.sfDir).collect()
+    assert(nll.nonEmpty && nll.forall(_.getDouble(2) > 0.0),
+      "-mean ln p must be positive for p < 1")
+    val cont = queries.LlmQueries.q88Contamination(spark, TestSpark.sfDir).collect()
+    assert(cont.nonEmpty)
+    assert(cont.forall { r =>
+      val f = r.getDouble(2); f >= 0.0 && f <= 1.0 && r.getLong(0) >= 5 && r.getLong(0) < 100
+    })
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
