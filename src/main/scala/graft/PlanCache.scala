@@ -22,11 +22,22 @@ import org.apache.spark.storage.StorageLevel
 object PlanCache {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def memo(s: SparkSession, dir: String, tag: String, params: String = "")
-      (mk: => DataFrame): DataFrame =
+      (mk: => DataFrame): DataFrame = {
+    // lifecycle hook, once per session: entries die with the application
+    // (unpersist + drop) instead of dangling past their session
+    if (hooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clear(s); hooked.remove(s)
+        }
+      })
     cache.getOrElseUpdate((s, dir, s"$tag[$params]"),
       mk.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Unpersist and forget every entry belonging to `s` (all dirs/tags). */
   def clear(s: SparkSession): Unit =
