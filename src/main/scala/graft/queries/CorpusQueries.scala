@@ -305,7 +305,8 @@ object CorpusQueries {
     *
     * Cross-engine determinism: per-edge contributions (rank/outdegree —
     * pure IEEE division, bit-identical in both engines) are cast to
-    * DECIMAL(15,14) (compact-long representation) before summing, so the per-node reduction is exact
+    * DECIMAL(15,14) (compact-long representation) before summing, so
+    * the per-node reduction is exact
     * decimal arithmetic with no combine-order dependence; the conversion
     * itself is safe because rank values carry ≤14 significant decimal
     * digits at this scale — under the ~16-digit double discrepancy
