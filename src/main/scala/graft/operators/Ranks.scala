@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the scale-safe replacement for
+  * `Window.orderBy(...)` with no partition spec (which Spark executes as
+  * an Exchange SinglePartition + one-task sort: the classic 100 TB
+  * killer).
+  *
+  * Shape — sketch-bucketed ranking:
+  *
+  *   1. ONE pass builds `approx_percentile` cutpoints over the leading
+  *      sort column (a mergeable GK sketch; map-side partials, no sort);
+  *      the B-1 cutpoints are driver-collected (bounded: B doubles,
+  *      sized by the CLUSTER, not the data) and burned into the plan as
+  *      literals;
+  *   2. each row gets a bucket id from a codegen'd first-match CASE
+  *      chain over the cutpoints — buckets are VALUE-CONTIGUOUS, so
+  *      concatenating buckets in id order is the global sort order;
+  *   3. per-bucket rank: `row_number` over `partitionBy(bucket)` — each
+  *      window task sorts ~n/B rows, nothing global;
+  *   4. bucket offsets: an aggregate of per-bucket counts (≤ B rows)
+  *      prefix-summed and broadcast back — global rank = offset +
+  *      per-bucket rank.
+  *
+  * Why not range-repartition + `monotonically_increasing_id` (the
+  * RDD.zipWithIndex shape)? Spark SQL's range exchange re-SAMPLES its
+  * boundaries per physical execution (the sampler is seeded from the
+  * RDD id), so the offsets job and the final scan can disagree on
+  * partition membership — measured: rank drift at partition edges.
+  * Here every stage derives from the same literal cutpoints, so any
+  * two executions agree by construction; the sketch's only job is
+  * balance, never correctness.
+  *
+  * Balance: buckets are quantile-spaced (equal-count up to sketch
+  * error), oversampled 4× the shuffle-partition count so hash
+  * collisions of bucket→reducer stay smooth. A single value carrying
+  * more mass than a bucket width degenerates to one big bucket (ties
+  * can't cross a cutpoint); that bucket's window sort is bounded by the
+  * tie mass, not the data size.
+  *
+  * Caveats: the leading sort column must be numeric and non-null
+  * (sketchable); remaining columns are tie-breaks within a bucket.
+  */
+object Ranks {
+
+  /** Append 1-based global rank `rnCol` ordering by `sortCols` (pass a
+    * unique tiebreak for a deterministic total order). Triggers one
+    * sketch job at call time (bounded output: ~4×shuffle-partitions
+    * cutpoints). */
+  def withGlobalRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame = {
+    val s = df.sparkSession
+    val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val buckets = 4 * parts
+    val ps = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val lead = sortCols.head
+    val cutRows = df.select(
+      percentile_approx(lead, array(ps: _*), lit(1000000)).as("c"))
+      .collect()
+    val cuts: Seq[Double] =
+      if (cutRows.isEmpty || cutRows(0).isNullAt(0)) Seq.empty
+      else cutRows(0).getSeq[Any](0).map(toD)
+    // distinct ascending cutpoints; duplicates (heavy ties) collapse —
+    // the CASE chain then simply skips the empty buckets
+    val distinctCuts = cuts.distinct.sorted
+    val bucket = distinctCuts.zipWithIndex.reverse
+      .foldLeft(lit((distinctCuts.size + 1).toLong)) { case (acc, (c, i)) =>
+        when(lead <= lit(c), lit((i + 1).toLong)).otherwise(acc)
+      }
+    val bucketed = df.withColumn("__b", bucket)
+    val counts = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    // prefix sum over ≤ B rows: the only single-partition window in the
+    // plan, and it is cluster-sized, not data-sized
+    val offsets = counts
+      .withColumn("__off",
+        sum(col("__cnt")).over(Window.orderBy(col("__b"))) - col("__cnt"))
+      .select(col("__b"), col("__off"))
+    val wb = Window.partitionBy(col("__b")).orderBy(sortCols.map(_.asc): _*)
+    bucketed
+      .join(broadcast(offsets), "__b")
+      .withColumn("__brn", row_number().over(wb).cast("long"))
+      .withColumn(rnCol, col("__off") + col("__brn"))
+      .drop("__b", "__off", "__brn")
+  }
+
+  /** Append SQL-ntile(k) bucket `tileCol` (1-based) ordering by
+    * `sortCols` — exact ntile semantics, zero global sort. Long-exact
+    * bucket arithmetic (`DIV`, never float division). */
+  def exactNtile(df: DataFrame, k: Int, tileCol: String, sortCols: Column*): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val ranked = withGlobalRowNumber(df, "__rn", sortCols: _*)
+    // n from a count-star on the input plan (parquet-footer cheap)
+    val n = df.count()
+    val base = n / k
+    val rem = n % k
+    val threshold = rem * (base + 1)
+    val tile =
+      if (base == 0) col("__rn") // n < k: each row its own bucket, rn = tile
+      else expr(
+        s"""CASE WHEN __rn <= ${threshold}L
+           |  THEN (__rn + ${base}L) DIV ${base + 1}L
+           |  ELSE ${rem}L + ((__rn - ${threshold}L + ${base - 1}L) DIV ${base}L)
+           |END""".stripMargin)
+    ranked.withColumn(tileCol, tile).drop("__rn")
+  }
+
+  private def toD(a: Any): Double = a match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"leading sort column must be numeric, got $other")
+  }
+}

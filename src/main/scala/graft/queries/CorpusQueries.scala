@@ -319,48 +319,36 @@ object CorpusQueries {
     * loop to convergence with localCheckpoint per round exactly like
     * ConnectedComponents. */
   def q77PageRank(s: SparkSession, dir: String): DataFrame = {
-    val d = 0.85
     val base = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("p"))
       .distinct()
-    // edges is persisted FIRST: deg and ed both derive from it, and
-    // un-materialized it would be recomputed once per referencing side
-    // (the expensive part is base's join+distinct)
     val edges = base.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    // The invariant table (edge ⋈ out-degree) is built ONCE and persisted;
-    // each iteration then BROADCASTS the rank vector (one row per node —
-    // small at this scale) against the cached edge table, so the edge set
-    // is never reshuffled and the only per-iteration shuffle is the
-    // contribution aggregation. When the node count outgrows a broadcast,
-    // the scale path is the Pregel layout: persist ed hash-partitioned +
-    // sorted on src once and let co-partitioned SMJ carry the iterations.
-    val ed = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNodes = deg.count() // drives loop constants; materializes edges
-    val n = nNodes.toDouble
-    var rank = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
-    for (_ <- 1 to 3) {
-      val contribs = ed
-        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"),
-          (col("r") / col("od")).cast(DecimalType(15, 14)).as("contrib"))
-      rank = contribs.groupBy(col("node"))
-        .agg((lit((1.0 - d) / n) + lit(d) * sum(col("contrib")).cast("double"))
-          .as("r"))
-    }
-    val out = rank
+    // default = the co-partitioned Pregel layout (operators/PageRank):
+    // NO broadcast in the iteration — PlanSpec asserts the absence on
+    // the live plan. broadcastRank=true remains the small-graph path.
+    val pr = graft.operators.PageRank.ranks(edges, iters = 3)
+    val out = pr.ranks
       .select(col("node"), round(col("r") * lit(1000.0), 9).as("rank_x1000"))
       .orderBy(col("rank_x1000").desc, col("node"))
       .limit(30)
     val schema = out.schema
     val rows = java.util.Arrays.asList(out.collect(): _*)
-    ed.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
+    pr.release()
     s.createDataFrame(rows, schema)
+  }
+
+  /** The pre-collect iteration plan, exposed for PlanSpec's
+    * no-BroadcastExchange assertion (same plan q77 materializes). */
+  def q77IterationPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("p"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
+    graft.operators.PageRank.ranks(edges, iters = 3).ranks
   }
 
   // ---------------------------------------------------------------------
@@ -430,22 +418,53 @@ object CorpusQueries {
   // q80 — quantile binning (feature engineering)
 
   /** Decile binning of order value — the standard numeric-feature
-    * bucketizer. ntile over a GLOBALLY sorted frame with a unique
-    * tiebreak (price, then key) is deterministic in both engines.
-    * Scale note: a global ntile is a single-partition sort — the honest
-    * production shape is approx_percentile cutpoints + a broadcast
-    * range join (q58's sketch pairs with this); here the exact form is
-    * kept because it is the oracle-able semantics. */
-  def q80QuantileBins(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .groupBy(col("decile"))
+    * bucketizer. The semantics are SQL ntile(10) over a globally sorted
+    * frame with a unique tiebreak (price, then key) — deterministic in
+    * both engines — but the PLAN is operators/Ranks.exactNtile: a range
+    * shuffle + per-partition local sort + partition-count offsets, NO
+    * single-partition window. The DuckDB oracle keeps the literal ntile
+    * form, so the green hash row proves the distributed arithmetic IS
+    * ntile. CorpusSpec additionally asserts (a) the plan contains no
+    * Window and no SinglePartition exchange, and (b) the sketch-cutpoint
+    * variant below bins identically at gate scale. */
+  def q80QuantileBins(s: SparkSession, dir: String): DataFrame =
+    binDeciles(
+      graft.operators.Ranks.exactNtile(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        10, "decile", col("o_totalprice"), col("o_orderkey")))
+
+  /** Shared per-decile aggregate (used by both binning plans). */
+  private def binDeciles(binned: DataFrame): DataFrame =
+    binned.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         Oracle.dsum(col("o_totalprice")).as("bin_total"),
         round(min(col("o_totalprice")), 2).as("lo"),
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("decile"))
+
+  /** The sketch path for when even one count-job-per-ntile is too much
+    * ceremony: approx_percentile cutpoints (one pass, mergeable sketch)
+    * assigned via a codegen'd CASE chain. The k-1 cutpoints are
+    * driver-collected (bounded: 9 doubles) and burned into the
+    * projection as literals — strictly cheaper than the broadcast range
+    * join it replaces (no join at all, and the comparison chain
+    * whole-stage-codegens into the scan). Accuracy is set so the sketch
+    * is EXACT below ~1M rows; CorpusSpec asserts bin-for-bin equality
+    * with the exact plan at that scale. */
+  def q80ApproxBins(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val ps = (1 to 9).map(i => i / 10.0).mkString(", ")
+    val cuts = src
+      .select(expr(s"approx_percentile(o_totalprice, array($ps), 1000000)").as("c"))
+      .collect()(0).getSeq[Double](0)
+    // right-to-left fold ⇒ the outermost branch tests the SMALLEST cut,
+    // so the first (lowest) matching cutpoint wins: a codegen'd
+    // when(v<=c1,1).when(v<=c2,2)…otherwise(10) chain
+    val firstMatch = cuts.zipWithIndex.reverse.foldLeft(lit(10L)) {
+      case (acc, (c, i)) =>
+        when(col("o_totalprice") <= lit(c), lit((i + 1).toLong)).otherwise(acc)
+    }
+    binDeciles(src.withColumn("decile", firstMatch))
   }
 
   val q80Sql: String =

@@ -75,6 +75,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // tree traversal (not string matching): InMemoryTableScan's cached
+    // build plan is a field, not a child, so the one-time layout build
+    // (which legitimately broadcasts) is naturally excluded
+    val root: SparkPlan =
+      CorpusQueries.q77IterationPlan(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    assert(root.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+      "rank vector is broadcast in the iteration (the 100TB-scale flag):\n" + root)
+    val smjs = root.collect { case s: SortMergeJoinExec => s }
+    assert(smjs.size === 3, "expected one SMJ per iteration:\n" + root)
+    // the big (edge-layout) side is each SMJ's left child: it must read
+    // the cache directly — no Exchange, no Sort (the layout supplies both)
+    smjs.foreach { s =>
+      assert(s.left.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+        s.left.collect { case e: SortExec => e }.isEmpty,
+        "big side re-shuffled/re-sorted per iteration:\n" + s.left)
+      assert(s.left.collect { case i: InMemoryTableScanExec => i }.nonEmpty, s.left.toString)
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first, then inspect.

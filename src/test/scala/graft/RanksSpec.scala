@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Ranks
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed ranking (operators/Ranks): semantic equivalence to the
+  * global-window forms it replaces, and the plan-shape claims — no
+  * global ntile window, data-path windows partitioned by bucket. */
+class RanksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orders =
+    Tables.orders(spark, TestSpark.sfDir).select(col("o_orderkey"), col("o_totalprice"))
+
+  test("withGlobalRowNumber equals Window.orderBy row_number") {
+    val ranked = Ranks.withGlobalRowNumber(orders, "rn",
+      col("o_totalprice"), col("o_orderkey"))
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val truth = orders.withColumn("trn", row_number().over(w).cast("long"))
+    val joined = ranked.join(truth, Seq("o_orderkey", "o_totalprice"))
+    assert(joined.count() === orders.count())
+    assert(joined.filter(col("rn") =!= col("trn")).count() === 0L)
+  }
+
+  test("exactNtile equals ntile window for even and uneven k") {
+    for (k <- Seq(10, 7)) { // 7 exercises the remainder buckets
+      val tiled = Ranks.exactNtile(orders, k, "tile",
+        col("o_totalprice"), col("o_orderkey"))
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val truth = orders.withColumn("ttile", ntile(k).over(w).cast("long"))
+      val joined = tiled.join(truth, Seq("o_orderkey", "o_totalprice"))
+      assert(joined.filter(col("tile") =!= col("ttile")).count() === 0L, s"k=$k")
+    }
+  }
+
+  test("exactNtile: n < k degenerates to one row per bucket") {
+    val tiny = Seq((1L, 5.0), (2L, 3.0), (3L, 9.0)).toDF("k", "v")
+    val got = Ranks.exactNtile(tiny, 10, "tile", col("v"), col("k"))
+      .select(col("k"), col("tile")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+
+  test("withGlobalRowNumber survives heavy ties (one value > bucket width)") {
+    val skew = ((1 to 400).map(i => (i.toLong, 1.0)) ++
+      (401 to 500).map(i => (i.toLong, i.toDouble))).toDF("k", "v")
+    val ranked = Ranks.withGlobalRowNumber(skew, "rn", col("v"), col("k"))
+    val w = Window.orderBy(col("v"), col("k"))
+    val truth = skew.withColumn("trn", row_number().over(w).cast("long"))
+    val joined = ranked.join(truth, Seq("k", "v"))
+    assert(joined.filter(col("rn") =!= col("trn")).count() === 0L)
+  }
+
+  test("q80: sketch-cutpoint bins equal exact ntile bins (judge gate)") {
+    val exact = CorpusQueries.q80QuantileBins(spark, TestSpark.sfDir)
+    val approx = CorpusQueries.q80ApproxBins(spark, TestSpark.sfDir)
+    assert(exact.exceptAll(approx).count() === 0L)
+    assert(approx.exceptAll(exact).count() === 0L)
+  }
+
+  test("q80 plan: no global ntile window; data-path windows bucket-partitioned") {
+    val p = CorpusQueries.q80QuantileBins(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ntile("), "global ntile window resurfaced:\n" +
+      p.linesIterator.take(8).mkString("\n"))
+    // the per-row window must partition by the sketch bucket; the only
+    // unpartitioned window allowed is the ≤B-row offsets prefix sum
+    assert(p.contains("windowspecdefinition(__b"), p)
+  }
+}
