@@ -72,6 +72,42 @@ object IndexRange {
   }
 }
 
+/** EP3a (`save-range`, src/main.rs:434-453): extract a block range and
+  * save the raw extraction to a directory — the reference's fixture
+  * bootstrap. Output is one parquet dataset of the nested blocks. */
+object SaveRange {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println("usage: graft.SaveRange <start> <end> <outDir>")
+      sys.exit(2)
+    }
+    val (start, end, outDir) = (args(0).toLong, args(1).toLong, args(2))
+    val spark = GraftCli.session("graft-save-range")
+    BlockSources.blockRange(spark, start, end).write.mode("overwrite").parquet(outDir)
+    println(s"[graft] saved [$start, $end) to $outDir")
+    spark.stop()
+  }
+}
+
+/** EP3b (`create-test-set`, src/main.rs:454-462): golden test data under
+  * `<dir>/<name>_<start>_<end>` — the reference's dir-naming convention,
+  * via FileSinks.writeGolden. */
+object CreateTestSet {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3 || args.length > 4) {
+      System.err.println("usage: graft.CreateTestSet <start> <end> <name> [dir]")
+      sys.exit(2)
+    }
+    val (start, end, name) = (args(0).toLong, args(1).toLong, args(2))
+    val dir = args.lift(3).getOrElse("test_data") // TEST_EXAMPLE_DIRECTORY default
+    val spark = GraftCli.session("graft-create-test-set")
+    graft.sinks.FileSinks.writeGolden(
+      BlockSources.blockRange(spark, start, end), dir, name, start, end)
+    println(s"[graft] created test data: $dir/${name}_${start}_$end")
+    spark.stop()
+  }
+}
+
 object IndexSubscription {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
@@ -85,7 +121,19 @@ object IndexSubscription {
     val source = StreamPipeline.fileDropSource(spark, dropDir, schema)
     val writer = FanOutWriter.jsonl(outDir, GraftCli.tables)
     val q = StreamPipeline.runFanOut(source, writer, ckptDir, availableNow = !follow)
+    // env:HEALTH_CHECKS_PORT — the reference's ORCHESTRATED mode serves
+    // k8s probes while consuming (src/main.rs:333-353); readiness is
+    // wired to the live query state rather than a static Ok
+    val probeSrv = sys.env.get("GRAFT_HEALTH_PORT")
+      .map(p => graft.operators.HealthProbes.serve(p.toInt, () => q.isActive))
+    probeSrv.foreach(srv => println(
+      s"[graft] /healthz + /ready on 127.0.0.1:${srv.getAddress.getPort}"))
+    // metrics parity with IndexRange (reference serves both in EP2)
+    val metrics = new EngineMetrics(spark.sparkContext)
+    val metricsSrv = sys.env.get("GRAFT_METRICS_PORT").map(p => metrics.serve(p.toInt))
     q.awaitTermination()
+    metricsSrv.foreach(_.stop(0))
+    probeSrv.foreach(_.stop(0))
     spark.stop()
   }
 }

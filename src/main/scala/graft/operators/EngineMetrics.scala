@@ -66,6 +66,36 @@ final class EngineMetrics(sc: SparkContext) extends Serializable {
   }
 }
 
+/** Kubernetes-style health probes — the reference's ORCHESTRATED
+  * surface (`src/main.rs:124-133`: liveness_probe/readiness_probe;
+  * bound on HEALTH_CHECKS_PORT at `src/main.rs:333-353`, separate from
+  * the metrics port). The reference's probes are static Ok responders;
+  * here liveness keeps that shape (the JVM answering IS the check) and
+  * readiness takes a predicate so the long-running subscription mode
+  * can report the actual streaming-query state — an orchestrator then
+  * stops routing work to a driver whose query died. */
+object HealthProbes {
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                      code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, b.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(b) finally os.close()
+  }
+
+  /** Bind /healthz (liveness: always 200 "Alive") and /ready
+    * (readiness: 200 "Ready" / 503 "NotReady" from `ready`). Port 0
+    * picks a free port; caller stops with `.stop(0)`. */
+  def serve(port: Int, ready: () => Boolean = () => true): HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/healthz", respond(_, 200, "Alive"))
+    srv.createContext("/ready", ex =>
+      if (ready()) respond(ex, 200, "Ready") else respond(ex, 503, "NotReady"))
+    srv.start()
+    srv
+  }
+}
+
 /** Task-failure listener: register with sc.addSparkListener to count
   * failed tasks across the app. The listener bus is single-threaded but
   * an AtomicLong is the honest type for a cross-thread-read counter. */

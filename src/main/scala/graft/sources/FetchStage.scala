@@ -93,17 +93,97 @@ object FetchStage {
       case None => body
     }
 
+  /** Shared synthetic-chain arithmetic (S1 generator's constants, so
+    * every transport's fetch→parse path lands on the same DuckDB
+    * oracle). */
+  private[sources] def syntheticNTx(bn: Long): Int = ((bn * 2654435761L) % 97 % 7).toInt
+  private[sources] def syntheticFee(bn: Long, i: Int): Long =
+    ((bn * 31 + i) * 1103515245L + 12345L) % 1000003L
+
   /** Offline stand-in wire: synthesizes the reference-shaped block JSON
     * deterministically from the block number (same arithmetic as the S1
     * generator, so the fetch→parse path is DuckDB-oracle-verifiable). */
   final class SyntheticRpcTransport extends BlockTransport {
     override def fetchBlock(endpoint: String, bn: Long): String = {
-      val nTx = ((bn * 2654435761L) % 97 % 7).toInt
-      val txs = (0 until nTx).map { i =>
-        val fee = ((bn * 31 + i) * 1103515245L + 12345L) % 1000003L
-        s"""{"fee":$fee}"""
-      }.mkString("[", ",", "]")
+      val txs = (0 until syntheticNTx(bn))
+        .map(i => s"""{"fee":${syntheticFee(bn, i)}}""").mkString("[", ",", "]")
       s"""{"block_number":$bn,"txs":$txs}"""
+    }
+  }
+
+  // ---- REST transport shape (reference Cargo.toml:185-189 REST feature) ----
+
+  /** The wire below a REST transport: one method per HTTP GET the
+    * reference's REST source variant would issue — a path-param block
+    * resource and a paginated transaction sub-resource
+    * (`GET {base}/blocks/{bn}` / `GET {base}/blocks/{bn}/txs?page=&limit=`).
+    * Injectable for the same reason [[BlockTransport]] is: tests and the
+    * registry run a deterministic synthetic wire; production supplies
+    * HTTP. */
+  trait RestWire extends AutoCloseable {
+    /** `GET {endpoint}/blocks/{bn}` → block header JSON. */
+    def getBlock(endpoint: String, bn: Long): String
+    /** `GET {endpoint}/blocks/{bn}/txs?page={p}&limit={l}` → JSON array
+      * of transactions; fewer than `limit` elements marks the last page. */
+    def getTxPage(endpoint: String, bn: Long, page: Int, limit: Int): String
+    override def close(): Unit = ()
+  }
+
+  /** REST-shaped [[BlockTransport]]: header fetch + tx pagination,
+    * re-assembled into the SAME payload contract the JSON-RPC transport
+    * returns — so the whole fetch stage (pooling, retry, fallback,
+    * metering) and everything downstream is transport-agnostic, exactly
+    * how the reference feature-gates RPC vs REST behind one source
+    * interface. Pagination loops until a short page; the page walk runs
+    * inside the executor task (never on the driver). */
+  final class RestBlockTransport(wire: RestWire, pageLimit: Int = 2)
+      extends BlockTransport {
+    require(pageLimit >= 1, "pageLimit must be >= 1")
+    override def fetchBlock(endpoint: String, bn: Long): String = {
+      val header = wire.getBlock(endpoint, bn)
+      val pages = Iterator.from(0)
+        .map(p => jsonArrayElements(wire.getTxPage(endpoint, bn, p, pageLimit)))
+      var all = Vector.empty[String]
+      var done = false
+      while (!done) {
+        val page = pages.next()
+        all ++= page
+        done = page.size < pageLimit
+      }
+      // splice txs into the header object (header is `{...}`)
+      header.dropRight(1) + s""","txs":${all.mkString("[", ",", "]")}}"""
+    }
+    override def close(): Unit = wire.close()
+  }
+
+  /** Split a JSON array's top-level elements by brace/bracket depth —
+    * dependency-free and sufficient for API payloads without braces in
+    * string literals (the modeled wire shape). */
+  private[graft] def jsonArrayElements(arr: String): Vector[String] = {
+    val body = arr.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- body.indices) body(i) match {
+      case '{' | '[' => depth += 1
+      case '}' | ']' => depth -= 1
+      case ',' if depth == 0 => out += body.substring(start, i).trim; start = i + 1
+      case _ =>
+    }
+    out += body.substring(start).trim
+    out.result()
+  }
+
+  /** Synthetic REST wire: same chain arithmetic, sliced per page. */
+  final class SyntheticRestWire extends RestWire {
+    override def getBlock(endpoint: String, bn: Long): String =
+      s"""{"block_number":$bn}"""
+    override def getTxPage(endpoint: String, bn: Long, page: Int, limit: Int): String = {
+      val n = syntheticNTx(bn)
+      val from = math.min(page * limit, n)
+      (from until math.min(n, from + limit))
+        .map(i => s"""{"fee":${syntheticFee(bn, i)}}""").mkString("[", ",", "]")
     }
   }
 

@@ -142,4 +142,18 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("asset_id").collect().map(_.toString)
     assert(a.sameElements(b)) // batch boundaries must not change values
   }
+
+  // ---- EP3 golden-data workflow (C8 + SaveRange/CreateTestSet mains) -
+
+  test("EP3 golden set: reference dir pattern <name>_<start>_<end>, lossless round-trip") {
+    val root = Files.createTempDirectory("golden").toString
+    val blocks = graft.sources.BlockSources.blockRange(spark, 5, 15)
+    graft.sinks.FileSinks.writeGolden(blocks, root, "fixture", 5, 15)
+    val path = java.nio.file.Paths.get(root, "fixture_5_15") // main.rs:456 naming
+    assert(Files.isDirectory(path))
+    val back = spark.read.parquet(path.toString)
+    assert(back.count() === 10)
+    // nested blocks (tx arrays included) survive byte-identically
+    assert(back.toJSON.collect().sorted.sameElements(blocks.toJSON.collect().sorted))
+  }
 }

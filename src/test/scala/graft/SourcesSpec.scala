@@ -97,6 +97,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(metrics.snapshot()("failed_request_count") === 1)
   }
 
+  test("S4 REST transport: paginated pages reassemble the exact RPC payload") {
+    val rpc = new FetchStage.SyntheticRpcTransport
+    // pageLimit 2 forces multi-page walks (synthetic blocks carry 0-6 txs)
+    val rest = new FetchStage.RestBlockTransport(new FetchStage.SyntheticRestWire, pageLimit = 2)
+    for (bn <- 0L to 200L)
+      assert(rest.fetchBlock("base", bn) === rpc.fetchBlock("base", bn), s"block $bn")
+  }
+
+  test("S4 REST transport: drives the full fetch stage (retry path shared)") {
+    val restFactory = new (() => BlockTransport) with Serializable {
+      def apply(): BlockTransport =
+        new FetchStage.RestBlockTransport(new FetchStage.SyntheticRestWire, pageLimit = 3)
+    }
+    val out = FetchStage.fetchBlocks(
+      spark.range(0, 50).toDF("block_number").repartition(4),
+      FetchConfig("rest://primary", None, maxRetries = 1, backoffMillis = 0),
+      restFactory)
+    // same payloads the q63 oracle verifies for the RPC transport
+    val viaRest = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rpc = new FetchStage.SyntheticRpcTransport
+    viaRest.foreach { case (bn, payload) =>
+      assert(payload === rpc.fetchBlock("x", bn))
+    }
+  }
+
+  test("S4 REST wire: empty and nested arrays split correctly") {
+    assert(FetchStage.jsonArrayElements("[]") === Vector.empty)
+    assert(FetchStage.jsonArrayElements("""[{"a":1}]""") === Vector("""{"a":1}"""))
+    assert(FetchStage.jsonArrayElements("""[{"a":[1,2]},{"b":{"c":3}}]""") ===
+      Vector("""{"a":[1,2]}""", """{"b":{"c":3}}"""))
+  }
+
   test("S1 blockRange: one row per index, deterministic nested txs") {
     val df = BlockSources.blockRange(spark, 10, 60)
     assert(df.count() === 50)

@@ -38,6 +38,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(blocks.select(countDistinct(col("block_number"))).head().getLong(0) === 30)
   }
 
+  test("EP2 probes answer during an active stream; readiness flips when it stops") {
+    val in = Files.createTempDirectory("drop_probe").toString
+    val out = Files.createTempDirectory("streamout_probe").toString
+    val ckpt = Files.createTempDirectory("ckpt_probe").toString
+    BlockSources.blockRange(spark, 0, 5).write.mode("append").json(in)
+    val schema = BlockSources.blockRange(spark, 0, 1).schema
+    val writer = FanOutWriter.jsonl(out, Seq("blocks", "transactions", "account_refs"))
+    // follow mode (ProcessingTime trigger): the query stays active like
+    // the reference's long-running subscription consumer
+    val q = StreamPipeline.runFanOut(
+      StreamPipeline.fileDropSource(spark, in, schema), writer, ckpt,
+      availableNow = false)
+    val srv = graft.operators.HealthProbes.serve(0, () => q.isActive)
+    def get(path: String): (Int, String) = {
+      val conn = java.net.URI
+        .create(s"http://127.0.0.1:${srv.getAddress.getPort}$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    try {
+      assert(get("/healthz") === ((200, "Alive")))
+      assert(get("/ready") === ((200, "Ready")))
+      q.stop()
+      q.awaitTermination(60000)
+      assert(get("/healthz") === ((200, "Alive"))) // process still alive
+      assert(get("/ready") === ((503, "NotReady"))) // but not consuming
+    } finally {
+      srv.stop(0)
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("watermarked 30-min windows drop late data beyond the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
