@@ -23,6 +23,14 @@ object PlanCache {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
   private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (hits, misses) since JVM start — the memo layer is load-bearing
+    * for the dedup/ANN family, so production needs to SEE whether it is
+    * actually serving (EngineMetrics exports these as
+    * plancache_hit_count / plancache_miss_count). */
+  def stats: (Long, Long) = (hitCount.get(), missCount.get())
 
   def memo(s: SparkSession, dir: String, tag: String, params: String = "")
       (mk: => DataFrame): DataFrame = {
@@ -35,8 +43,13 @@ object PlanCache {
           clear(s); hooked.remove(s)
         }
       })
-    cache.getOrElseUpdate((s, dir, s"$tag[$params]"),
-      mk.persist(StorageLevel.MEMORY_AND_DISK))
+    val key = (s, dir, s"$tag[$params]")
+    cache.get(key) match {
+      case Some(df) => hitCount.incrementAndGet(); df
+      case None =>
+        missCount.incrementAndGet()
+        cache.getOrElseUpdate(key, mk.persist(StorageLevel.MEMORY_AND_DISK))
+    }
   }
 
   /** Unpersist and forget every entry belonging to `s` (all dirs/tags). */

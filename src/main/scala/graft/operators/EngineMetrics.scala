@@ -30,19 +30,27 @@ final class EngineMetrics(sc: SparkContext) extends Serializable {
     try { val r = body; requestCount.add(1); r }
     catch { case e: Throwable => requestCount.add(1); failedRequestCount.add(1); throw e }
 
-  def snapshot(): Map[String, Long] = Map(
-    "request_count" -> requestCount.value,
-    "failed_request_count" -> failedRequestCount.value,
-    "records_published" -> recordsPublished.value)
+  def snapshot(): Map[String, Long] = {
+    val (hits, misses) = graft.PlanCache.stats
+    Map(
+      "request_count" -> requestCount.value,
+      "failed_request_count" -> failedRequestCount.value,
+      "records_published" -> recordsPublished.value,
+      "plancache_hit_count" -> hits,
+      "plancache_miss_count" -> misses)
+  }
 
   /** Prometheus text exposition format (HELP/TYPE/sample per counter) —
     * the same names and help strings the reference registers
-    * (`src/main.rs:297-306`), plus the records counter. */
+    * (`src/main.rs:297-306`), plus the records counter and the memo
+    * layer's hit/miss counters (load-bearing for the dedup family). */
   def exposition(): String = {
     val help = Map(
       "request_count" -> "Total number of requests for all APIs",
       "failed_request_count" -> "Total number of request failures for all APIs",
-      "records_published" -> "Total number of records published to sinks")
+      "records_published" -> "Total number of records published to sinks",
+      "plancache_hit_count" -> "PlanCache memo hits (persisted subtree reused)",
+      "plancache_miss_count" -> "PlanCache memo misses (subtree built and persisted)")
     snapshot().toSeq.sortBy(_._1).map { case (name, v) =>
       s"# HELP $name ${help(name)}\n# TYPE $name counter\n$name $v\n"
     }.mkString

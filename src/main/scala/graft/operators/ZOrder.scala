@@ -24,21 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Interleave the low `bits` of two non-negative integral columns:
-    * bit i of `a` lands at position 2i+1, bit i of `b` at 2i. Inputs
-    * beyond `bits` bits saturate into the same top bucket (monotone, so
-    * skipping stays correct — stats-based pruning never needs exact z
-    * values, only a consistent total order). */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    val cap = (1L << bits) - 1
-    val ac = least(a.cast("long"), lit(cap))
-    val bc = least(b.cast("long"), lit(cap))
-    (0 until bits).map { i =>
-      val abit = shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      val bbit = shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i)
-      abit + bbit
-    }.reduce(_ + _)
+  /** Effective per-key bit width: n·bits interleaved bits must stay
+    * below 63 so the z value remains a positive long. */
+  private def effBits(nKeys: Int, bits: Int): Int = math.min(bits, 62 / nKeys)
+
+  /** Interleave the low `bits` of N non-negative integral columns
+    * round-robin: bit i of key j lands at position i·n + (n−1−j), so
+    * earlier keys take the more significant slot within each round
+    * (n = 2 reproduces the classic 2-key Morton layout bit-for-bit).
+    * Inputs beyond `bits` bits saturate into the same top bucket
+    * (monotone, so skipping stays correct — stats-based pruning never
+    * needs exact z values, only a consistent total order). */
+  def zValueN(keys: Seq[Column], bits: Int = 16): Column = {
+    require(keys.nonEmpty, "zValueN needs at least one key")
+    val n = keys.size
+    val eff = effBits(n, bits)
+    val cap = (1L << eff) - 1
+    val capped = keys.map(c => least(c.cast("long"), lit(cap)))
+    (for {
+      i <- 0 until eff
+      (c, j) <- capped.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j)))
+      .reduce(_ + _)
   }
+
+  /** Two-key Morton value (the common case; delegates to [[zValueN]]). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
 
   /** Min-max normalize a column to [0, 2^bits): without this, two keys
     * of different magnitudes degenerate — the wider key's high bits
@@ -52,24 +64,32 @@ object ZOrder {
       .cast("long")
   }
 
-  /** Write `df` z-ordered on (a, b): normalize both keys to the same
+  /** Write `df` z-ordered on N `keys`: normalize every key to the same
     * bit width (one small min/max agg — at 100 TB, use catalog stats),
     * range-partition into `nFiles` buckets of the z curve, sort within
-    * each, drop the helper column. Per-file min/max of BOTH a and b end
-    * up tight. */
-  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+    * each, drop the helper column. Per-file min/max of ALL keys end up
+    * tight. */
+  def writeZOrderedN(df: DataFrame, keys: Seq[String], path: String,
       nFiles: Int = 8, bits: Int = 16): Unit = {
-    val r = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
-      min(col(b)).cast("long"), max(col(b)).cast("long")).head()
-    val z = zValue(
-      normalize(col(a), r.getLong(0), r.getLong(1), bits),
-      normalize(col(b), r.getLong(2), r.getLong(3), bits), bits)
-    df.withColumn("__z", z)
+    require(keys.nonEmpty, "writeZOrderedN needs at least one key")
+    val eff = effBits(keys.size, bits)
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val normed = keys.zipWithIndex.map { case (k, j) =>
+      normalize(col(k), r.getLong(2 * j), r.getLong(2 * j + 1), eff)
+    }
+    df.withColumn("__z", zValueN(normed, eff))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-key form (delegates to [[writeZOrderedN]]). */
+  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+      nFiles: Int = 8, bits: Int = 16): Unit =
+    writeZOrderedN(df, Seq(a, b), path, nFiles, bits)
 
   /** Linear comparison layout: same file count, ordered by `a` alone. */
   def writeLinear(df: DataFrame, a: String, path: String, nFiles: Int = 8): Unit =

@@ -309,6 +309,53 @@ object DataflowQueries {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Borsh round-trip under the hash gate (the reference's second wire
+    * format — Cargo.toml:32): borsh-encode each synthetic tx with the
+    * native `borsh_encode_tx` expression, decode with `borsh_decode_tx`
+    * (typed struct out), and aggregate over the DECODED fields — the
+    * grouping key, fee sum, and distinct-hash count all flow through
+    * the codec, so any byte-level defect breaks the DuckDB hash match.
+    * The oracle recomputes fees/hashes from the generator arithmetic
+    * and encoded bytes analytically (borsh TxRecord = 28 + len(hash);
+    * md5 hex is always 32). Scale: two codegen'd projections, zero
+    * added shuffles. */
+  def q90BorshRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.BorshExpressions.{borshDecodeTx, borshEncodeTx}
+    s.range(0L, 2000L).toDF("block_number")
+      .withColumn("n_tx", (col("block_number") * 2654435761L) % 97 % 7)
+      .withColumn("tx_i",
+        explode(when(col("n_tx") > 0, sequence(lit(0L), col("n_tx") - 1))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))))
+      // fees shifted negative so the i64 (two's-complement LE) path is live
+      .withColumn("fee",
+        ((col("block_number") * 31 + col("tx_i")) * 1103515245L + 12345L) % 1000003L
+          - lit(500000L))
+      .withColumn("tx_hash", md5(concat_ws("-", col("block_number"), col("tx_i"))))
+      .withColumn("enc", borshEncodeTx(col("block_number"), col("tx_i"),
+        col("fee"), col("tx_hash")))
+      .withColumn("dec", borshDecodeTx(col("enc")))
+      .groupBy((col("dec.block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        sum(col("dec.fee")).cast("long").as("total_fees"),
+        sum(length(col("enc"))).cast("long").as("total_bytes"),
+        countDistinct(col("dec.tx_hash")).as("n_hashes"))
+      .orderBy(col("bucket"))
+  }
+
+  val q90Sql: String =
+    """SELECT block_number % 10 AS bucket, COUNT(*) AS n_txs,
+      |  CAST(SUM(fee) AS BIGINT) AS total_fees,
+      |  CAST(SUM(28 + 32) AS BIGINT) AS total_bytes,
+      |  CAST(COUNT(DISTINCT md5(concat(block_number, '-', tx_i))) AS BIGINT) AS n_hashes
+      |FROM (
+      |  SELECT block_number, tx_i,
+      |    ((block_number * 31 + tx_i) * 1103515245 + 12345) % 1000003 - 500000 AS fee
+      |  FROM (
+      |    SELECT block_number,
+      |      unnest(range(0, (block_number * 2654435761) % 97 % 7)) AS tx_i
+      |    FROM range(0, 2000) t(block_number)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Scalar function battery (string/date/math) — the §2.2 scalar surface
     * exercised in one projection; codecs base64/hex covered in q37. */
   def q36ScalarBattery(s: SparkSession, dir: String): DataFrame =

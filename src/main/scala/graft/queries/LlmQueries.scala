@@ -311,16 +311,61 @@ object LlmQueries {
   // ---------------------------------------------------------------------
   // Near-dup via SimHash
 
+  // ---- portable SimHash hash family (oracle-expressible) ----
+
+  /** Modulus for the per-bit universal hashes: 2³¹−1 (prime). Products
+    * a·v stay < 2⁶², so both engines evaluate in exact int64 with no
+    * ANSI overflow. */
+  private val SimP = 2147483647L
+
+  /** 64 fixed (a, b) pairs for the per-bit family, from a seeded LCG —
+    * deterministic constants inlined into BOTH engines' SQL. */
+  private val simAB: IndexedSeq[(Long, Long)] = {
+    var x = 987654321L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % SimP; x }
+    (0 until 64).map(_ => (math.max(1L, next()), next()))
+  }
+
+  /** Portable trigram value < 2³¹−1 from tokval arithmetic — the same
+    * cross-engine trick q86's feature hashing uses, lifted to trigrams.
+    * `t0/t1/t2` are SQL expression strings, so one generator serves the
+    * Spark plan and (L-suffix-stripped) the DuckDB oracle. */
+  private def triValSql(t0: String, t1: String, t2: String): String = {
+    import graft.functions.TextFunctions.tokvalSql
+    s"""((((${tokvalSql(t0)}) * 31L + (${tokvalSql(t1)})) % ${SimP}L) * 31L
+       | + (${tokvalSql(t2)})) % ${SimP}L""".stripMargin
+  }
+
+  /** Distinct (doc_id, v) portable trigram values (the oracle-able twin
+    * of [[shingleRows]]; memoized for the same recompute reasons). */
+  private def portableTriRows(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "shingles_portable", "w3,p31") {
+      val n = size(col("toks"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+        .filter(n >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), n - 2).as("t0"),
+          slice(col("toks"), lit(2), n - 2).as("t1"),
+          slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
+        .select(col("doc_id"),
+          expr(triValSql("tg.t0", "tg.t1", "tg.t2")).as("v"))
+        .distinct()
+    }
+
   /** SimHash signatures, relationally (same rationale as minhashSigs):
-    * explode shingles, hash once, 64 bit-sum aggregates in one groupBy
-    * (sum of ±1 per bit), then assemble the 64-bit signature in a single
+    * explode shingles, 64 bit-sum aggregates in one groupBy (sum of ±1
+    * per bit), then assemble the 64-bit signature in a single
     * projection. The naive nested-lambda version of this measured 583 s
-    * at sf0.1; this one is ~1 s. */
+    * at sf0.1; this one is ~1 s. Each bit i is the pairwise-independent
+    * hash ((aᵢ·v + bᵢ) mod p) mod 2 — portable arithmetic instead of an
+    * engine-internal hash, which is what makes q22 oracle-able. */
   private def simhashSigs(rows: DataFrame): DataFrame = {
-    val ex = rows.select(col("doc_id"), col("hg").as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"s$i"))
-    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val bitSums = simAB.zipWithIndex.map { case ((a, b), i) =>
+      sum(when(expr(s"((${a}L * v + ${b}L) % ${SimP}L) % 2 = 1"), 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val sums = rows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     sums.select(col("doc_id"),
       expr((0 until 64).map(i => s"IF(s$i >= 0, shiftleft(1L, $i), 0L)")
         .mkString(" + ")).as("sig"))
@@ -332,12 +377,14 @@ object LlmQueries {
     * dirty all 8 bands, so every pair at Hamming ≤ 6 collides in at
     * least one band — candidate generation provably misses nothing the
     * confirm step would accept (4×16 banding could drop Hamming-5/6
-    * pairs: 6 flips spread 2+2+1+1). Signature uses Spark's xxhash64 —
-    * engine-internal, so no SQL oracle (driver records rows-only);
-    * SelfConsistencySpec asserts recall 1 on the tight exact pairs.
+    * pairs: 6 flips spread 2+2+1+1). The banded LSH output therefore
+    * EQUALS the brute-force all-pairs Hamming filter, which is exactly
+    * what the DuckDB oracle computes (per-bit sign aggregates + pair
+    * sign-diff count) from the same portable hash family.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = memo(s, dir, "simhash", "w3,b64")(simhashSigs(shingleRows(s, dir)))
+    val sh = memo(s, dir, "simhash", "w3,b64,p31")(
+      simhashSigs(portableTriRows(s, dir)))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
         .as(Seq("band", "key")))
@@ -349,10 +396,43 @@ object LlmQueries {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+        expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: brute-force all-pairs SimHash from the same portable hash
+    * family — per-doc bit-sign aggregates over the distinct trigram
+    * values, then a pair join counting differing signs. Banding
+    * completeness (see q22 doc) makes the LSH output equal this exact
+    * form. Generated from the same triValSql/simAB constants as the
+    * Spark plan, so the two encodings cannot drift. */
+  val q22Sql: String = {
+    def duck(sql: String): String =
+      sql.replaceAll("(\\d)L\\b", "$1").replace("substring", "substr")
+    val v = duck(triValSql("tk[i]", "tk[i + 1]", "tk[i + 2]"))
+    val sums = simAB.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(SUM(CASE WHEN (($a * v + $b) % $SimP) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$i"
+    }.mkString(",\n    ")
+    val diffs = (0 until 64)
+      .map(i => s"CASE WHEN (a.s$i >= 0) <> (b.s$i >= 0) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, $v AS v
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+      |        FROM toks WHERE len(tk) >= 3)),
+      |bits AS (
+      |  SELECT doc_id,
+      |    $sums
+      |  FROM tri GROUP BY doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST($diffs AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------

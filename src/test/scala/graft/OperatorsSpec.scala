@@ -105,6 +105,19 @@ class OperatorsSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("C4 PlanCache hit/miss counters flow through the exposition") {
+    val (h0, m0) = PlanCache.stats
+    val tag = s"metrics_spec_${System.nanoTime()}" // unique per run
+    PlanCache.memo(spark, "/tmp", tag)(spark.range(3).toDF("x"))
+    PlanCache.memo(spark, "/tmp", tag)(spark.range(3).toDF("x"))
+    val (h1, m1) = PlanCache.stats
+    assert(m1 === m0 + 1, "first memo call must be a miss")
+    assert(h1 === h0 + 1, "second memo call must be a hit")
+    val text = new EngineMetrics(spark.sparkContext).exposition()
+    assert(text.contains(s"plancache_hit_count $h1\n"), text)
+    assert(text.contains(s"plancache_miss_count $m1\n"), text)
+  }
+
   // ---- C6/C7 config validation --------------------------------------
 
   test("C6 config: sink/timestamp-mode pairing enforced (features.rs matrix)") {

@@ -145,7 +145,7 @@ class SelfConsistencySpec extends AnyFunSuite {
     val simhash = LlmQueries.q22DedupSimhash(spark, dir).collect()
     val simhashPairs = simhash.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight.nonEmpty)
-    assert(simhash.forall(_.getInt(2) <= 6), "q22 emitted a pair above Hamming 6")
+    assert(simhash.forall(_.getLong(2) <= 6L), "q22 emitted a pair above Hamming 6")
     val missed = tight -- simhashPairs
     info(s"q22 pairs=${simhashPairs.size} tight-exact=${tight.size} missed=${missed.size}")
     assert(missed.isEmpty, s"SimHash missed tight near-dup pairs: $missed")

@@ -63,6 +63,42 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("3-key z-order: every dimension's predicate skips files; 2-key path unchanged") {
+    import spark.implicits._
+    // three independent 0..63 keys (seeded, so the spec is stable) —
+    // each should end up with tight per-file boxes under the 3-way curve
+    val rnd = new scala.util.Random(42)
+    val rows = for (_ <- 0 until 20000) yield
+      (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+    val df = rows.toDF("x", "y", "z3")
+    val dir3 = Files.createTempDirectory("zorder3").toString
+    ZOrder.writeZOrderedN(df, Seq("x", "y", "z3"), dir3, nFiles = 16, bits = 8)
+    val files = Option(new java.io.File(dir3).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("x"), max("x"), min("y"), max("y"), min("z3"), max("z3")).head()
+      (0 until 6).map(r.getLong)
+    }
+    // a one-quarter predicate on EACH dimension must overlap a strict
+    // subset of files (a single-key sort gives full-range boxes for the
+    // two non-leading keys)
+    for (d <- 0 until 3) {
+      val hit = boxes.count(b => b(2 * d) <= 15 && b(2 * d + 1) >= 0)
+      assert(hit <= 12, s"dim $d: quarter-range predicate overlaps $hit/16 files")
+    }
+    // content is layout-invariant
+    assert(spark.read.parquet(dir3).count() === 20000L)
+    graft.Staging.deleteRecursively(dir3)
+
+    // delegation keeps the 2-key bit layout: zValue == zValueN(Seq(a,b))
+    val two = Seq((3L, 5L), (1000L, 1L)).toDF("a", "b").select(
+      ZOrder.zValue(col("a"), col("b"), 11).as("z2"),
+      ZOrder.zValueN(Seq(col("a"), col("b")), 11).as("zn"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("zValue is monotone within each dimension (skipping-safe order)") {
     import spark.implicits._
     val df = Seq((3L, 5L), (3L, 6L), (4L, 5L), (1000L, 1L), (1L, 1000L))
