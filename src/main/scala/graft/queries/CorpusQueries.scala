@@ -424,9 +424,9 @@ object CorpusQueries {
     * shuffle + per-partition local sort + partition-count offsets, NO
     * single-partition window. The DuckDB oracle keeps the literal ntile
     * form, so the green hash row proves the distributed arithmetic IS
-    * ntile. CorpusSpec additionally asserts (a) the plan contains no
-    * Window and no SinglePartition exchange, and (b) the sketch-cutpoint
-    * variant below bins identically at gate scale. */
+    * ntile. RanksSpec additionally asserts (a) the plan contains no
+    * global ntile window, and (b) the sketch-cutpoint variant below
+    * bins identically at gate scale. */
   def q80QuantileBins(s: SparkSession, dir: String): DataFrame =
     binDeciles(
       graft.operators.Ranks.exactNtile(
