@@ -666,6 +666,77 @@ object CorpusQueries {
       |FROM tt JOIN p USING (term) WHERE doc_id < 200
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q91 — repetition-based quality filters (Gopher-style)
+
+  /** The Gopher/C4 family of repetition filters (Rae et al. '21 §A1.1),
+    * adapted to token granularity: documents dominated by repeated
+    * tokens or a single repeated n-gram are boilerplate/spam and get
+    * dropped before training. Three signals per document —
+    * duplicate-token fraction (1 − distinct/total), top-unigram mass
+    * and top-bigram mass (count of the most frequent 1-/2-gram over the
+    * doc's gram total; `max` of counts, so ties can't destabilize the
+    * result) — plus the keep/drop verdict. Everything is keyed by
+    * doc_id: two partial-aggregate chains (unigram, bigram via the q85
+    * zip-of-slices shape) and one co-keyed join — per-doc work only,
+    * no corpus-wide state, linear at any scale. */
+  def q91RepetitionFilters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uniS = docTerms(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokensOf(col("text")).as("t"))
+    val n = size(col("t"))
+    val biS = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), n - 1).as("a"),
+        slice(col("t"), lit(2), n - 1).as("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bi"), max(col("c")).as("max_bi"))
+    uniS.join(biS, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1d) - col("n_distinct").cast("double") / col("n_toks"), 6)
+          .as("dup_tok_frac"),
+        round(col("max_c").cast("double") / col("n_toks"), 6).as("top_tok_frac"),
+        round(col("max_bi").cast("double") / col("n_bi"), 6).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_tok_frac") <= 0.6 && col("top_tok_frac") <= 0.15 &&
+          col("top_bigram_frac") <= 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |uu AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |uc AS (SELECT doc_id, term, COUNT(*) AS c FROM uu
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+      |  COUNT(*) AS n_distinct, MAX(c) AS max_c FROM uc GROUP BY 1),
+      |bi AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+      |        WHERE len(t) >= 2)
+      |  WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |bc AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+      |  MAX(c) AS max_bi FROM bc GROUP BY 1),
+      |f AS (SELECT doc_id, n_toks,
+      |  round(1 - CAST(n_distinct AS DOUBLE) / n_toks, 6) AS dup_tok_frac,
+      |  round(CAST(max_c AS DOUBLE) / n_toks, 6) AS top_tok_frac,
+      |  round(CAST(max_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac
+      |  FROM us JOIN bs USING (doc_id))
+      |SELECT doc_id, n_toks, dup_tok_frac, top_tok_frac, top_bigram_frac,
+      |  (dup_tok_frac <= 0.6 AND top_tok_frac <= 0.15
+      |   AND top_bigram_frac <= 0.1) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
     def iter(prev: String, next: String) =

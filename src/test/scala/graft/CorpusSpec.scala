@@ -214,6 +214,23 @@ class CorpusSpec extends AnyFunSuite {
     })
   }
 
+  test("q91 repetition filters: fractions bounded, verdict consistent, one row per doc") {
+    val out = CorpusQueries.q91RepetitionFilters(spark, TestSpark.sfDir).collect()
+    val nDocs = Tables.documents(spark, TestSpark.sfDir).count()
+    assert(out.length.toLong === nDocs, "every document gets a verdict")
+    out.foreach { r =>
+      val (dup, top1, top2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(dup >= 0.0 && dup < 1.0, s"dup_tok_frac out of range: $dup")
+      // the most frequent gram accounts for >0 and <=100% of gram mass
+      assert(top1 > 0.0 && top1 <= 1.0 && top2 > 0.0 && top2 <= 1.0)
+      assert(r.getBoolean(5) === (dup <= 0.6 && top1 <= 0.15 && top2 <= 0.1),
+        "keep must equal the threshold conjunction")
+    }
+    // the thresholds split the corpus non-trivially (not all-keep/all-drop)
+    val kept = out.count(_.getBoolean(5))
+    assert(kept > 0 && kept < out.length)
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
