@@ -222,4 +222,134 @@ object StreamPipeline {
     """SELECT event_type, COUNT(*) AS n_keys
       |FROM (SELECT DISTINCT user_id, event_type FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q92 — streaming sessionization with arbitrary per-key state
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(start_ms: Long, last_ms: Long, n: Long)
+  final case class SessOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** The flatMapGroupsWithState session builder: rows are sorted by
+    * event time inside the group (the iterator carries no order
+    * guarantee), folded into gap-delimited sessions; closed sessions
+    * emit immediately, the trailing open session is held in state with
+    * an event-time timeout at last_ms + gap. Per-key memory = one open
+    * session (three longs) — bounded regardless of stream length. */
+  private[graft] def sessionFold(gapMs: Long)(
+      userId: Long, rows: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(SessOut(userId, st.start_ms, st.last_ms, st.n))
+    } else {
+      val sorted = rows.map(_.ts.getTime).toArray.sorted
+      var out = List.empty[SessOut]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some(st) if t - st.last_ms <= gapMs =>
+            cur = Some(st.copy(last_ms = t, n = st.n + 1))
+          case Some(st) =>
+            out ::= SessOut(userId, st.start_ms, st.last_ms, st.n)
+            cur = Some(SessState(t, t, 1L))
+          case None =>
+            cur = Some(SessState(t, t, 1L))
+        }
+      }
+      cur match {
+        case Some(st) if st.last_ms + gapMs <= state.getCurrentWatermarkMs() =>
+          // already expired relative to the watermark — no in-gap event
+          // can still arrive, so emit now (setTimeoutTimestamp would
+          // reject a timestamp at/behind the watermark)
+          out ::= SessOut(userId, st.start_ms, st.last_ms, st.n)
+          state.remove()
+        case Some(st) =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.last_ms + gapMs)
+        case None => state.remove()
+      }
+      out.reverse.iterator
+    }
+  }
+
+  private val q92Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Third streaming entry under the driver's hash gate: SESSIONIZATION
+    * as `flatMapGroupsWithState` — the arbitrary-stateful-operator
+    * surface (KeyValueGroupedDataset) doing real cross-batch work, not a
+    * built-in. Events replay as a stream; per user, gap-delimited
+    * sessions emit as they close (a later event breaks the gap) or when
+    * the event-time watermark passes last_event + gap (timeout). With a
+    * zero-delay watermark the end-of-replay watermark is max(ts), so a
+    * user's trailing session emits iff session_end + gap < max(ts) —
+    * exactly the oracle's WHERE clause; every non-trailing session
+    * satisfies it vacuously (the event that closed it is ≤ max(ts) and
+    * > end + gap). Timestamps travel as epoch millis (BIGINT) so the
+    * ns-parquet / µs-Spark / DuckDB floor chains agree (q43's trick).
+    * Scale: state is one open session per user; the no-data final
+    * batches that fire timeouts are the engine's own quiesce protocol
+    * (shouldRunAnotherBatch), not driver loops. */
+  def q92StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("q92_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(batchSchema).parquet(streamDir.toString)
+    val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val name = s"q92_sessions_${q92Counter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts")).as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionFold(30L * 60 * 1000))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("session_start_ms"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    s.createDataFrame(rows, schema)
+  }
+
+  val q92Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ms
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ms,
+      |    SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM d),
+      |sess AS (
+      |  SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+      |    COUNT(*) AS n_events
+      |  FROM g GROUP BY user_id, sid),
+      |mx AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events)
+      |SELECT user_id, session_start_ms, session_end_ms, n_events
+      |FROM sess CROSS JOIN mx
+      |WHERE session_end_ms + 1800000 < max_ms
+      |ORDER BY user_id, session_start_ms""".stripMargin
 }

@@ -165,6 +165,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(1L))
   }
 
+  test("flatMapGroupsWithState sessions merge across batches and flush on event-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sessions = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts")).as[StreamPipeline.SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreamPipeline.SessState, StreamPipeline.SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamPipeline.sessionFold(30L * 60 * 1000))
+    val q = sessions.toDF().writeStream.format("memory").queryName("fmgs_sessions")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(10, 0), 1L), (t(10, 10), 1L))
+    q.processAllAvailable()
+    // within the 30-min gap of 10:10 — must MERGE into the batch-1
+    // session, not open a second one; user 2 advances the watermark
+    mem.addData((t(10, 20), 1L), (t(12, 0), 2L))
+    q.processAllAvailable()
+    // watermark reaches 13:00 -> users 1 (10:50 deadline) and 2 (12:30)
+    // time out — user 2's via the engine's no-data quiesce batch after
+    // the watermark advance; user 3 (13:30 deadline > wm) stays held
+    mem.addData((t(13, 0), 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql(
+      "SELECT user_id, session_start_ms, session_end_ms, n_events FROM fmgs_sessions ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, t(10, 0).getTime, t(10, 20).getTime, 3L),
+      (2L, t(12, 0).getTime, t(12, 0).getTime, 1L)))
+  }
+
   test("mapGroupsWithState keeps a per-source high watermark across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
