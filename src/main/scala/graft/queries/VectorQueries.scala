@@ -278,6 +278,83 @@ object VectorQueries {
       |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-dimension int8 scalar quantization of the embedding column —
+    * the standard 4× compression step before ANN serving (FAISS's SQ8):
+    * each dimension d gets a [min_d, max_d] range from one corpus pass,
+    * values quantize to code = floor((x−mn)·255/(mx−mn)) ∈ [0,255] and
+    * reconstruct as mn + code·(mx−mn)/255. Everything is exact double
+    * arithmetic in a fixed operation order, so the codes are
+    * bit-reproducible cross-engine and the per-vector code/error
+    * aggregates sit under the full DuckDB hash oracle — the quantizer
+    * itself is verified, not just spot-checked. The range table is
+    * d rows → broadcast; the quantize pass is scan-local. Recall impact
+    * is SelfConsistencySpec's job (reconstructed top-k vs q27 exact).
+    * Scale: one n×d-row aggregate for ranges + one map-side pass —
+    * linear, no self-joins anywhere. */
+  def q93ScalarQuantize(s: SparkSession, dir: String): DataFrame = {
+    val coded = sqCodes(s, dir)
+    coded.filter(col("vec_id") < 100)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code")).cast("long").as("sum_code"),
+        min(col("code")).as("min_code"),
+        max(col("code")).as("max_code"),
+        round(graft.Oracle.dsum(abs(col("x") - col("recon"))) / count(lit(1)), 9)
+          .as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** (vec_id, d, x, mn, mx, code, recon) — the quantization working set
+    * shared by q93 and the recall spec. */
+  private[graft] def sqCodes(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val ranges = dims.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(ranges), "d")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) * lit(255d) / (col("mx") - col("mn")))
+              .cast("long"),
+            lit(255L))))
+      .withColumn("recon",
+        col("mn") + col("code") * (col("mx") - col("mn")) / lit(255d))
+  }
+
+  /** Embeddings rebuilt from their int8 codes (float, like the source
+    * column) — what a quantized index actually searches against. */
+  private[graft] def sqReconstruct(s: SparkSession, dir: String): DataFrame =
+    sqCodes(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("recon")))).as("dm"))
+      .select(col("vec_id"),
+        expr("transform(dm, p -> CAST(p.recon AS FLOAT))").as("embedding"))
+
+  val q93Sql: String =
+    s"""WITH dims AS (
+      |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |r AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+      |coded AS (
+      |  SELECT vec_id, x, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE LEAST(CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT), 255)
+      |    END AS code
+      |  FROM dims JOIN r USING (d)),
+      |re AS (
+      |  SELECT vec_id, code, abs(x - (mn + code * (mx - mn) / 255)) AS err
+      |  FROM coded)
+      |SELECT vec_id, COUNT(*) AS n_dims,
+      |  CAST(SUM(code) AS BIGINT) AS sum_code,
+      |  MIN(code) AS min_code, MAX(code) AS max_code,
+      |  round(${graft.Oracle.dsumSql("err")} / COUNT(*), 9) AS mean_abs_err
+      |FROM re WHERE vec_id < 100
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,

@@ -131,6 +131,40 @@ class SelfConsistencySpec extends AnyFunSuite {
     }
   }
 
+  // ---- q93 int8 scalar quantization ------------------------------------
+
+  test("q93 SQ8: codes bounded, per-dim error under one quantization step, recall@5 holds") {
+    val codes = VectorQueries.sqCodes(spark, dir)
+      .select(col("code"), col("x"), col("recon"), col("mn"), col("mx")).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val (code, x, recon, mn, mx) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(code >= 0L && code <= 255L)
+      // floor-quantization error is strictly under one step (plus fp slack)
+      val step = if (mx > mn) (mx - mn) / 255.0 else 0.0
+      assert(math.abs(x - recon) <= step + 1e-12,
+        s"reconstruction error ${math.abs(x - recon)} exceeds step $step")
+    }
+    // searching the reconstructed vectors must preserve the exact top-5
+    val recon: Map[Long, Array[Float]] =
+      VectorQueries.sqReconstruct(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(recon.keySet === vecs.keySet)
+    val qIds = (0L until 10L).toSeq
+    val exact = exactTopK(qIds, 5)
+    val hits = qIds.map { q =>
+      val quantTop = recon.keys.filter(_ != q).toSeq
+        .map(c => (c, round6(cosine(recon(q), recon(c)))))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(5).map(_._1)
+      (exact(q).toSet intersect quantTop.toSet).size
+    }.sum
+    val recall = hits / (qIds.size * 5.0)
+    info(s"q93 SQ8 recall@5 = $recall")
+    assert(recall >= 0.8, s"int8 quantization recall@5 $recall below floor")
+  }
+
   // ---- q22 SimHash ----------------------------------------------------
 
   test("q22 SimHash recovers every tight exact near-dup pair (J >= 0.95)") {
