@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q91: repetition filters are pure aggregate chains — no window, no nested loop") {
+    val p = plan(CorpusQueries.q91RepetitionFilters(spark, dir))
+    assert(!p.contains("Window"), "per-doc signals must not need a window sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q93: quantization range table joins as broadcast — the scan side never shuffles for it") {
+    val p = plan(VectorQueries.q93ScalarQuantize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
