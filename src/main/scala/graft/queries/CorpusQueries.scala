@@ -667,6 +667,125 @@ object CorpusQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q95 — deterministic mixture resampling (source-weighted data mixing)
+
+  /** The data-mixing step of a training pipeline: re-weight sources to a
+    * target mixture where weight w < 1 downsamples and w > 1 UPSAMPLES
+    * (epoch replication — e.g. Wikipedia seen 3.1× per epoch while raw
+    * web is seen 0.25×). Copy r ∈ [0, ⌈w⌉) of a document survives iff
+    * 1000·r + u(doc, r) < 1000·w with u a Knuth multiplicative hash into
+    * [0, 1000) — expected copies = w exactly, and the outcome is a pure
+    * function of (doc_id, r): any engine, any partitioning, any rerun
+    * materializes the SAME mixture (q73's re-derivability argument,
+    * extended to replication). Weights here derive from the source index
+    * (w = 0.25 + 0.15·k) so the oracle needs no side table. Scale: the
+    * explode is scan-local and bounded by ⌈w⌉; nothing shuffles until
+    * the per-source audit aggregate. The checksum weights each copy by
+    * (r+1) so a survivor swap (copy 0 ↔ copy 2 of different docs) cannot
+    * cancel — the oracle verifies WHICH copies survive, not how many. */
+  def q95MixtureResample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w_milli",
+        lit(250L) + expr("CAST(substring(source, 4) AS BIGINT)") * lit(150L))
+      .withColumn("r",
+        explode(expr("sequence(0, CAST((w_milli + 999) div 1000 AS INT) - 1)")))
+      .withColumn("u",
+        pmod((col("doc_id") + col("r") * lit(1000003L)) * lit(2654435761L), lit(1000L)))
+      .filter(col("r") * lit(1000L) + col("u") < col("w_milli"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_out"),
+        countDistinct(col("doc_id")).as("n_unique"),
+        Oracle.lsum(col("doc_id") * (col("r") + lit(1L))).as("checksum"))
+      .orderBy(col("source"))
+
+  val q95Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    250 + CAST(substr(source, 4) AS BIGINT) * 150 AS w_milli
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, source, w_milli,
+      |    unnest(range(0, (w_milli + 999) // 1000)) AS r
+      |  FROM d),
+      |k AS (
+      |  SELECT * FROM x
+      |  WHERE r * 1000 + ((doc_id + r * 1000003) * 2654435761) % 1000 < w_milli)
+      |SELECT source, COUNT(*) AS n_out, COUNT(DISTINCT doc_id) AS n_unique,
+      |  ${Oracle.lsumSql("doc_id * (r + 1)")} AS checksum
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q94 — interpolated bigram log-probability (LM quality scoring)
+
+  /** The step up from q87's unigram model: score each document by the
+    * mean negative log-probability of its token TRANSITIONS under a
+    * Jelinek-Mercer-interpolated bigram model trained on the corpus
+    * itself — p(v|u) = λ·c(uv)/c(u·) + (1−λ)·c(v)/N. This is the
+    * KenLM-perplexity shape CCNet actually filters with (bigram
+    * transitions catch shuffled-token garbage that unigram mass cannot).
+    * Interpolation (λ = 0.7) keeps every probability nonzero without
+    * discount bookkeeping, and stays exactly reproducible cross-engine:
+    * fixed-order double arithmetic, ln on a 1e-6 output grid, decimal
+    * ln-sum. Scale: the unigram/context tables are vocabulary-sized →
+    * broadcast; the bigram-count join keys (a, b) are co-keyed with the
+    * bigram stream itself → hash join that AQE may broadcast at small
+    * scale but shuffles co-partitioned at corpus scale (NOT pinned
+    * broadcast — the bigram vocabulary grows with the corpus). */
+  def q94BigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docTerms(docs)
+    val total = terms.agg(count(lit(1)).cast("double").as("n_total"))
+    val uni = terms.groupBy(col("term").as("b")).agg(count(lit(1)).as("c_b"))
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokensOf(col("text")).as("t"))
+    val n = size(col("t"))
+    val bi = toks.filter(n >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), n - 1).as("a"),
+        slice(col("t"), lit(2), n - 1).as("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val biC = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ctxC = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    bi.filter(col("doc_id") < 200)
+      .join(biC, Seq("a", "b"))
+      .join(broadcast(ctxC), "a")
+      .join(broadcast(uni), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("lnp",
+        log(lit(0.7) * (col("c_ab").cast("double") / col("c_a")) +
+            lit(0.3) * (col("c_b").cast("double") / col("n_total"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        round(-Oracle.dsum(col("lnp")) / count(lit(1)), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |ut AS (SELECT doc_id, term FROM
+      |  (SELECT doc_id, unnest(tk) AS term FROM toks) WHERE term <> ''),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM ut),
+      |uc AS (SELECT term AS b, COUNT(*) AS c_b FROM ut GROUP BY 1),
+      |bi AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+      |        WHERE len(tk) >= 2)
+      |  WHERE tk[i] <> '' AND tk[i + 1] <> ''),
+      |bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+      |cc AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    ln(CAST(0.7 AS DOUBLE) * (CAST(c_ab AS DOUBLE) / c_a)
+      |       + CAST(0.3 AS DOUBLE) * (CAST(c_b AS DOUBLE) / n_total)) AS lnp
+      |  FROM bi JOIN bc USING (a, b) JOIN cc USING (a)
+      |    JOIN uc USING (b) CROSS JOIN n
+      |  WHERE bi.doc_id < 200)
+      |SELECT doc_id, COUNT(*) AS n_bi,
+      |  round(-${Oracle.dsumSql("lnp")} / COUNT(*), 6) AS nll
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q91 — repetition-based quality filters (Gopher-style)
 
   /** The Gopher/C4 family of repetition filters (Rae et al. '21 §A1.1),

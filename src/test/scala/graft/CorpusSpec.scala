@@ -231,6 +231,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept > 0 && kept < out.length)
   }
 
+  test("q94 bigram NLL: positive, bounded by the interpolation floor, one row per scored doc") {
+    val out = CorpusQueries.q94BigramLogprob(spark, TestSpark.sfDir).collect()
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val expected = docs.filter(col("doc_id") < 200)
+      .filter(size(split(lower(col("text")), " ")) >= 2).count()
+    assert(out.length.toLong === expected)
+    // every transition has p >= (1-λ)·min_b c(b)/N, so nll is capped at
+    // -ln of that floor — the interpolation property that makes the
+    // model total (no zero-probability transitions)
+    val terms = docs.select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val n = terms.count().toDouble
+    val minC = terms.groupBy("t").count().agg(min("count")).head().getLong(0).toDouble
+    val cap = -math.log(0.3 * minC / n)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      val nll = r.getDouble(2)
+      assert(nll > 0.0 && nll <= cap + 1e-9,
+        s"doc ${r.getLong(0)} nll $nll outside (0, $cap]")
+    }
+  }
+
+  test("q95 mixture resampling: w>=1 sources keep every doc, counts track the target weights") {
+    val out = CorpusQueries.q95MixtureResample(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val perSource = Tables.documents(spark, TestSpark.sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === perSource.keySet)
+    out.foreach { case (src, (nOut, nUnique)) =>
+      val k = src.stripPrefix("src").toInt
+      val w = 0.25 + 0.15 * k
+      val nIn = perSource(src).toDouble
+      // copy 0 is unconditionally kept once w >= 1 (r=0 => u < 1000 <= w_milli)
+      if (w >= 1.0) assert(nUnique.toDouble === nIn, s"$src lost docs despite w=$w")
+      else assert(nUnique < nIn, s"$src (w=$w) should downsample")
+      assert(nUnique <= nOut)
+      // hash-thinning tracks the target: binomial-style deviation bound
+      assert(math.abs(nOut - w * nIn) <= 4 * math.sqrt(nIn) + 1,
+        s"$src n_out=$nOut far from target ${w * nIn}")
+    }
+  }
+
   test("q72 BM25 scores only documents containing a query term") {
     val scored = CorpusQueries.q72Bm25(spark, TestSpark.sfDir).collect()
     assert(scored.nonEmpty)
