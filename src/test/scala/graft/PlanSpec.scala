@@ -88,6 +88,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q97: triangle pipeline is all equi-joins — no cartesian, no nested loop") {
+    val p = plan(GraphQueries.q97Plan(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "wedge or closing join degenerated to O(n²):\n" + p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
