@@ -68,10 +68,13 @@ object PageRank {
     val e = edges.select(col(srcC).as("src"), col(dstC).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val edJoined = e.join(deg, "src")
-    val ed = (if (broadcastRank) edJoined
-              else edJoined.repartition(parts, col("src"))
-                .sortWithinPartitions(col("src")))
+    // default path: force the degree join to sort-merge — its output is
+    // already hash-partitioned AND sorted on src (the degree side reuses
+    // its own groupBy exchange), so persisting the join result directly
+    // gives the iteration layout without a second full shuffle+sort of
+    // the edge table (measured: saves one 2×|E|-row exchange per build)
+    val ed = (if (broadcastRank) e.join(deg, "src")
+              else e.hint("merge").join(deg, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count() // materializes e then ed; finalizes both cached plans
     val n = deg.count().toDouble // cheap: aggregates the cached e
