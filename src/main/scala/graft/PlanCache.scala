@@ -52,9 +52,17 @@ object PlanCache {
     }
   }
 
-  /** Unpersist and forget every entry belonging to `s` (all dirs/tags). */
+  /** Unpersist and forget every entry belonging to `s` (all dirs/tags).
+    * Unpersist failures are swallowed: when invoked from the app-end
+    * listener the context is already stopping, and CacheManager's
+    * recache pass then throws assertNotStopped — the entries die with
+    * the JVM either way, but an escaped exception would error the
+    * whole listener bus. */
   def clear(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer TRAINING — the iterative half of the tokenization story
+  * (q81 applies a fixed regex tokenizer; here the engine learns BPE
+  * merges from the corpus itself, the Sennrich et al. 2016 algorithm
+  * every modern LLM tokenizer descends from).
+  *
+  * Reference context: etl-rust ships no text processing at all — this
+  * tier exists because a 100 TB training-data engine needs it.
+  */
+object TokenizerQueries {
+
+  private val Merges = 4
+
+  // ---------------------------------------------------------------------
+  // q98 — BPE merge training (iterative relational pair-merge)
+
+  /** Learn the first 4 BPE merges over the document corpus and emit the
+    * merge table: (merge_rank, lhs, rhs, merged, pair_count).
+    *
+    * Relational formulation, one round = three shapes:
+    *   1. pair counts — zip-of-slices bigrams over the spaced symbol
+    *      string (same codegen'd shape as q85's collocations), weighted
+    *      by word frequency: ONE hash aggregate with map-side partials
+    *      over a vocabulary-sized table.
+    *   2. argmax — orderBy(count desc, pair asc) LIMIT 1: deterministic
+    *      single-row result, broadcast into the rewrite.
+    *   3. merge application — `replace(s, ' a b ', ' ab ')` on the
+    *      spaced string: both Spark and DuckDB scan left-to-right over
+    *      non-overlapping matches, which IS the greedy simultaneous
+    *      merge BPE specifies (verified on the ' a a a ' overlap case:
+    *      both produce ' aa a '). Scan-local projection, no shuffle.
+    *
+    * Scale: every aggregate runs over the word-frequency table (vocab-
+    * sized, shrinks relative to corpus as corpus grows — Heaps' law),
+    * NOT over the corpus; the corpus is read once to build it. Each
+    * round's rewritten vocabulary is memoized via [[graft.PlanCache]]
+    * so round k+1's pair count and rewrite both read a persisted
+    * InMemoryTableScan instead of re-deriving k rounds of lineage (the
+    * branch factor would otherwise be 2^k). The per-round argmax result
+    * is one row — it rides a broadcast cross join, never the driver.
+    *
+    * The DuckDB oracle unrolls the same 4 rounds as CTEs, so the green
+    * hash row proves the iterative relational plan computes the exact
+    * Sennrich merge sequence. */
+  def q98BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val rounds = merges(s, dir)
+    rounds.zipWithIndex.map { case (m, i) =>
+      m.select(lit(i + 1).as("merge_rank"), col("a").as("lhs"),
+        col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_count"))
+    }.reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
+  /** The per-round argmax tables m_1..m_4 (each one row: a, b, cnt). */
+  private def merges(s: SparkSession, dir: String): Seq[DataFrame] = {
+    var w = graft.PlanCache.memo(s, dir, "bpe_words", s"r0") {
+      // word-frequency table with each word as a spaced symbol string:
+      // "hello" -> " h e l l o " (the surrounding spaces make every
+      // symbol boundary explicit for the pair needle)
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "),
+          regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+    }
+    (1 to Merges).map { k =>
+      val m = topPair(w)
+      w = graft.PlanCache.memo(s, dir, "bpe_words", s"r$k") {
+        w.crossJoin(broadcast(m)).select(
+          replace_(col("s"),
+            concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")),
+            concat(lit(" "), col("a"), col("b"), lit(" "))).as("s"),
+          col("freq"))
+      }
+      m
+    }
+  }
+
+  /** Frequency-weighted symbol-pair counts → deterministic argmax. */
+  private def topPair(w: DataFrame): DataFrame = {
+    val cs = split(trim(col("s")), " ")
+    val n = size(cs)
+    w.select(explode(arrays_zip(
+        slice(cs, lit(1), n - 1).as("a"),
+        slice(cs, lit(2), n - 1).as("b"))).as("p"), col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+  }
+
+  /** Literal (non-regex) replace — `replace` has no Scala functions_
+    * binding in every 3.x; route through the SQL function for cross-
+    * version safety. */
+  private def replace_(src: Column, search: Column, repl: Column): Column =
+    call_function("replace", src, search, repl)
+
+  val q98Sql: String = {
+    def pairs(wk: String, pk: String) =
+      s"""$pk AS (SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS p, freq
+         |        FROM (SELECT string_split(trim(s), ' ') AS cs, freq FROM $wk))
+         |  GROUP BY 1, 2)""".stripMargin
+    def argmax(pk: String, mk: String) =
+      s"$mk AS (SELECT a, b, cnt FROM $pk ORDER BY cnt DESC, a, b LIMIT 1)"
+    def rewrite(wk: String, mk: String, wn: String) =
+      s"""$wn AS (SELECT replace(s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s,
+         |  freq FROM $wk, $mk m)""".stripMargin
+    val rounds = (1 to Merges).map { k =>
+      val base = Seq(pairs(s"w${k - 1}", s"p$k"), argmax(s"p$k", s"m$k"))
+      (if (k < Merges) base :+ rewrite(s"w${k - 1}", s"m$k", s"w$k") else base)
+        .mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to Merges).map { k =>
+      s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, a||b AS merged, cnt AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |    COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
+}
