@@ -330,6 +330,83 @@ object StreamPipeline {
     s.createDataFrame(rows, schema)
   }
 
+  private val q99Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fourth streaming entry under the driver's hash gate: STREAM-STREAM
+    * INTERVAL JOIN — click→purchase attribution within one hour, the
+    * canonical two-stream stateful join. Both sides derive from the
+    * same replayed stream (a streaming self-join); the join condition
+    * is an equality on user_id plus an event-time interval, which is
+    * exactly the shape Structured Streaming's symmetric hash join keeps
+    * bounded state for: each side buffers only rows inside the interval
+    * relative to the other side's watermark. The gate run uses a
+    * watermark far beyond the replay range so NOTHING is evicted and
+    * the streaming result provably equals the batch interval join the
+    * oracle computes (q83's equality trick); production sets a real
+    * delay and lets the engine drop state outside
+    * [watermark - interval, watermark]. Delays travel as epoch-millis
+    * BIGINTs so both engines subtract exact integers. Matched pairs
+    * emit in append mode; the bounded per-user aggregate runs
+    * batch-side on the materialized matches. */
+  def q99StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.Oracle.dsum
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("q99_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(batchSchema).parquet(streamDir.toString)
+    val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "3650 days")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "3650 days")
+    val name = s"q99_attrib_${q99Counter.incrementAndGet()}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("delay_ms"),
+        col("value"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("total_value"),
+        min(col("delay_ms")).as("min_delay_ms"))
+      .orderBy(col("user_id"))
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    s.createDataFrame(rows, schema)
+  }
+
+  val q99Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS cms FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ms(ts) AS pms, value FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  ${graft.Oracle.dsumSql("p.value")} AS total_value,
+      |  MIN(pms - cms) AS min_delay_ms
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND pms BETWEEN cms AND cms + 3600000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q92Sql: String =
     """WITH d AS (
       |  SELECT user_id, epoch_ms(ts) AS ms,
