@@ -51,24 +51,36 @@ object GraphQueries {
     * see below at sf0.1/local[32] without it). Per-node counts come
     * from ONE pass over the triangle set (explode of the 3 corners),
     * not a triple self-union, for the same reason. */
-  def q97TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val eo = graft.PlanCache.memo(s, dir, "tri_oriented_edges", "q>30") {
-      // Bulk co-purchases only (quantity > 30): the unfiltered graph is
-      // near-complete on the part key space (sf0.1: 20k nodes, 1.2M
-      // edges, avg degree 120 → 41M wedges even oriented), which makes
-      // exact triangle counting a density problem, not a skew problem.
-      // The quantity predicate is part of the query's semantics (bulk
-      // co-purchase affinity) and is pushed to the parquet scan.
+  /** The shared bulk co-purchase edge set (a < b, deduplicated), memoized
+    * once per (session, dir) for the whole graph family (q97, q100).
+    *
+    * Bulk co-purchases only (quantity > 30): the unfiltered graph is
+    * near-complete on the part key space (sf0.1: 20k nodes, 1.2M
+    * edges, avg degree 120 → 41M wedges even oriented), which makes
+    * exact triangle counting a density problem, not a skew problem.
+    * The quantity predicate is part of the query's semantics (bulk
+    * co-purchase affinity) and is pushed to the parquet scan. */
+  private def bulkEdges(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "bulk_copurchase_edges", "q>30") {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_quantity") > 30)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val e = li.as("x").join(li.as("y"),
+      li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b"))
         .distinct()
-      val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    }
+
+  /** Per-node degree over [[bulkEdges]] (node-sized; one aggregate). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  def q97TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val eo = graft.PlanCache.memo(s, dir, "tri_oriented_edges", "q>30") {
+      val e = bulkEdges(s, dir)
+      val deg = degrees(e)
       val withDeg = e
         .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -115,4 +127,64 @@ object GraphQueries {
     * triangle pipeline). */
   def q97Plan(s: SparkSession, dir: String): DataFrame =
     q97TriangleCount(s, dir)
+
+  // ---------------------------------------------------------------------
+  // q100 — link prediction by co-neighbor Jaccard
+
+  /** Top non-adjacent part pairs ranked by neighborhood Jaccard
+    * |N(v)∩N(w)| / |N(v)∪N(w)| over the bulk co-purchase graph — the
+    * classic common-neighbors link-prediction score.
+    *
+    * Shape: common-neighbor counts come from per-center wedge
+    * generation (adjacency self-join on the center, v < w), one count
+    * aggregate keyed by the PAIR — so the reduce key space is pairs,
+    * not nodes, and no celebrity reducer exists. Wedge volume is
+    * Σ C(d,2); on this quantity-filtered graph max degree is ~80
+    * (measured), so the unoriented form is skew-safe — a heavy-tailed
+    * graph would reuse q97's orientation bound instead. Degrees join in
+    * un-hinted (node-sized table: AQE broadcasts while it fits, shuffles
+    * when it doesn't); candidate pairs that are already edges leave via
+    * one left-anti equi-join. Jaccard is an exact-integer division —
+    * bit-identical across engines — with full (score, v, w) tiebreak.
+    * The edge table is the same [[bulkEdges]] memo q97 reads. */
+  def q100LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir)
+    val adj = e.select(col("a").as("u"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("n")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.u") === col("y.u") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("v"), col("y.n").as("w"))
+    val cn = wedges.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cn"))
+    val deg = degrees(e)
+    val nonAdj = cn.join(e.select(col("a").as("v"), col("b").as("w")),
+      Seq("v", "w"), "left_anti")
+    nonAdj
+      .join(deg.select(col("v"), col("d").as("dv")), "v")
+      .join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+      .filter(col("cn") >= 3)
+      .select(col("v"), col("w"), col("cn"),
+        (col("cn") / (col("dv") + col("dw") - col("cn"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("v"), col("w"))
+      .limit(25)
+  }
+
+  val q100Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_quantity > 30),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |adj AS (SELECT a AS u, b AS n FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |cn AS (SELECT x.n AS v, y.n AS w, COUNT(*) AS cn
+      |       FROM adj x JOIN adj y ON x.u = y.u AND x.n < y.n
+      |       GROUP BY 1, 2),
+      |deg AS (SELECT u AS v, COUNT(*) AS d FROM adj GROUP BY 1)
+      |SELECT cn.v, cn.w, cn.cn,
+      |  cn.cn / (dv.d + dw.d - cn.cn) AS jaccard
+      |FROM cn
+      |  JOIN deg dv ON dv.v = cn.v
+      |  JOIN deg dw ON dw.v = cn.w
+      |WHERE cn.cn >= 3
+      |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.v AND e.b = cn.w)
+      |ORDER BY jaccard DESC, cn.v, cn.w LIMIT 25""".stripMargin
 }

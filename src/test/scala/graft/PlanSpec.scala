@@ -95,6 +95,12 @@ class PlanSpec extends AnyFunSuite {
       "wedge or closing join degenerated to O(n²):\n" + p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q100: link-prediction wedge/degree/anti joins stay equi — no cartesian, no nested loop") {
+    val p = plan(GraphQueries.q100LinkPrediction(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
