@@ -457,6 +457,64 @@ object VectorQueries {
       .select(col("vec_id"), flatten(expr("transform(sc, p -> p.cvec)")).as("embedding"))
   }
 
+  // ---------------------------------------------------------------------
+  // q101 — linear classifier inference (batch model scoring)
+
+  /** Multi-class linear classifier scoring over the embedding corpus —
+    * the fastText-style quality-classifier inference pass every
+    * training-data pipeline runs (3 classes here; CCNet/FineWeb run the
+    * same shape with learned weights).
+    *
+    * The weight matrix is analytic and DYADIC-exact: numerators are
+    * small ints, denominators powers of two, so the float32 weights and
+    * double biases are exactly representable in both engines and the
+    * only arithmetic is IEEE multiply-add in array order — the same
+    * bit-exact sequential fold q27 proves for `vec_dot` (codegen'd
+    * native expression, no lambda interpreter). Scoring is one
+    * scan-local projection: 3 dot products per row, no shuffle, no
+    * join; at 100 TB this is exactly as parallel as the scan itself.
+    * Argmax tiebreak = lowest class id; margin = top minus runner-up
+    * logit via one sort_array over the 3-element logit array. */
+  def q101ClassifierInference(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64 // TESTDATA.md: embeddings are FLOAT[64]
+    val logits = (0 until 3).map { c =>
+      val wv = Array.tabulate(dim)(i => (((c * 1009 + i * 7919) % 97 - 48) / 64.0).toFloat)
+      val b = (((c * 53) % 11) - 5) / 8.0
+      (vecDot(col("embedding"), typedlit(wv)) + lit(b)).as(s"logit$c")
+    }
+    val l = Seq(col("logit0"), col("logit1"), col("logit2"))
+    val top = greatest(l: _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +: logits: _*)
+      .select(col("vec_id"),
+        when(col("logit0") === top, 0)
+          .when(col("logit1") === top, 1).otherwise(2).as("pred_class"),
+        top.as("top_logit"),
+        (top - sort_array(array(l: _*), asc = false).getItem(1)).as("margin"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q101Sql: String =
+    """WITH w AS (
+      |  SELECT c,
+      |    list_transform(range(0, 64),
+      |      i -> CAST(((c*1009 + i*7919) % 97 - 48) / 64.0 AS FLOAT)) AS wv,
+      |    ((c*53) % 11 - 5) / 8.0 AS b
+      |  FROM (SELECT unnest([0, 1, 2]) AS c)),
+      |l AS (
+      |  SELECT e.vec_id, w.c,
+      |    w.b + list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(w.wv[i] AS DOUBLE))) AS logit
+      |  FROM embeddings e CROSS JOIN w),
+      |r AS (
+      |  SELECT vec_id, c, logit,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY logit DESC, c) AS rn
+      |  FROM l)
+      |SELECT a.vec_id, a.c AS pred_class, a.logit AS top_logit,
+      |  a.logit - b.logit AS margin
+      |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+      |ORDER BY a.vec_id""".stripMargin
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,

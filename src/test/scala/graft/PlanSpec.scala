@@ -95,6 +95,14 @@ class PlanSpec extends AnyFunSuite {
       "wedge or closing join degenerated to O(n²):\n" + p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q101: classifier inference is scan-local — no join, no aggregate, codegen'd dots") {
+    val p = plan(VectorQueries.q101ClassifierInference(spark, dir))
+    assert(!p.contains("Join"), "model scoring must not join:\n" + p)
+    assert(!p.contains("HashAggregate"), "model scoring must not aggregate:\n" + p)
+    assert(p.contains("vec_dot"), p)
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
   test("q100: link-prediction wedge/degree/anti joins stay equi — no cartesian, no nested loop") {
     val p = plan(GraphQueries.q100LinkPrediction(spark, dir))
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
