@@ -496,4 +496,49 @@ object DataflowQueries {
       |  COUNT(CASE WHEN o_orderkey >= 1000 THEN o_orderstatus END) AS n_with_status,
       |  ${graft.Oracle.dsumSql("o_totalprice")} AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q102 — incremental aggregate maintenance (delta merge == recompute)
+
+  /** The production incremental pattern at 100 TB: a stored per-key
+    * aggregate state table is MERGED with the new day's delta instead of
+    * recomputing over all history. Here the events table is split at a
+    * cutoff into "state so far" and "today's delta"; each side aggregates
+    * independently (per-key count / decimal sum / max event-time), then
+    * one full-outer join combines them. The combine stays in DECIMAL
+    * until after the merge addition — decimal addition is exact and
+    * associative, so (state_sum + delta_sum) is bit-identical to the
+    * oracle's single-pass sum over all rows, which is precisely the
+    * invariant incremental maintenance must guarantee. Timestamps merge
+    * as epoch-millis BIGINTs (q92's trick). Scale: two partial-agg
+    * passes + one key-partitioned join; the state side never rescans
+    * history in production (it IS the stored table — modeled here by
+    * computing it from the pre-cutoff slice). */
+  def q102IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    def aggSide(df: DataFrame, p: String): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          sum(col("value").cast(DecimalType(30, 6))).as(s"${p}_sv"),
+          max(unix_millis(col("ts"))).as(s"${p}_last"))
+    val ev = Tables.events(s, dir)
+    val state = aggSide(ev.filter(col("ts") < cutoff), "s")
+    val delta = aggSide(ev.filter(col("ts") >= cutoff), "d")
+    val zero = lit(0).cast(DecimalType(30, 6))
+    state.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("s_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("s_sv"), zero) + coalesce(col("d_sv"), zero))
+          .cast("double").as("total_value"),
+        greatest(col("s_last"), col("d_last")).as("last_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q102Sql: String =
+    s"""SELECT user_id, event_type, COUNT(*) AS n_events,
+      |  ${graft.Oracle.dsumSql("value")} AS total_value,
+      |  MAX(epoch_ms(ts)) AS last_ms
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
