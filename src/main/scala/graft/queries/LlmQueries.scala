@@ -631,4 +631,72 @@ object LlmQueries {
       |FROM sh CROSS JOIN bench
       |WHERE doc_id >= 5 AND doc_id < 100 AND len(shingles) > 0
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Asymmetric containment dedup (near-substring detection)
+
+  /** Ordered near-containment pairs: containment(a→b) =
+    * |S_a ∩ S_b| / |S_a| ≥ 0.9, i.e. doc a's shingle set is (almost)
+    * a subset of doc b's — the duplicate class symmetric Jaccard
+    * (q20/q21) MISSES: a quote, excerpt, or boilerplate-wrapped copy of
+    * a long document has small Jaccard but containment ≈ 1. This is the
+    * deduplicating-training-data pass that catches subset duplicates
+    * (Lee et al. 2022 run exact substring matching; shingle containment
+    * is its set-algebra form).
+    *
+    * Shape: reuses the SAME memoized shingle stream, per-doc sizes, and
+    * posting lists as q21 — candidates come from rare posting lists
+    * exploded into ORDERED pairs (both directions, since containment is
+    * asymmetric), with the identical sound upper bound
+    * I ≤ ir + min(pa, pb); containment = I/na is increasing in I, so
+    * the bound-filter never drops a qualifying pair. Only bound-passing
+    * pairs pay the exact recount against the full index. A 10-shingle
+    * floor keeps trivially-contained snippets out (same floor in the
+    * oracle). */
+  def q103ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val tau = 0.9
+    val rows = shingleRows(s, dir)
+    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val lists = memo(s, dir, "postings", "w3")(
+      rows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
+    val interRare = lists.filter(size(col("ids")).between(2, cap))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ir"))
+    val prunedPerDoc = lists.filter(size(col("ids")) > cap)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+    val stats = sizes.join(prunedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), coalesce(col("np"), lit(0L)).as("np"))
+    val cand = interRare
+      .join(broadcast(stats.select(col("doc_id").as("a"),
+        col("sz").as("na"), col("np").as("pa"))), "a")
+      .join(broadcast(stats.select(col("doc_id").as("b"), col("np").as("pb"))), "b")
+      .filter(col("na") >= 10)
+      .withColumn("iub", col("ir") + least(col("pa"), col("pb")))
+      .filter(col("iub").cast("double") / col("na") >= tau)
+      .select(col("a"), col("b"))
+    val invA = rows.select(col("doc_id").as("a"), col("hg"))
+    val invB = rows.select(col("doc_id").as("b"), col("hg"))
+    broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), "a")
+      .filter(col("inter").cast("double") / col("na") >= tau)
+      .select(col("a").as("doc_inner"), col("b").as("doc_outer"),
+        round(col("inter").cast("double") / col("na"), 4).as("containment"))
+      .orderBy(col("doc_inner"), col("doc_outer"))
+  }
+
+  val q103Sql: String =
+    s"""WITH sh AS ($shingledSql)
+      |SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+      |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / len(a.shingles), 4) AS containment
+      |FROM sh a JOIN sh b
+      |  ON a.doc_id <> b.doc_id AND len(a.shingles) >= 10
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / len(a.shingles) >= 0.9
+      |ORDER BY doc_inner, doc_outer""".stripMargin
 }
