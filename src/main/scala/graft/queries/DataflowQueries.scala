@@ -541,4 +541,63 @@ object DataflowQueries {
       |  ${graft.Oracle.dsumSql("value")} AS total_value,
       |  MAX(epoch_ms(ts)) AS last_ms
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q104 — runtime Bloom-filter join pruning (semi-join reduction)
+
+  /** The 100 TB semi-join-reduction pattern: per-order revenue rollup
+    * joined to a selectively-filtered dimension, with Catalyst's
+    * runtime Bloom filter injected on the fact side. The optimizer
+    * builds a Bloom filter from the filtered orders' keys and pushes
+    * `bloom_filter_might_contain` onto the lineitem branch BELOW its
+    * pre-aggregation — fact rows whose order fails the dimension
+    * predicate die before the first shuffle, which is exactly where a
+    * 100 TB scan needs them to die. Injection requires (a) a shuffle
+    * join (merge hint — at real scale neither side broadcasts) and
+    * (b) a shuffle below the application side (the rollup); the scan-
+    * size threshold is lowered around materialization because the gate
+    * tables are far under the 10 GiB production default, and restored
+    * in a finally. PlanSpec asserts the injected filter on the live
+    * optimized plan. Sums stay DECIMAL through both aggregation levels
+    * (associative), so rollup-then-sum is bit-identical to the
+    * oracle's single-level sum. */
+  def q104BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "0")
+    try {
+      val out = q104Inner(s, dir)
+      val schema = out.schema
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, schema)
+    } finally s.conf.set(key, prev)
+  }
+
+  /** The lazy join plan (shared with PlanSpec, which manages the conf
+    * itself so the assertion sees the injected filter). */
+  def q104Inner(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6))).as("lv"))
+    val hiValue = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    perOrder.hint("merge")
+      .join(hiValue, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("lv")).cast("double").as("total_rev"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q104Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS lv
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(lv) AS DOUBLE) AS total_rev
+      |FROM po JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

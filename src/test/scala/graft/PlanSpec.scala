@@ -112,6 +112,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q104: runtime Bloom filter prunes the fact side below its rollup") {
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "0")
+    try {
+      val opt = DataflowQueries.q104Inner(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        "no runtime Bloom filter injected:\n" + opt)
+      // the probe must sit on the fact branch BELOW its rollup: in the
+      // top-down plan text the might_contain Filter appears after the
+      // per-order Aggregate that it feeds
+      assert(opt.indexOf("Aggregate [l_orderkey") <
+        opt.indexOf("might_contain"), opt)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
