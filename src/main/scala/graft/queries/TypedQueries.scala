@@ -160,4 +160,67 @@ object TypedQueries {
       |    CAST(SUM(CAST(o_totalprice * CAST(o_custkey AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
       |  FROM orders GROUP BY o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q105 — one-pass dataset profiler (Deequ-style column profiles)
+
+  /** Long-form column profile of the orders table: per column, row/null
+    * counts, EXACT distinct cardinality, min/max, and the modal value
+    * with its frequency — the data-quality profile every ingestion
+    * pipeline computes before training-data admission.
+    *
+    * Shape: all four columns' count/distinct/min/max profile in ONE
+    * aggregate call — Catalyst compiles the multiple count(DISTINCT)s
+    * into a single Expand-based aggregation (one shuffle for the whole
+    * width-profile, not one per column; at 100 TB the expand factor
+    * costs memory bandwidth, never extra scans). The modal value needs
+    * a per-column value rollup (vocabulary-sized aggregates,
+    * map-side-combinable) with a deterministic (count desc, value)
+    * tiebreak. Values stringify through DECIMAL(14,2) for doubles so
+    * both engines print identical text. */
+  def q105DatasetProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+    def asStr(c: String) =
+      if (c == "o_totalprice") col(c).cast(DecimalType(14, 2)).cast("string")
+      else col(c).cast("string")
+    val profile = o.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(asStr(c)).as(s"mn_$c"),
+        max(asStr(c)).as(s"mx_$c"))
+      }: _*)
+    val perCol = cols.map { c =>
+      val top = o.groupBy(asStr(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("v")).limit(1)
+        .select(col("v").as("top_val"), col("cnt").as("top_n"))
+      profile.crossJoin(top).select(
+        lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"),
+        col("top_val"), col("top_n"))
+    }
+    perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  val q105Sql: String = {
+    def one(c: String, castExpr: String) =
+      s"""SELECT '$c' AS column_name, (SELECT COUNT(*) FROM orders) AS n_rows,
+         |  (SELECT COUNT(*) - COUNT($c) FROM orders) AS n_nulls,
+         |  (SELECT COUNT(DISTINCT $c) FROM orders) AS n_distinct,
+         |  (SELECT MIN($castExpr) FROM orders) AS min_val,
+         |  (SELECT MAX($castExpr) FROM orders) AS max_val,
+         |  t.top_val, t.top_n
+         |FROM (SELECT $castExpr AS top_val, COUNT(*) AS top_n FROM orders
+         |      GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1) t""".stripMargin
+    def castOf(c: String) =
+      if (c == "o_totalprice") s"CAST(CAST($c AS DECIMAL(14,2)) AS VARCHAR)"
+      else s"CAST($c AS VARCHAR)"
+    Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+      .map(c => one(c, castOf(c)))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", ") ORDER BY column_name")
+  }
 }
