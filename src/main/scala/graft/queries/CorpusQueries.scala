@@ -880,4 +880,62 @@ object CorpusQueries {
       |SELECT node, round(r * CAST(1000 AS DOUBLE), 9) AS rank_x1000
       |FROM r3 ORDER BY rank_x1000 DESC, node LIMIT 30""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q106 — sequence packing (training-example assembly)
+
+  /** Pack the tokenized corpus into fixed-length (L = 512) training
+    * sequences — the example-packing pass between a cleaned corpus and
+    * a dataloader: token streams concatenate in doc order and cut at
+    * every L tokens, docs straddling a boundary contribute to both
+    * packs. Emitted per (shard, pack): contributing-doc count and the
+    * pack's filled token mass (== L except each shard's tail pack).
+    *
+    * Scale: packing is inherently sequential, so it runs PER SHARD
+    * (doc_id mod 64) — the production layout: one worker packs one
+    * shard, no global order exists, and the window sort is
+    * shard-partitioned (never the q80 single-partition funnel). Doc →
+    * pack-range arithmetic is a running-sum window plus a tiny
+    * `sequence` explode (a doc spans ⌈tok/L⌉+1 packs at most); all
+    * arithmetic is exact integers. */
+  def q106SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val L = 512
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 64).as("shard"),
+        size(graft.functions.TextFunctions.tokensOf(col("text"))).cast("long").as("tok"))
+      .filter(col("tok") >= 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val spans = toks
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("start", col("cum") - col("tok"))
+      .select(col("shard"), col("tok"), col("cum"), col("start"),
+        explode(sequence(floor(col("start") / L),
+          floor((col("cum") - 1) / L))).as("pack_id"))
+    spans.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("pack_id") + 1) * L) -
+          greatest(col("start"), col("pack_id") * L)).as("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  val q106Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 64 AS shard,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 1),
+      |c AS (
+      |  SELECT shard, tok,
+      |    CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t),
+      |s AS (SELECT shard, tok, cum, cum - tok AS strt FROM c),
+      |x AS (
+      |  SELECT shard, tok, cum, strt,
+      |    unnest(generate_series(strt // 512, (cum - 1) // 512)) AS pack_id
+      |  FROM s)
+      |SELECT shard, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(least(cum, (pack_id + 1) * 512) -
+      |    greatest(strt, pack_id * 512)) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
