@@ -918,6 +918,41 @@ object CorpusQueries {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q107 — per-group percentile-rank normalization (feature scaling)
+
+  /** Within-language percentile-rank and decile of document length —
+    * the grouped rank-normalization every mixed-corpus quality score
+    * needs (a "long" Chinese doc and a "long" English doc sit at the
+    * same percentile even when their raw lengths differ by 3×).
+    *
+    * Scale: every window is PARTITIONED BY lang — unlike a global rank,
+    * each group sorts independently in its own partition, so this
+    * shape survives any corpus size as long as single groups do (skewed
+    * mega-groups would switch to q80's sketch-cutpoint path). Ranks and
+    * percent_rank are exact-integer-derived ((rank−1)/(n−1)), so both
+    * engines emit identical doubles; ordering ties break on doc_id. */
+  def q107GroupRankNormalize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("decile", ntile(10).over(w))
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pr"), 6).as("pct_rank"), col("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q107Sql: String =
+    """SELECT doc_id, lang, n_chars, round(pr, 6) AS pct_rank, decile FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+      |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
   val q106Sql: String =
     """WITH t AS (
       |  SELECT doc_id, doc_id % 64 AS shard,
