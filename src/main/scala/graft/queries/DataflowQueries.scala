@@ -3,6 +3,7 @@ package graft.queries
 import graft.Oracle._
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's dataflow-operator surface (SURVEY.md §2.1) as
@@ -600,4 +601,53 @@ object DataflowQueries {
       |FROM po JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_totalprice > 400000
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q108 — time-grid forward-fill (gap imputation)
+
+  /** Hourly per-user value series with gaps imputed by forward fill —
+    * the resample-and-carry-forward pass that turns an irregular event
+    * stream into a dense feature series (q60 resamples to observed
+    * buckets; this completes the grid and fills the holes).
+    *
+    * Shape: per-user hour span → `sequence` explode builds the dense
+    * grid (rows ∝ users × span, never a cross join); observed hourly
+    * sums left-join in; `last(value, ignoreNulls)` over a
+    * user-partitioned running frame carries the latest observation
+    * forward. Every window is partitioned by user — grid and fill
+    * parallelize across users with no global sort. Hour keys are exact
+    * epoch-millis integer divisions; observed values decimal-sum to
+    * identical doubles, and the fill only COPIES them. */
+  def q108GapFill(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"), col("value"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(graft.Oracle.dsum(col("value")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"),
+        col("v").isNull.as("was_gap"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val q108Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hr, value
+      |  FROM events WHERE user_id < 5),
+      |obs AS (SELECT user_id, hr, ${graft.Oracle.dsumSql("value")} AS v
+      |        FROM ev GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM span)
+      |SELECT g.user_id, g.hr,
+      |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  o.v IS NULL AS was_gap
+      |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
 }
