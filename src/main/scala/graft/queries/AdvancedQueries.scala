@@ -396,4 +396,80 @@ object AdvancedQueries {
       |  SELECT l_returnflag, 'max_line', CAST(MAX(l_linenumber) AS BIGINT)
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q109 — AQE skew-join split (the adaptive twin of q67's manual salt)
+
+  /** The same hot-key join problem q67 solves by hand, handled by AQE's
+    * runtime skew split: ~70 % of lineitem rows collapse onto one join
+    * key (every partkey < 70 % of the key space maps to 0), the
+    * dimension side keeps one row per key, and the merge-hinted SMJ
+    * would send the hot key to a single straggler reducer. With skew
+    * handling on, AQE measures the built shuffle, splits the oversized
+    * partition into multiple reader chunks, and replicates the matching
+    * dimension rows — `SortMergeJoin(skew=true)` in the final plan,
+    * asserted by PlanSpec. Skew thresholds are lowered only around
+    * materialization (gate shuffles are KB-sized; production keeps the
+    * 256 MB default) and restored in a finally. The oracle computes the
+    * same CASE-mapped join — the split must never change results. */
+  def q109SkewJoinAqe(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
+    val prev = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = q109Inner(s, dir)
+      val schema = out.schema
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, schema)
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  /** The lazy skewed-join plan (shared with PlanSpec, which manages the
+    * skew confs itself and asserts `skew=true` on the final plan). */
+  def q109Inner(s: SparkSession, dir: String): DataFrame = {
+    val hotCut = 14000 // ~70 % of the sf0.1 part key space
+    def jk(c: org.apache.spark.sql.Column) =
+      when(c < hotCut, lit(0L)).otherwise(c.cast("long"))
+    // AQE splits a skewed reduce partition along MAP-output boundaries
+    // (PartialReducerPartitionSpec), so the join shuffle needs >1 mapper
+    // to have anything to split. The gate table is one unsplittable
+    // parquet row group → exactly one mapper; the round-robin
+    // repartition models the thousands of scan tasks a 100 TB fact
+    // table feeds the shuffle with. Production never needs this.
+    val left = Tables.lineitem(s, dir)
+      .repartition(8)
+      .select(jk(col("l_partkey")).as("jk"), col("l_quantity"))
+    // the dimension is one CANONICAL source row per key — p_partkey 1
+    // represents the hot key, every key ≥ hotCut represents itself — so
+    // the dim side is a pure projected scan with no aggregate between
+    // its join shuffle and the join: AQE's OptimizeSkewedJoin only
+    // matches SMJ(Sort(Shuffle), Sort(Shuffle)), and an agg node there
+    // (which AQE keeps, reusing the agg's own exchange) blocks the split
+    val dim = Tables.part(s, dir)
+      .filter(col("p_partkey") >= hotCut || col("p_partkey") === 1)
+      .select(jk(col("p_partkey")).as("jk"), col("p_partkey").as("rep_key"))
+    left.hint("merge").join(dim, "jk")
+      .groupBy((col("jk") === 0).as("is_hot"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("total_qty"),
+        max(col("rep_key")).as("max_rep"))
+      .orderBy(col("is_hot"))
+  }
+
+  val q109Sql: String =
+    s"""WITH l AS (
+      |  SELECT CASE WHEN l_partkey < 14000 THEN 0 ELSE l_partkey END AS jk,
+      |    l_quantity
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT CASE WHEN p_partkey < 14000 THEN 0 ELSE p_partkey END AS jk,
+      |    p_partkey AS rep_key
+      |  FROM part WHERE p_partkey >= 14000 OR p_partkey = 1)
+      |SELECT l.jk = 0 AS is_hot, COUNT(*) AS n_rows,
+      |  ${dsumSql("l_quantity")} AS total_qty,
+      |  MAX(rep_key) AS max_rep
+      |FROM l JOIN d ON l.jk = d.jk
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -129,6 +129,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q109: AQE splits the skewed partition — SortMergeJoin(skew=true) in the final plan") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the skew decision happens at runtime — execute, then read the
+      // final adaptive plan
+      val df = AdvancedQueries.q109Inner(spark, "/root/testdata/sf0.1")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the hot partition:\n" + p)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q77 iterations: no broadcast — co-partitioned SMJ off the cached layout") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

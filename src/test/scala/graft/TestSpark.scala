@@ -21,4 +21,8 @@ object TestSpark {
 
   /** sf0.001 testdata — smallest scale, for specs. */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** sf0.01 — for specs whose behavior needs non-trivial data volume
+    * (e.g. AQE skew detection measures real shuffle-partition bytes). */
+  val sf01Dir = "/root/testdata/sf0.01"
 }
