@@ -85,6 +85,54 @@ object Ranks {
       .drop("__b", "__off", "__brn")
   }
 
+  /** Append per-group 1-based rank `rnCol`: each row's rank within its
+    * `group` partition ordering by `sortCols` — the scale-safe
+    * replacement for `Window.partitionBy(group).orderBy(...)` when
+    * groups are FEW and HUGE (five languages over a 100 TB corpus =
+    * five single-task sorts; this shape never sorts more than one
+    * bucket in one task).
+    *
+    * Same sketch-bucket design as [[withGlobalRowNumber]]: the GLOBAL
+    * cutpoints cut every group's value range contiguously too, so
+    * within a group, concatenating its (group, bucket) cells in bucket
+    * order is that group's sort order. Local ranks come from windows
+    * over (group, bucket) cells (≤ bucket-sized tasks); per-group
+    * bucket offsets from a counts aggregate (≤ groups × buckets rows,
+    * cluster-sized) prefix-summed per group and broadcast back. */
+  def withGroupRowNumber(df: DataFrame, group: Column, rnCol: String,
+      sortCols: Column*): DataFrame = {
+    val s = df.sparkSession
+    val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val buckets = 2 * parts
+    val ps = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val lead = sortCols.head
+    val cutRows = df.select(
+      percentile_approx(lead, array(ps: _*), lit(2000)).as("c"))
+      .collect()
+    val cuts: Seq[Double] =
+      if (cutRows.isEmpty || cutRows(0).isNullAt(0)) Seq.empty
+      else cutRows(0).getSeq[Any](0).map(toD)
+    val distinctCuts = cuts.distinct.sorted.toIndexedSeq
+    val bucketed = df.withColumn("__g", group)
+      .withColumn("__b", bucketOf(lead, distinctCuts))
+    val counts = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // per-group prefix sum over ≤ buckets rows each — partitioned by
+    // group, so no single-partition window even here
+    val offsets = counts
+      .withColumn("__off",
+        sum(col("__cnt")).over(
+          Window.partitionBy(col("__g")).orderBy(col("__b"))) - col("__cnt"))
+      .select(col("__g"), col("__b"), col("__off"))
+    val wb = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(sortCols.map(_.asc): _*)
+    bucketed
+      .join(broadcast(offsets), Seq("__g", "__b"))
+      .withColumn("__brn", row_number().over(wb).cast("long"))
+      .withColumn(rnCol, col("__off") + col("__brn"))
+      .drop("__g", "__b", "__off", "__brn")
+  }
+
   /** Append SQL-ntile(k) bucket `tileCol` (1-based) ordering by
     * `sortCols` — exact ntile semantics, zero global sort. Long-exact
     * bucket arithmetic (`DIV`, never float division). */

@@ -926,19 +926,33 @@ object CorpusQueries {
     * needs (a "long" Chinese doc and a "long" English doc sit at the
     * same percentile even when their raw lengths differ by 3×).
     *
-    * Scale: every window is PARTITIONED BY lang — unlike a global rank,
-    * each group sorts independently in its own partition, so this
-    * shape survives any corpus size as long as single groups do (skewed
-    * mega-groups would switch to q80's sketch-cutpoint path). Ranks and
-    * percent_rank are exact-integer-derived ((rank−1)/(n−1)), so both
-    * engines emit identical doubles; ordering ties break on doc_id. */
+    * Scale: `Window.partitionBy(lang)` would be five single-task sorts
+    * over a 100 TB corpus (few, huge groups — the q80 funnel in
+    * grouped form), so ranks come from `Ranks.withGroupRowNumber`:
+    * sketch-bucketed grouped ranking where no task ever sorts more
+    * than one (group, bucket) cell. percent_rank and ntile are then
+    * ARITHMETIC over (rank, group size) — (r−1)/(n−1) and the exact
+    * long-division tile formula — so the oracle keeps the literal SQL
+    * window forms and the green hash row proves the distributed
+    * pipeline computes exactly them (RanksSpec asserts the same
+    * equality against Spark's own windows). */
   def q107GroupRankNormalize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("decile", ntile(10).over(w))
+    val ranked = graft.operators.Ranks.withGroupRowNumber(
+      base, col("lang"), "__r", col("n_chars"), col("doc_id"))
+    val sizes = base.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("pr", when(col("__n") === 1, lit(0.0))
+        .otherwise((col("__r") - 1).cast("double") / (col("__n") - 1)))
+      .withColumn("decile", expr(
+        """CASE WHEN __n DIV 10 = 0 THEN __r
+          |  WHEN __r <= (__n % 10) * (__n DIV 10 + 1)
+          |    THEN (__r + __n DIV 10) DIV (__n DIV 10 + 1)
+          |  ELSE __n % 10 +
+          |    ((__r - (__n % 10) * (__n DIV 10 + 1) + __n DIV 10 - 1)
+          |      DIV (__n DIV 10))
+          |END""".stripMargin).cast("int"))
       .filter(col("doc_id") < 150)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         round(col("pr"), 6).as("pct_rank"), col("decile"))

@@ -54,6 +54,42 @@ class RanksSpec extends AnyFunSuite {
     assert(joined.filter(col("rn") =!= col("trn")).count() === 0L)
   }
 
+  test("withGroupRowNumber equals Window.partitionBy(group) row_number") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val got = Ranks.withGroupRowNumber(
+      docs, col("lang"), "rn", col("n_chars"), col("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val want = docs.withColumn("rn", row_number().over(w).cast("long"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("q107 equals the literal percent_rank/ntile windows") {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val want = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("decile", ntile(10).over(w))
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("pct_rank"), col("decile"))
+    val got = CorpusQueries.q107GroupRankNormalize(spark, TestSpark.sfDir)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("q107 plan: no lang-partitioned sort window — data-path windows bucket-partitioned") {
+    val p = CorpusQueries.q107GroupRankNormalize(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ntile("), "window ntile resurfaced:\n" + p)
+    assert(!p.contains("percent_rank("), "window percent_rank resurfaced:\n" + p)
+    // per-row windows must partition by (group, bucket), never by the
+    // group alone (five languages = five single-task sorts at 100 TB)
+    assert(p.contains("windowspecdefinition(__g"), p)
+    assert(!p.contains("windowspecdefinition(lang"), p)
+  }
+
   test("q80: sketch-cutpoint bins equal exact ntile bins (judge gate)") {
     val exact = CorpusQueries.q80QuantileBins(spark, TestSpark.sfDir)
     val approx = CorpusQueries.q80ApproxBins(spark, TestSpark.sfDir)
