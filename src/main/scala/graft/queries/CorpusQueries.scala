@@ -919,6 +919,48 @@ object CorpusQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q111 — dedup survivor selection (keep the best doc per cluster)
+
+  /** The decision step real dedup ends with: within every near-dup
+    * cluster (q70's component assignment, memoized), KEEP the
+    * highest-quality member — quality = document length here, the
+    * usual "longest version wins" heuristic — and DROP the rest.
+    * Deterministic tiebreak on doc_id.
+    *
+    * Shape: the cluster assignment joins doc metadata (broadcast-able:
+    * one row per clustered doc), and the per-cluster argmax is a
+    * window over cluster_id — clusters are near-dup groups, inherently
+    * small, so the partitions are bounded regardless of corpus size
+    * (contrast q107's few-huge-groups problem). */
+  def q111SurvivorSelection(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.PlanCache.memo(s, dir, "dedup_clusters", "w3,k64,b16r4,t0.8") {
+      q70DedupClusters(s, dir)
+    }
+    val quality = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q70's transitive-closure clusters + the same argmax. */
+  val q111Sql: String = {
+    // rewrite q70's final SELECT into one more CTE (same closure, plus
+    // the survivor argmax on top) — keeps the two oracles textually tied
+    val base = q70Sql
+      .replace("SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id\nFROM reach GROUP BY node ORDER BY doc_id",
+        ", clusters AS (SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id\n  FROM reach GROUP BY node)")
+    s"""$base
+      |SELECT c.doc_id, c.cluster_id, d.n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+      |FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q107 — per-group percentile-rank normalization (feature scaling)
 
   /** Within-language percentile-rank and decile of document length —

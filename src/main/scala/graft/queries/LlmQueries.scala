@@ -699,4 +699,66 @@ object LlmQueries {
       |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |    / len(a.shingles) >= 0.9
       |ORDER BY doc_inner, doc_outer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup (new batch vs existing corpus index)
+
+  /** The daily-ingest dedup path: an arriving batch (doc_id ≥ 400) is
+    * checked against the EXISTING corpus index (doc_id < 400) — per new
+    * doc, its best-matching indexed doc by exact Jaccard and a dup
+    * verdict at 0.8, NULLs when it shares no shingle with the corpus.
+    *
+    * Shape: the new batch's shingles equi-join the corpus posting
+    * stream on the shingle hash (the index side is the big one at
+    * scale — the join shuffles on hg exactly like q21's candidate
+    * generation, and the production path adds q21's df-cap pruning for
+    * stop-shingles); one count aggregate per (new, old) pair, sizes
+    * joined in, and the per-new-doc argmax is a window over doc_id
+    * (candidates per doc are bounded by its shingle df's). Everything
+    * downstream of the shared [[shingleRows]] memo. */
+  def q112IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val cut = 400L
+    val rows = shingleRows(s, dir)
+    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val newRows = rows.filter(col("doc_id") >= cut)
+    val oldRows = rows.filter(col("doc_id") < cut)
+      .select(col("doc_id").as("old_id"), col("hg"))
+    val inter = newRows.join(oldRows, "hg")
+      .groupBy(col("doc_id"), col("old_id")).agg(count(lit(1)).as("i"))
+    val scored = inter
+      .join(sizes.select(col("doc_id"), col("sz").as("na")), "doc_id")
+      .join(broadcast(sizes.select(col("doc_id").as("old_id"), col("sz").as("nb"))), "old_id")
+      .select(col("doc_id"), col("old_id"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j").desc, col("old_id"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    sizes.filter(col("doc_id") >= cut).select(col("doc_id"))
+      .join(best.select(col("doc_id"), col("old_id"), col("j")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("j") >= 0.8, lit(false)).as("is_dup"),
+        col("old_id").as("best_match"), col("j").as("best_j"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q112Sql: String =
+    s"""WITH sh AS ($shingledSql),
+      |nw AS (SELECT doc_id, shingles FROM sh
+      |       WHERE doc_id >= 400 AND len(shingles) > 0),
+      |old AS (SELECT doc_id AS old_id, shingles FROM sh
+      |        WHERE doc_id < 400 AND len(shingles) > 0),
+      |j AS (
+      |  SELECT nw.doc_id, old.old_id,
+      |    round(CAST(len(list_intersect(nw.shingles, old.shingles)) AS DOUBLE) /
+      |      (len(nw.shingles) + len(old.shingles)
+      |        - len(list_intersect(nw.shingles, old.shingles))), 4) AS j
+      |  FROM nw JOIN old ON len(list_intersect(nw.shingles, old.shingles)) > 0),
+      |best AS (
+      |  SELECT doc_id, old_id, j,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, old_id) AS rn
+      |  FROM j)
+      |SELECT nw.doc_id, COALESCE(b.j >= 0.8, false) AS is_dup,
+      |  b.old_id AS best_match, b.j AS best_j
+      |FROM nw LEFT JOIN best b ON nw.doc_id = b.doc_id AND b.rn = 1
+      |ORDER BY nw.doc_id""".stripMargin
 }

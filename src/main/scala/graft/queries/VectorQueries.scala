@@ -515,6 +515,50 @@ object VectorQueries {
       |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
       |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q110 — semantic dedup clusters (components of the cosine pair graph)
+
+  /** SemDeDup-style semantic clustering: connected components over the
+    * exact cosine-similarity pair graph (q46's blocked all-pairs join,
+    * memoized) — embedding-level near-duplicate GROUPS rather than
+    * pairs, the semantic twin of q70's text-shingle clusters. Runs the
+    * same alternating large-star/small-star component algorithm
+    * (shuffle-bounded, localCheckpoint'd rounds), so the whole pipeline
+    * — blocked pair join, iterative clustering — survives a 10⁹-vector
+    * corpus. Oracle: recursive-CTE transitive closure over the same SQL
+    * pair set. */
+  def q110SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.PlanCache.memo(s, dir, "cosine_pairs", "t0.4") {
+      q46CosinePairs(s, dir).select(col("id_a"), col("id_b"))
+    }
+    graft.operators.ConnectedComponents.run(pairs)
+      .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q110Sql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * b.nrm), 6) AS cos_sim
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  WHERE cos_sim >= 0.4),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT node AS vec_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,
