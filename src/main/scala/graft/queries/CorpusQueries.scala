@@ -201,6 +201,53 @@ object CorpusQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q113 — deterministic stratified train/val/test split (exact strata)
+
+  /** The 80/10/10 split every training run starts from, with EXACT
+    * per-language proportions: docs order by a portable multiplicative
+    * hash (a pure function of doc_id — rerunnable, engine- and
+    * partitioning-independent), rank within their language, and the
+    * split comes from integer-exact rank thresholds (n·8 DIV 10, n·9
+    * DIV 10) — so every stratum's train count is exactly ⌊0.8·n⌋, not
+    * binomial-approximate like per-row Bernoulli sampling (q73's
+    * shape).
+    *
+    * Scale: ranks come from `Ranks.withGroupRowNumber` (the q107
+    * primitive — no per-language single-task sort); thresholds join in
+    * from a broadcast language-size table. */
+  def q113StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("h"))
+    val ranked = graft.operators.Ranks.withGroupRowNumber(
+      base, col("lang"), "__r", col("h"), col("doc_id"))
+    val sizes = base.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val split = expr(
+      """CASE WHEN __r <= __n * 8 DIV 10 THEN 'train'
+        |     WHEN __r <= __n * 9 DIV 10 THEN 'val'
+        |     ELSE 'test' END""".stripMargin)
+    ranked.join(broadcast(sizes), "lang")
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM h)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn <= n * 8 // 10 THEN 'train'
+      |       WHEN rn <= n * 9 // 10 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q74 — ORC round-trip (second columnar format)
 
   /** Columnar-format interop under the hash gate: orders is written as
