@@ -32,15 +32,18 @@ object CorpusQueries {
     * pair count (≪ n); every CC round is a groupBy-min + join on the
     * shrinking edge set — no collect, no O(n²). */
   def q70DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // the verified pair set is tiny (near-dup count) and already the
-    // output of a full LSH+verify pass — memoize it like the shingle
-    // stages it derives from (params mirror q20's geometry/threshold)
-    val pairs = graft.PlanCache.memo(s, dir, "dedup_pairs", "w3,k64,b16r4,t0.8") {
-      LlmQueries.q20DedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
-    }
-    ConnectedComponents.run(pairs)
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    // both the verified pair set AND the component assignment are tiny
+    // (near-dup-count-sized) outputs of expensive passes, shared with
+    // q111's survivor selection — memoized under the same key q111
+    // reads, so the iterative CC rounds run once per (session, dir)
+    // whichever query fires first (params mirror q20's geometry)
+    graft.PlanCache.memo(s, dir, "dedup_clusters", "w3,k64,b16r4,t0.8") {
+      val pairs = graft.PlanCache.memo(s, dir, "dedup_pairs", "w3,k64,b16r4,t0.8") {
+        LlmQueries.q20DedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
+      }
+      ConnectedComponents.run(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** Oracle: brute-force exact-Jaccard pairs (same CTE as q20's oracle)
@@ -980,9 +983,7 @@ object CorpusQueries {
     * small, so the partitions are bounded regardless of corpus size
     * (contrast q107's few-huge-groups problem). */
   def q111SurvivorSelection(s: SparkSession, dir: String): DataFrame = {
-    val clusters = graft.PlanCache.memo(s, dir, "dedup_clusters", "w3,k64,b16r4,t0.8") {
-      q70DedupClusters(s, dir)
-    }
+    val clusters = q70DedupClusters(s, dir) // memoized inside q70
     val quality = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
