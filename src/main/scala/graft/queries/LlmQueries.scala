@@ -701,6 +701,51 @@ object LlmQueries {
       |ORDER BY doc_inner, doc_outer""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Prefix-filtered set-similarity join (PPJoin-style)
+
+  /** Same near-dup semantics as q20/q21 (exact Jaccard ≥ 0.8 pairs,
+    * same oracle), THIRD candidate generator: prefix filtering — the
+    * classic exact set-similarity-join algorithm (Chaudhuri et al.
+    * 2006 SSJoin / Xiao et al. 2008 PPJoin). Order every doc's
+    * shingles by a GLOBAL canonical order (ascending document
+    * frequency, so prefixes hold the rarest shingles); if
+    * J(A,B) ≥ t, A and B must share a shingle within their first
+    * |S| − ⌈t·|S|⌉ + 1 entries — so only PREFIX tokens join, and the
+    * candidate volume is Σ df_prefix² over the rarest slice of the
+    * index instead of Σ df² over all of it. Exact verification on
+    * survivors keeps emitted values exact (shared recount machinery).
+    *
+    * Shape: one df aggregate (broadcast back onto the shingle stream
+    * via the hash — vocabulary-sized at the rare end only after the
+    * prefix cut), a per-doc rank window (partitions are docs:
+    * bounded), prefix self-join on the shingle hash, distinct, then
+    * the recount. Ceil via integer arithmetic: ⌈t·n⌉ with t = 0.8 is
+    * (4n + 4) DIV 5. */
+  def q114PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(s, dir)
+    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val prefixes = memo(s, dir, "prefixes", "w3,t0.8") {
+      val df = rows.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("hg"))
+      rows.join(df, "hg")
+        .withColumn("rk", row_number().over(w))
+        .join(sizes, "doc_id")
+        // prefix length |S| - ceil(0.8|S|) + 1, all integer arithmetic
+        .filter(col("rk") <= expr("sz - (sz * 4 + 4) DIV 5 + 1"))
+        .select(col("doc_id"), col("hg"))
+    }
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyCandidates(rows, sizes, cand, 0.8)
+  }
+
+  /** Same output contract as q20/q21 → same brute-force oracle. */
+  val q114Sql: String = q20Sql
+
+  // ---------------------------------------------------------------------
   // Incremental dedup (new batch vs existing corpus index)
 
   /** The daily-ingest dedup path: an arriving batch (doc_id ≥ 400) is

@@ -45,6 +45,16 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(pruned == unpruned)
   }
 
+  test("q114 prefix-filter emits exactly the LSH generator's pairs (q20)") {
+    // three independent candidate generators, one semantics: the
+    // prefix-filtered join must find the same exact-Jaccard pairs the
+    // banded-MinHash path finds
+    val viaPrefix = LlmQueries.q114PrefixJoin(spark, TestSpark.sfDir).collect().toSeq
+    val viaLsh = LlmQueries.q20DedupMinhash(spark, TestSpark.sfDir).collect().toSeq
+    assert(viaLsh.nonEmpty, "no near-dup pairs at sf0.001 — equality vacuous")
+    assert(viaPrefix == viaLsh)
+  }
+
   test("cap=0 suppresses all candidates (the cap is live)") {
     assert(LlmQueries.q21PrunedNgramJaccard(spark, TestSpark.sfDir, 0).count() == 0)
   }

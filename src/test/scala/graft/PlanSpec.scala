@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q114: prefix-filtered join plan contains no cartesian or nested-loop join") {
+    val p = plan(LlmQueries.q114PrefixJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in a prefix-filter plan")
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
