@@ -282,4 +282,59 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     scored.foreach(r => assert(withTerm.contains(r.getLong(0))))
   }
+
+  test("q106 packing conserves token mass and fills every non-tail pack exactly") {
+    val packs = CorpusQueries.q106SequencePacking(spark, TestSpark.sfDir).collect()
+    assert(packs.nonEmpty)
+    // per shard: packs 0..max-1 hold exactly 512 tokens, the tail holds
+    // the remainder; total across packs == the shard's token mass
+    val byShard = packs.groupBy(_.getAs[Long]("shard"))
+    val totals = Tables.documents(spark, TestSpark.sfDir)
+      .select((col("doc_id") % 64).as("shard"),
+        size(graft.functions.TextFunctions.tokensOf(col("text"))).cast("long").as("tok"))
+      .filter(col("tok") >= 1)
+      .groupBy(col("shard")).agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byShard.foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pack_id"))
+      val tokens = sorted.map(_.getAs[Long]("n_tokens"))
+      assert(tokens.init.forall(_ == 512L),
+        s"shard $shard has an underfilled non-tail pack: ${tokens.toSeq}")
+      assert(tokens.last <= 512L && tokens.last >= 1L)
+      assert(tokens.sum === totals(shard),
+        s"shard $shard: packed ${tokens.sum} of ${totals(shard)} tokens")
+      // pack ids are dense 0..k-1
+      assert(sorted.map(_.getAs[Long]("pack_id")).toSeq ===
+        (0L until sorted.length.toLong))
+    }
+  }
+
+  test("q113 split proportions are exact per stratum, and the split is stable") {
+    // recompute over ALL docs (the registry query truncates output for
+    // the gate; proportions must be asserted on full strata)
+    val base = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("h"))
+    val ranked = graft.operators.Ranks.withGroupRowNumber(
+      base, col("lang"), "r", col("h"), col("doc_id"))
+    val sizes = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val counts = ranked.join(sizes, "lang")
+      .select(col("lang"), col("n"),
+        expr("""CASE WHEN r <= n * 8 DIV 10 THEN 'train'
+                |     WHEN r <= n * 9 DIV 10 THEN 'val'
+                |     ELSE 'test' END""".stripMargin).as("split"))
+      .groupBy(col("lang"), col("n"), col("split")).count()
+      .collect()
+    counts.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val n = rows.head.getAs[Long]("n")
+      val m = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+      assert(m.getOrElse("train", 0L) === n * 8 / 10, s"$lang train != floor(0.8n)")
+      assert(m.getOrElse("val", 0L) === n * 9 / 10 - n * 8 / 10, s"$lang val size")
+      assert(m.getOrElse("test", 0L) === n - n * 9 / 10, s"$lang test size")
+    }
+    // determinism: the assignment is a pure function of (doc_id, strata)
+    val once = CorpusQueries.q113StratifiedSplit(spark, TestSpark.sfDir).collect().toSeq
+    val twice = CorpusQueries.q113StratifiedSplit(spark, TestSpark.sfDir).collect().toSeq
+    assert(once === twice)
+  }
 }
