@@ -516,6 +516,57 @@ object VectorQueries {
       |ORDER BY a.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q115 — hard-negative mining (contrastive-training data prep)
+
+  /** Per anchor vector, the 3 most-similar vectors carrying a DIFFERENT
+    * label — the hard negatives contrastive training mines (close in
+    * embedding space, wrong class). Same distribution shape as q27's
+    * brute-force top-k (anchor side broadcast, per-anchor
+    * WindowGroupLimit) plus the label-inequality predicate riding the
+    * join; the scale path swaps the candidate scan for q28/q56's
+    * bucketed ANN exactly as q27 documents. */
+  def q115HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val withNorm = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"))
+    val anchors = withNorm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val cands = withNorm
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    cands.join(broadcast(anchors), col("a_label") =!= col("n_label"))
+      .withColumn("cos_sim",
+        round(vecDot(col("a_emb"), col("n_emb")) / (col("a_nrm") * col("n_nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("a_label"), col("n_id"),
+        col("n_label"), col("cos_sim"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  val q115Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a_id, a_label, n_id, n_label, cos_sim, rn FROM (
+      |  SELECT a.vec_id AS a_id, a.label AS a_label,
+      |    c.vec_id AS n_id, c.label AS n_label,
+      |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (a.nrm * c.nrm), 6) AS cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * c.nrm), 6) DESC, c.vec_id) AS rn
+      |  FROM n a JOIN n c ON a.vec_id < 20 AND a.label <> c.label)
+      |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q110 — semantic dedup clusters (components of the cosine pair graph)
 
   /** SemDeDup-style semantic clustering: connected components over the
