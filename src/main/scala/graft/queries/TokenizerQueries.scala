@@ -48,7 +48,7 @@ object TokenizerQueries {
     * hash row proves the iterative relational plan computes the exact
     * Sennrich merge sequence. */
   def q98BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val rounds = merges(s, dir)
+    val (rounds, _) = merges(s, dir)
     rounds.zipWithIndex.map { case (m, i) =>
       m.select(lit(i + 1).as("merge_rank"), col("a").as("lhs"),
         col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
@@ -56,8 +56,9 @@ object TokenizerQueries {
     }.reduce(_ unionByName _).orderBy(col("merge_rank"))
   }
 
-  /** The per-round argmax tables m_1..m_4 (each one row: a, b, cnt). */
-  private def merges(s: SparkSession, dir: String): Seq[DataFrame] = {
+  /** The per-round argmax tables m_1..m_4 (each one row: a, b, cnt),
+    * plus the post-merge vocabulary (spaced strings after all rounds). */
+  private def merges(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     var w = graft.PlanCache.memo(s, dir, "bpe_words", s"r0") {
       // word-frequency table with each word as a spaced symbol string:
       // "hello" -> " h e l l o " (the surrounding spaces make every
@@ -69,7 +70,7 @@ object TokenizerQueries {
         .select(concat(lit(" "),
           regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
     }
-    (1 to Merges).map { k =>
+    val ms = (1 to Merges).map { k =>
       val m = topPair(w)
       w = graft.PlanCache.memo(s, dir, "bpe_words", s"r$k") {
         w.crossJoin(broadcast(m)).select(
@@ -80,6 +81,7 @@ object TokenizerQueries {
       }
       m
     }
+    (ms, w)
   }
 
   /** Frequency-weighted symbol-pair counts → deterministic argmax. */
@@ -100,6 +102,54 @@ object TokenizerQueries {
     * version safety. */
   private def replace_(src: Column, search: Column, repl: Column): Column =
     call_function("replace", src, search, repl)
+
+  // ---------------------------------------------------------------------
+  // q116 — BPE tokenizer APPLICATION (encode the corpus with q98's merges)
+
+  /** Apply the 4 learned merges to the whole corpus and emit the top 20
+    * resulting subword tokens by frequency — the encode half of the
+    * tokenizer lifecycle (q98 trains, this applies; together they are
+    * the train→encode loop every tokenizer ships).
+    *
+    * Shape: the per-round argmax tables (one row each) cross-join into
+    * the word-frequency table as broadcasts and the merge rewrites are
+    * the same scan-local `replace` chain training used — application
+    * touches the vocabulary table only, then one explode + count over
+    * the final spaced strings. Frequencies weight by word occurrence,
+    * so the counts are corpus-level token frequencies. */
+  def q116BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = merges(s, dir) // every round memoized; shared with q98
+    w.select(explode(split(trim(col("s")), " ")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  val q116Sql: String = {
+    def pairs(wk: String, pk: String) =
+      s"""$pk AS (SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS p, freq
+         |        FROM (SELECT string_split(trim(s), ' ') AS cs, freq FROM $wk))
+         |  GROUP BY 1, 2)""".stripMargin
+    def argmax(pk: String, mk: String) =
+      s"$mk AS (SELECT a, b, cnt FROM $pk ORDER BY cnt DESC, a, b LIMIT 1)"
+    def rewrite(wk: String, mk: String, wn: String) =
+      s"""$wn AS (SELECT replace(s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s,
+         |  freq FROM $wk, $mk m)""".stripMargin
+    val rounds = (1 to Merges).map { k =>
+      Seq(pairs(s"w${k - 1}", s"p$k"), argmax(s"p$k", s"m$k"),
+        rewrite(s"w${k - 1}", s"m$k", s"w$k")).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |    COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |$rounds
+       |SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split(trim(s), ' ')) AS token, freq FROM w$Merges)
+       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+  }
 
   val q98Sql: String = {
     def pairs(wk: String, pk: String) =
