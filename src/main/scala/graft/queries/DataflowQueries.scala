@@ -603,6 +603,95 @@ object DataflowQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q117 — cohort retention matrix
+
+  /** The classic cohort analysis: users grouped by first-seen week,
+    * counted in every later week they were active — the long-form
+    * retention matrix (cohort_week, week_offset, n_users).
+    *
+    * Shape: first-event aggregate per user (one groupBy), distinct
+    * per-user activity weeks (one groupBy), one equi-join on user, one
+    * count aggregate keyed by (cohort, offset) — every step is a
+    * partial-agg-friendly shuffle on bounded keys; no window, no
+    * self-join on events. Week indices are exact epoch-millis integer
+    * divisions on both engines. */
+  def q117CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 604800000").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val q117Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, wk FROM ev)
+      |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q118 — ordered funnel analysis (view → click → purchase)
+
+  /** The strict-order funnel: per user, the first view, the first click
+    * AFTER that view, the first purchase AFTER that click; stage counts
+    * bucketed by user cohort (user_id mod 4) so the output is a small
+    * matrix. Event-sequence analytics the reference's warehouse would
+    * run — here as three per-user aggregates chained by inequality
+    * joins (each side is one row per user, so the joins are
+    * user-keyed and partial-agg-sized; no window over raw events, no
+    * event self-join). Timestamps compare as exact epoch millis. */
+  def q118FunnelAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    def firstAfter(df: DataFrame, typ: String, afterCol: String,
+        prev: DataFrame, outCol: String): DataFrame =
+      df.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ms") > col(afterCol))
+        .groupBy(col("user_id"), col(afterCol))
+        .agg(min(col("ms")).as(outCol))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val c = firstAfter(ev, "click", "v_ms", v, "c_ms")
+    val p = firstAfter(ev, "purchase", "c_ms", c.select(col("user_id"), col("c_ms")), "p_ms")
+    val stages = v.select(col("user_id"), lit(1).as("stage"))
+      .unionByName(c.select(col("user_id"), lit(2).as("stage")))
+      .unionByName(p.select(col("user_id"), lit(3).as("stage")))
+    stages.groupBy((col("user_id") % 4).as("bucket"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("bucket"), col("stage"))
+  }
+
+  val q118Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS v_ms FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.v_ms, MIN(e.ms) AS c_ms
+      |      FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ms > v.v_ms
+      |      GROUP BY 1, 2),
+      |p AS (SELECT e.user_id, c.c_ms, MIN(e.ms) AS p_ms
+      |      FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ms > c.c_ms
+      |      GROUP BY 1, 2),
+      |stages AS (
+      |  SELECT user_id, 1 AS stage FROM v
+      |  UNION ALL SELECT user_id, 2 FROM c
+      |  UNION ALL SELECT user_id, 3 FROM p)
+      |SELECT user_id % 4 AS bucket, stage, COUNT(*) AS n_users
+      |FROM stages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q108 — time-grid forward-fill (gap imputation)
 
   /** Hourly per-user value series with gaps imputed by forward fill —
