@@ -567,6 +567,66 @@ object VectorQueries {
       |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q119 — classifier decile-lift table (model evaluation)
+
+  /** The standard model-eval artifact: score the corpus with q101's
+    * linear classifier, cut the scores into global deciles, and per
+    * decile count how the true labels distribute — the lift/calibration
+    * table every scored-dataset review reads.
+    *
+    * Scale: the decile cut is `Ranks.exactNtile` (sketch-bucketed
+    * distributed ranking — no single-partition sort, same operator q80
+    * relies on), scoring is q101's scan-local projection, and the final
+    * rollup is one 10-row aggregate. The oracle keeps the literal
+    * ntile window form, so the green row again proves the distributed
+    * ranking IS ntile — this time over computed model scores rather
+    * than a raw column. */
+  def q119DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val scored = q101ClassifierInference(s, dir)
+      .select(col("vec_id"), col("pred_class"), col("top_logit"))
+    val withLabel = scored.join(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    graft.operators.Ranks.exactNtile(
+        withLabel, 10, "decile", col("top_logit"), col("vec_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_class") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_label0"),
+        round(min(col("top_logit")), 6).as("min_logit"),
+        round(max(col("top_logit")), 6).as("max_logit"))
+      .orderBy(col("decile"))
+  }
+
+  val q119Sql: String =
+    """WITH w AS (
+      |  SELECT c,
+      |    list_transform(range(0, 64),
+      |      i -> CAST(((c*1009 + i*7919) % 97 - 48) / 64.0 AS FLOAT)) AS wv,
+      |    ((c*53) % 11 - 5) / 8.0 AS b
+      |  FROM (SELECT unnest([0, 1, 2]) AS c)),
+      |l AS (
+      |  SELECT e.vec_id, e.label, w.c,
+      |    w.b + list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(w.wv[i] AS DOUBLE))) AS logit
+      |  FROM embeddings e CROSS JOIN w),
+      |r AS (
+      |  SELECT vec_id, label, c, logit,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY logit DESC, c) AS rn
+      |  FROM l),
+      |scored AS (
+      |  SELECT vec_id, label, c AS pred_class, logit AS top_logit
+      |  FROM r WHERE rn = 1),
+      |cut AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY top_logit, vec_id) AS decile
+      |  FROM scored)
+      |SELECT decile, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN pred_class = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_label0,
+      |  round(MIN(top_logit), 6) AS min_logit,
+      |  round(MAX(top_logit), 6) AS max_logit
+      |FROM cut GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q110 — semantic dedup clusters (components of the cosine pair graph)
 
   /** SemDeDup-style semantic clustering: connected components over the
