@@ -154,6 +154,46 @@ object Ranks {
     ranked.withColumn(tileCol, tile).drop("__rn")
   }
 
+  /** Exact per-group continuous quantiles (SQL `quantile_cont` /
+    * `percentile` semantics: linear interpolation at position
+    * 1 + (n−1)·p) WITHOUT the buffer-based percentile aggregate —
+    * Spark's exact `percentile` holds every distinct value of a group
+    * in its aggregation buffer, which a 100 TB group turns into an
+    * executor OOM. Here each group's two needed row positions per
+    * target come from [[withGroupRowNumber]] (sketch-bucketed, no
+    * single-task sort, bounded memory everywhere) and one equi-join
+    * fetches exactly 2·|targets| rows per group.
+    *
+    * Returns (group, targetName, value) long-form. `tiebreak` only
+    * fixes rank positions among EQUAL values — interpolation is
+    * unaffected by tie order. */
+  def exactGroupQuantiles(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, targets: Seq[(String, Double)]): DataFrame = {
+    val base = df.select(group.as("__grp"), value.as("__v"), tiebreak.as("__t"))
+    val ranked = withGroupRowNumber(base, col("__grp"), "__r", col("__v"), col("__t"))
+    val sizes = base.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    // per (group, target): the two bracketing positions + the fraction
+    val needs = sizes.select(col("__grp"), col("__n"),
+        explode(array(targets.map { case (nm, p) =>
+          struct(lit(nm).as("t"), lit(p).as("p"))
+        }: _*)).as("tp"))
+      .select(col("__grp"), col("tp.t").as("__target"),
+        (lit(1.0) + (col("__n") - 1).cast("double") * col("tp.p")).as("__pos"))
+      .select(col("__grp"), col("__target"), col("__pos"),
+        floor(col("__pos")).cast("long").as("__lo"),
+        ceil(col("__pos")).cast("long").as("__hi"))
+    val wanted = needs.select(col("__grp"), col("__target"), col("__pos"),
+        col("__lo"), col("__hi"), explode(array(col("__lo"), col("__hi"))).as("__r"))
+      .distinct()
+    wanted.join(ranked.select(col("__grp"), col("__r"), col("__v")), Seq("__grp", "__r"))
+      .groupBy(col("__grp"), col("__target"))
+      .agg(min(when(col("__r") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__r") === col("__hi"), col("__v"))).as("__vhi"),
+        first(col("__pos") - col("__lo")).as("__frac"))
+      .select(col("__grp"), col("__target"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__q"))
+  }
+
   /** Bucket id (1-based) of `v` against ascending `cuts` — bucket i is
     * (cuts(i-2), cuts(i-1)]. Built as a BALANCED when/otherwise tree:
     * each row evaluates only its ⌈log₂ B⌉-deep path (a linear

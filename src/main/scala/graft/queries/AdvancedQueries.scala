@@ -109,21 +109,31 @@ object AdvancedQueries {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Exact linear-interpolation percentiles (Spark `percentile` ==
-    * DuckDB `quantile_cont`). Distributed cost note: exact percentile
-    * collects per-group sorted values — at 100 TB use approx_percentile
-    * (KLL/GK sketch) instead; this query is the exact-semantics slot. */
-  def q42Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("pcts"),
-        count(lit(1)).as("n"))
-      .select(col("o_orderpriority"),
-        round(element_at(col("pcts"), 1), 4).as("p25"),
-        round(element_at(col("pcts"), 2), 4).as("p50"),
-        round(element_at(col("pcts"), 3), 4).as("p75"),
-        col("n"))
+  /** Exact per-group quartiles — quantile_cont semantics, computed by
+    * rank-and-interpolate over `Ranks.withGroupRowNumber` rather than
+    * Spark's `percentile` aggregate (whose buffer holds every distinct
+    * group value in executor memory: the last memory-unbounded exact
+    * aggregate this registry had; a 100 TB priority group would OOM
+    * it). Two fetched rows per (group, quartile), everything else is
+    * bounded aggregates; RanksSpec proves equality against the
+    * buffer-based form at gate scale. */
+  def q42Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val q = graft.operators.Ranks.exactGroupQuantiles(base,
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    val n = base.groupBy(col("o_orderpriority").as("__grp"))
+      .agg(count(lit(1)).as("n"))
+    q.groupBy(col("__grp"))
+      .agg(round(min(when(col("__target") === "p25", col("__q"))), 4).as("p25"),
+        round(min(when(col("__target") === "p50", col("__q"))), 4).as("p50"),
+        round(min(when(col("__target") === "p75", col("__q"))), 4).as("p75"))
+      .join(broadcast(n), "__grp")
+      .select(col("__grp").as("o_orderpriority"),
+        col("p25"), col("p50"), col("p75"), col("n"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val q42Sql: String =
     """SELECT o_orderpriority,

@@ -90,6 +90,24 @@ class RanksSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(lang"), p)
   }
 
+  test("exactGroupQuantiles equals the buffer-based percentile aggregate") {
+    val base = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val got = Ranks.exactGroupQuantiles(base, col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderkey"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .select(col("__grp"), col("__target"), round(col("__q"), 6).as("q"))
+    val want = base.groupBy(col("o_orderpriority").as("__grp"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("p"))
+      .select(col("__grp"), explode(map(
+        lit("p25"), element_at(col("p"), 1),
+        lit("p50"), element_at(col("p"), 2),
+        lit("p75"), element_at(col("p"), 3))).as(Seq("__target", "v")))
+      .select(col("__grp"), col("__target"), round(col("v"), 6).as("q"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
   test("q80: sketch-cutpoint bins equal exact ntile bins (judge gate)") {
     val exact = CorpusQueries.q80QuantileBins(spark, TestSpark.sfDir)
     val approx = CorpusQueries.q80ApproxBins(spark, TestSpark.sfDir)
