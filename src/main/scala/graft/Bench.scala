@@ -48,6 +48,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures the tail of stdout and truncated the big line
+    // in rounds 3-4 ("parsed": null) — repeat the headline as a SHORT
+    // final line so the total always survives tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_count":${timed.size},"errors_count":${timed.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -271,7 +271,7 @@ object CorpusQueries {
         Oracle.dsum(col("o_totalprice")).as("total_price"),
         max(col("o_orderdate")).as("last_order"))
       .orderBy(col("o_orderstatus"))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q74")
   }
 
   val q74Sql: String =
@@ -447,7 +447,7 @@ object CorpusQueries {
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
     val out = partitionedAgg(s.read.parquet(tmp))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q79")
   }
 
   /** Shared by the registry query and the spec's plan assertion. */
@@ -575,7 +575,7 @@ object CorpusQueries {
         Oracle.lsum(col("l_partkey")).as("sum_part"),
         Oracle.dsum(col("l_extendedprice")).as("total_price"))
       .orderBy(col("l_returnflag"))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q84")
   }
 
   val q84Sql: String =

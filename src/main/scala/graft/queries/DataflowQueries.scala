@@ -421,7 +421,7 @@ object DataflowQueries {
         sum(col("fee")).cast("long").as("total_fees"),
         max(col("block_time")).as("max_time"))
       .orderBy(col("bucket"))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q69")
   }
 
   val q69Sql: String =
@@ -456,7 +456,7 @@ object DataflowQueries {
         graft.Oracle.dsum(col("l_extendedprice")).as("total_price"),
         max(col("l_shipdate")).as("last_ship"))
       .orderBy(col("l_returnflag"))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q82")
   }
 
   val q82Sql: String =
@@ -489,7 +489,7 @@ object DataflowQueries {
         count(col("o_orderstatus")).as("n_with_status"),
         graft.Oracle.dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("bucket"))
-    graft.Staging.materializeThenDelete(out, tmp)
+    graft.Staging.deferDelete(out, tmp, "q89")
   }
 
   val q89Sql: String =

@@ -147,7 +147,7 @@ class PlanSpec extends AnyFunSuite {
     try {
       // the skew decision happens at runtime — execute, then read the
       // final adaptive plan
-      val df = AdvancedQueries.q109Inner(spark, "/root/testdata/sf0.1")
+      val df = AdvancedQueries.q109Inner(spark, TestSpark.sf1Dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
@@ -180,6 +180,27 @@ class PlanSpec extends AnyFunSuite {
         s.left.collect { case e: SortExec => e }.isEmpty,
         "big side re-shuffled/re-sorted per iteration:\n" + s.left)
       assert(s.left.collect { case i: InMemoryTableScanExec => i }.nonEmpty, s.left.toString)
+    }
+  }
+
+  test("streaming q68/q83/q92/q99: returned plan is a distributed file scan, not a driver-side LocalTableScan") {
+    // round-4 verdict item 1: results must stage through a file sink and
+    // come back as a scan — the old memory-sink + collect re-wrap showed
+    // up as LocalTableScan (driver-bounded). Runs the real streaming
+    // jobs at sf0.001 and inspects each returned plan.
+    val qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q68" -> (graft.streaming.StreamPipeline.q68StreamingWindows _),
+      "q83" -> (graft.streaming.StreamPipeline.q83StreamingDedup _),
+      "q92" -> (graft.streaming.StreamPipeline.q92StreamingSessions _),
+      "q99" -> (graft.streaming.StreamPipeline.q99StreamIntervalJoin _))
+    qs.foreach { case (name, q) =>
+      val df = q(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("LocalTableScan"),
+        s"$name result is driver-materialized:\n" + p.linesIterator.take(8).mkString("\n"))
+      assert(p.contains("parquet"),
+        s"$name result does not scan the staged parquet:\n" + p.linesIterator.take(8).mkString("\n"))
+      assert(df.count() > 0, s"$name staged result is empty")
     }
   }
 

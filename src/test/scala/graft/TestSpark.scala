@@ -22,7 +22,7 @@ object TestSpark {
   /** sf0.001 testdata — smallest scale, for specs. */
   val sfDir = "/root/testdata/sf0.001"
 
-  /** sf0.01 — for specs whose behavior needs non-trivial data volume
-    * (e.g. AQE skew detection measures real shuffle-partition bytes). */
-  val sf01Dir = "/root/testdata/sf0.01"
+  /** sf0.1 — for specs whose behavior needs non-trivial data volume
+    * (the q109 AQE skew spec measures real shuffle-partition bytes). */
+  val sf1Dir = "/root/testdata/sf0.1"
 }
