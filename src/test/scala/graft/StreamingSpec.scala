@@ -202,6 +202,37 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t(12, 0).getTime, t(12, 0).getTime, 1L)))
   }
 
+  test("stateful queries run unchanged on the RocksDB state store (100 TB spill path)") {
+    // The default HDFS-backed provider keeps state on the executor heap
+    // — fine for tests, an OOM at 100 TB stream state. RocksDB keeps
+    // state off-heap with disk spill (provider bundled in Spark's
+    // distribution, rocksdbjni on the classpath). The provider class is
+    // read per-query at start, so flipping the session conf covers all
+    // four registry streaming queries; results must be IDENTICAL to the
+    // default provider (same hash gate), only the state backend moves.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val dir = TestSpark.sfDir
+    def run() = Map(
+      "q83" -> StreamPipeline.q83StreamingDedup(spark, dir)
+        .collect().map(_.toString).sorted.toSeq,
+      "q92" -> StreamPipeline.q92StreamingSessions(spark, dir)
+        .collect().map(_.toString).sorted.toSeq,
+      "q99" -> StreamPipeline.q99StreamIntervalJoin(spark, dir)
+        .collect().map(_.toString).sorted.toSeq)
+    val baseline = run()
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try {
+      val onRocks = run()
+      assert(onRocks === baseline,
+        "state backend changed query results — provider is not transparent")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState keeps a per-source high watermark across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
