@@ -187,6 +187,87 @@ object FetchStage {
     }
   }
 
+  // ---- gRPC transport shape (reference Cargo.toml:186-189 GRPC /
+  // ---- APTOS_GRPC call features; tonic is the wire the reference gates in)
+
+  /** The wire below a gRPC transport: one server-streaming call per
+    * block, returning the raw response body — a sequence of gRPC
+    * length-prefixed message frames (`[flag:1][len:4 BE][protobuf msg]`,
+    * the HTTP/2 DATA framing tonic produces). First message is the block
+    * header, each subsequent message one transaction (the Proto3 TxRecord
+    * this engine already speaks for its sink payloads). Injectable like
+    * [[BlockTransport]]/[[RestWire]]: offline the frames come from a
+    * deterministic synthetic server; production supplies a real channel
+    * with the same framing contract. */
+  trait GrpcWire extends AutoCloseable {
+    /** `GetBlock(bn)` server-streaming call → concatenated response frames. */
+    def callGetBlock(endpoint: String, bn: Long): Array[Byte]
+    override def close(): Unit = ()
+  }
+
+  /** Split a gRPC response body into its protobuf messages, validating
+    * the framing (flag byte 0 = uncompressed, 4-byte big-endian length).
+    * Throws on truncated or compressed frames — a malformed response
+    * must surface as a fetch failure so the stage's retry/fallback
+    * machinery engages, identical to an HTTP error on the other wires. */
+  private[graft] def grpcFrames(body: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < body.length) {
+      require(i + 5 <= body.length, s"truncated frame header at $i")
+      require(body(i) == 0, s"compressed frame unsupported (flag=${body(i)})")
+      val len = ((body(i + 1) & 0xff) << 24) | ((body(i + 2) & 0xff) << 16) |
+        ((body(i + 3) & 0xff) << 8) | (body(i + 4) & 0xff)
+      require(i + 5 + len <= body.length, s"truncated frame body at $i (len=$len)")
+      out += java.util.Arrays.copyOfRange(body, i + 5, i + 5 + len)
+      i += 5 + len
+    }
+    out.result()
+  }
+
+  /** Prefix one protobuf message with gRPC framing. */
+  private[graft] def grpcFrame(msg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + msg.length)
+    out(1) = (msg.length >>> 24).toByte; out(2) = (msg.length >>> 16).toByte
+    out(3) = (msg.length >>> 8).toByte; out(4) = msg.length.toByte
+    System.arraycopy(msg, 0, out, 5, msg.length)
+    out
+  }
+
+  /** gRPC-shaped [[BlockTransport]]: one streaming call per block, frames
+    * decoded with the engine's Proto3 codec and reassembled into the SAME
+    * payload contract the JSON-RPC and REST transports return — the whole
+    * fetch stage (pooling, retry, fallback, metering) stays
+    * transport-agnostic, exactly how the reference feature-gates
+    * RPC/REST/GRPC behind one source interface. Frame walk and decode run
+    * inside the executor task. */
+  final class GrpcBlockTransport(wire: GrpcWire) extends BlockTransport {
+    override def fetchBlock(endpoint: String, bn: Long): String = {
+      val frames = grpcFrames(wire.callGetBlock(endpoint, bn))
+      require(frames.nonEmpty, "empty gRPC response (missing header frame)")
+      val header = graft.functions.Proto3.decodeTx(frames.head)
+      require(header._1 == bn, s"header block ${header._1} != requested $bn")
+      val txs = frames.tail
+        .map(f => s"""{"fee":${graft.functions.Proto3.decodeTx(f)._3}}""")
+        .mkString("[", ",", "]")
+      s"""{"block_number":$bn,"txs":$txs}"""
+    }
+    override def close(): Unit = wire.close()
+  }
+
+  /** Synthetic gRPC server: same chain arithmetic, emitted as framed
+    * proto3 messages (header then one TxRecord per tx). */
+  final class SyntheticGrpcWire extends GrpcWire {
+    override def callGetBlock(endpoint: String, bn: Long): Array[Byte] = {
+      import graft.functions.Proto3.encodeTx
+      val empty = Array.emptyByteArray
+      val frames = Iterator.single(encodeTx(bn, 0L, 0L, empty)) ++
+        (0 until syntheticNTx(bn)).iterator
+          .map(i => encodeTx(bn, i.toLong, syntheticFee(bn, i), empty))
+      frames.map(grpcFrame).reduceLeft(_ ++ _)
+    }
+  }
+
   /** S4 registry query: fetch a block range through the full stage
     * (pooled transport, retry policy, metering), parse payloads with
     * from_json, fan transactions out, aggregate — the same values the S1
@@ -198,6 +279,29 @@ object FetchStage {
       FetchConfig("synthetic://primary", Some("synthetic://fallback")),
       new (() => BlockTransport) with Serializable {
         def apply(): BlockTransport = new SyntheticRpcTransport
+      })
+    fetched
+      .withColumn("parsed", from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "block_number BIGINT, txs ARRAY<STRUCT<fee: BIGINT>>")))
+      .select(col("block_number"), explode(col("parsed.txs")).as("tx"))
+      .groupBy((col("block_number") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_txs"),
+        countDistinct(col("block_number")).as("n_blocks"),
+        sum(col("tx.fee")).cast("long").as("total_fees"))
+      .orderBy(col("bucket"))
+  }
+
+  /** S4 through the gRPC transport: the SAME fetch stage and downstream
+    * parse/fan-out/aggregate as q63, with the wire swapped to framed
+    * proto3 streaming — the oracle is q63's, so the hash gate proves the
+    * three transports are interchangeable end-to-end, not just in specs. */
+  def q120GrpcFetch(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ids = s.range(0L, 2000L).toDF("block_number")
+    val fetched = fetchBlocks(ids,
+      FetchConfig("grpc://primary", Some("grpc://fallback")),
+      new (() => BlockTransport) with Serializable {
+        def apply(): BlockTransport = new GrpcBlockTransport(new SyntheticGrpcWire)
       })
     fetched
       .withColumn("parsed", from_json(col("payload"),

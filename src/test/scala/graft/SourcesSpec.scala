@@ -122,6 +122,42 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S4 gRPC transport: framed proto3 stream reassembles the exact RPC payload") {
+    val rpc = new FetchStage.SyntheticRpcTransport
+    val grpc = new FetchStage.GrpcBlockTransport(new FetchStage.SyntheticGrpcWire)
+    for (bn <- 0L to 200L)
+      assert(grpc.fetchBlock("base", bn) === rpc.fetchBlock("base", bn), s"block $bn")
+  }
+
+  test("S4 gRPC transport: drives the full fetch stage (retry path shared)") {
+    val grpcFactory = new (() => BlockTransport) with Serializable {
+      def apply(): BlockTransport =
+        new FetchStage.GrpcBlockTransport(new FetchStage.SyntheticGrpcWire)
+    }
+    val out = FetchStage.fetchBlocks(
+      spark.range(0, 50).toDF("block_number").repartition(4),
+      FetchConfig("grpc://primary", None, maxRetries = 1, backoffMillis = 0),
+      grpcFactory)
+    // same payloads the q63 oracle verifies for the RPC transport
+    val viaGrpc = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rpc = new FetchStage.SyntheticRpcTransport
+    viaGrpc.foreach { case (bn, payload) =>
+      assert(payload === rpc.fetchBlock("x", bn))
+    }
+  }
+
+  test("S4 gRPC framing: round-trips messages; malformed frames are fetch failures") {
+    val msgs = Vector(Array[Byte](1, 2, 3), Array.emptyByteArray, Array[Byte](9))
+    val body = msgs.map(FetchStage.grpcFrame).reduceLeft(_ ++ _)
+    assert(FetchStage.grpcFrames(body).map(_.toSeq) === msgs.map(_.toSeq))
+    assert(FetchStage.grpcFrames(Array.emptyByteArray) === Vector.empty)
+    // compressed flag and truncation must throw (retry machinery engages)
+    intercept[IllegalArgumentException](
+      FetchStage.grpcFrames(Array[Byte](1, 0, 0, 0, 0)))
+    intercept[IllegalArgumentException](
+      FetchStage.grpcFrames(FetchStage.grpcFrame(Array[Byte](1, 2)).dropRight(1)))
+  }
+
   test("S4 REST wire: empty and nested arrays split correctly") {
     assert(FetchStage.jsonArrayElements("[]") === Vector.empty)
     assert(FetchStage.jsonArrayElements("""[{"a":1}]""") === Vector("""{"a":1}"""))
