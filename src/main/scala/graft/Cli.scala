@@ -108,6 +108,48 @@ object CreateTestSet {
   }
 }
 
+/** EP4 (`CUSTOM_INDEXING`, src/main.rs:246, Cargo.toml:191-192): run an
+  * ALTERNATE indexer over a block range — the per-chain replacement for
+  * the standard extract_all, chosen by class name instead of cargo
+  * feature. Resume, sinks, and watermark bookkeeping are IndexRange's;
+  * only the blocks→tables transform is swapped. The indexer class is
+  * validated through GraftConfig before any extraction starts. */
+object CustomIndex {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3 || args.length > 4) {
+      System.err.println(
+        "usage: graft.CustomIndex <start> <end> <outDir> [indexerClass]")
+      sys.exit(2)
+    }
+    val (start, end, outDir) = (args(0).toLong, args(1).toLong, args(2))
+    // embeddable main: reuse a live session (in-JVM E2E tests) and leave
+    // it running; stop only a session this run created
+    val owned = !org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
+    val spark = GraftCli.session("graft-custom-index")
+    // class name comes from the CLI arg or GRAFT_CUSTOM_INDEXER; the
+    // config constructor fail-fasts on an unresolvable/wrong-type class
+    val cfg = graft.config.GraftConfig.fromEnv(
+      sys.env.toMap
+        ++ Map("GRAFT_OUTPUT_DIR" -> outDir)
+        ++ args.lift(3).map("GRAFT_CUSTOM_INDEXER" -> _))
+    val indexer = cfg.indexer
+    val wmDir = Paths.get(outDir, "indexed_blocks")
+    val (s2, e2opt) = HighWatermark.resume(wmDir, start, end, reverse = false)
+    val e2 = e2opt.getOrElse(end)
+    println(s"[graft] custom-indexing [$s2, $e2) with ${indexer.getClass.getName}")
+    val blocks = BlockSources.blockRange(spark, s2, e2).persist()
+    try {
+      indexer.index(blocks).foreach { case (table, df) =>
+        df.write.mode("append").json(s"$outDir/$table")
+      }
+      HighWatermark.markDone(wmDir, s2, e2) // AFTER the sink commit
+    } finally blocks.unpersist()
+    println(s"[graft] done")
+    if (owned) spark.stop()
+  }
+}
+
 object IndexSubscription {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {

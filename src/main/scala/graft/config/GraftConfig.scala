@@ -19,7 +19,10 @@ final case class GraftConfig(
     tables: Seq[String],
     numRetries: Int = 5,
     batchChunkSize: Int = 900, // Pub/Sub bulk ceiling, google_pubsub.rs:122
-    backoffMillis: Long = 1000 // linear backoff unit, google_pubsub.rs:147-150
+    backoffMillis: Long = 1000, // linear backoff unit, google_pubsub.rs:147-150
+    // CUSTOM_INDEXING (Cargo.toml:191-192): fully-qualified class name of
+    // the alternate indexer; None = the standard extract_all pipeline.
+    customIndexer: Option[String] = None
 ) {
   require(outputDir.nonEmpty, "outputDir must be set")
   require(tables.nonEmpty, "at least one table must be configured")
@@ -31,6 +34,14 @@ final case class GraftConfig(
   require(
     sinkKind.allowedTimestampMode == timestampMode,
     s"sink $sinkKind requires ${sinkKind.allowedTimestampMode}, got $timestampMode")
+  // Fail-fast like an invalid feature set refusing to compile: an indexer
+  // name that doesn't resolve to a CustomIndexer must not start the run.
+  customIndexer.foreach(graft.operators.CustomIndexer.load)
+
+  /** The configured indexer instance (standard pipeline when unset). */
+  def indexer: graft.operators.CustomIndexer = customIndexer
+    .map(graft.operators.CustomIndexer.load)
+    .getOrElse(new graft.operators.CustomIndexer.StandardIndexer)
 }
 
 sealed trait TimestampMode
@@ -72,7 +83,8 @@ object GraftConfig {
       sinkKind = sink,
       timestampMode = ts,
       outputDir = env.getOrElse("GRAFT_OUTPUT_DIR", ""),
-      tables = env.getOrElse("GRAFT_TABLES", "blocks,transactions").split(",").toSeq.map(_.trim))
+      tables = env.getOrElse("GRAFT_TABLES", "blocks,transactions").split(",").toSeq.map(_.trim),
+      customIndexer = env.get("GRAFT_CUSTOM_INDEXER"))
   }
 
   private def defaultTs(s: SinkKind): String = s match {

@@ -143,6 +143,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.tables === Seq("blocks", "transactions"))
   }
 
+  // ---- CUSTOM_INDEXING dispatch -------------------------------------
+
+  test("custom indexer: resolved by class name and validated fail-fast") {
+    // unknown class and wrong-type class both refuse to start (the
+    // runtime analogue of an invalid cargo feature set not compiling)
+    intercept[IllegalArgumentException] {
+      GraftConfig(SinkKind.JsonFiles, TimestampMode.IsoString, "/tmp/x",
+        Seq("blocks"), customIndexer = Some("no.such.Indexer"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig(SinkKind.JsonFiles, TimestampMode.IsoString, "/tmp/x",
+        Seq("blocks"), customIndexer = Some("java.lang.String"))
+    }
+    // default = the standard extract_all pipeline
+    val std = GraftConfig(SinkKind.JsonFiles, TimestampMode.IsoString,
+      "/tmp/x", Seq("blocks")).indexer
+    assert(std.isInstanceOf[graft.operators.CustomIndexer.StandardIndexer])
+    val custom = GraftConfig.fromEnv(Map(
+      "GRAFT_OUTPUT_DIR" -> "/tmp/x",
+      "GRAFT_CUSTOM_INDEXER" -> "graft.operators.CustomIndexer$FeeStatsIndexer")).indexer
+    assert(custom.isInstanceOf[graft.operators.CustomIndexer.FeeStatsIndexer])
+  }
+
+  test("custom indexer: standard indexer reproduces the FanOut tables") {
+    val blocks = graft.sources.BlockSources.blockRange(spark, 0, 30)
+    val out = new graft.operators.CustomIndexer.StandardIndexer().index(blocks)
+    assert(out.keySet === Set("blocks", "transactions", "account_refs"))
+    assert(out("blocks").count() === 30)
+  }
+
+  test("EP4 CustomIndex CLI: end-to-end run with the FeeStats indexer") {
+    val outDir = Files.createTempDirectory("custom_index").toString
+    graft.CustomIndex.main(Array("0", "40", outDir,
+      "graft.operators.CustomIndexer$FeeStatsIndexer"))
+    val fees = spark.read.json(s"$outDir/fee_stats")
+    // blocks with zero txs produce no fee_stats row (groupBy over the
+    // tx fan-out) — the synthetic chain has such blocks
+    assert(fees.count() > 0 && fees.count() <= 40)
+    assert(fees.columns.sorted.toSeq ===
+      Seq("block_number", "max_fee", "n_txs", "total_fees"))
+    assert(spark.read.json(s"$outDir/accounts").count() > 0)
+    // C1 watermark recorded after the sink commit
+    assert(Files.exists(java.nio.file.Paths.get(outDir, "indexed_blocks", "0_40")))
+  }
+
   // ---- Multimodal plumbing ------------------------------------------
 
   test("multimodal: batched feature extraction is deterministic and schema-bound") {
