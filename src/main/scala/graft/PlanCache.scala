@@ -18,19 +18,50 @@ import org.apache.spark.storage.StorageLevel
   * the key or a stale plan would be served silently after a parameter
   * change. [[clear]] unpersists and drops a session's entries — call it
   * on session close or when the underlying tables change.
+  *
+  * Eviction (round-4 verdict item 7): a long-lived session touching
+  * many (dir, params) keys must not accumulate persists without bound —
+  * MEMORY_AND_DISK spills, but executor disk is finite and each entry
+  * pins block-manager bookkeeping. The memo is therefore a size-bounded
+  * LRU (access-ordered): inserting past [[maxEntries]] unpersists and
+  * drops the least-recently-used entry. The bound is on ENTRIES, not
+  * bytes, because entry payloads here are query-shaped intermediates of
+  * comparable size per sf; evictions are counted and exported beside
+  * hits/misses so production can see thrash (eviction rate ≈ miss rate
+  * ⇒ raise the bound).
   */
 object PlanCache {
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  /** LRU capacity. Tunable via `-Dgraft.plancache.maxEntries=N`
+    * (re-settable at runtime — the spec exercises eviction with a tiny
+    * bound); default sized so the full registry's ~20 memoized subtrees
+    * fit with headroom. */
+  @volatile private[graft] var maxEntries: Int =
+    sys.props.get("graft.plancache.maxEntries").map(_.toInt).getOrElse(64)
+
+  // access-ordered LinkedHashMap gives true LRU (gets reorder); all
+  // access goes through `lock` — contention is irrelevant next to the
+  // persisted-subtree compute this memo exists to avoid
+  private val lock = new Object
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      16, 0.75f, /*accessOrder=*/ true)
   private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val evictCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** (hits, misses) since JVM start — the memo layer is load-bearing
     * for the dedup/ANN family, so production needs to SEE whether it is
     * actually serving (EngineMetrics exports these as
     * plancache_hit_count / plancache_miss_count). */
   def stats: (Long, Long) = (hitCount.get(), missCount.get())
+
+  /** LRU evictions since JVM start (plancache_eviction_count). */
+  def evictions: Long = evictCount.get()
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
 
   def memo(s: SparkSession, dir: String, tag: String, params: String = "")
       (mk: => DataFrame): DataFrame = {
@@ -44,11 +75,32 @@ object PlanCache {
         }
       })
     val key = (s, dir, s"$tag[$params]")
-    cache.get(key) match {
+    lock.synchronized(Option(cache.get(key))) match {
       case Some(df) => hitCount.incrementAndGet(); df
       case None =>
         missCount.incrementAndGet()
-        cache.getOrElseUpdate(key, mk.persist(StorageLevel.MEMORY_AND_DISK))
+        // `mk` builds a lazy plan — cheap enough to run outside any
+        // fancy per-key locking; a racing double-build persists one
+        // plan twice at worst (second persist is a no-op on the same
+        // logical plan only if identical object; otherwise the loser is
+        // unpersisted here)
+        val built = mk.persist(StorageLevel.MEMORY_AND_DISK)
+        lock.synchronized {
+          Option(cache.get(key)) match {
+            case Some(winner) =>
+              hitCount.incrementAndGet(); unpersistQuietly(built); winner
+            case None =>
+              cache.put(key, built)
+              while (cache.size() > maxEntries) {
+                val it = cache.entrySet().iterator()
+                val eldest = it.next()
+                it.remove()
+                evictCount.incrementAndGet()
+                unpersistQuietly(eldest.getValue)
+              }
+              built
+          }
+        }
     }
   }
 
@@ -58,11 +110,11 @@ object PlanCache {
     * recache pass then throws assertNotStopped — the entries die with
     * the JVM either way, but an escaped exception would error the
     * whole listener bus. */
-  def clear(s: SparkSession): Unit =
-    cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach { df =>
-        try df.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+  def clear(s: SparkSession): Unit = lock.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { it.remove(); unpersistQuietly(e.getValue) }
     }
+  }
 }

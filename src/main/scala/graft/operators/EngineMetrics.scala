@@ -37,7 +37,8 @@ final class EngineMetrics(sc: SparkContext) extends Serializable {
       "failed_request_count" -> failedRequestCount.value,
       "records_published" -> recordsPublished.value,
       "plancache_hit_count" -> hits,
-      "plancache_miss_count" -> misses)
+      "plancache_miss_count" -> misses,
+      "plancache_eviction_count" -> graft.PlanCache.evictions)
   }
 
   /** Prometheus text exposition format (HELP/TYPE/sample per counter) —
@@ -50,7 +51,8 @@ final class EngineMetrics(sc: SparkContext) extends Serializable {
       "failed_request_count" -> "Total number of request failures for all APIs",
       "records_published" -> "Total number of records published to sinks",
       "plancache_hit_count" -> "PlanCache memo hits (persisted subtree reused)",
-      "plancache_miss_count" -> "PlanCache memo misses (subtree built and persisted)")
+      "plancache_miss_count" -> "PlanCache memo misses (subtree built and persisted)",
+      "plancache_eviction_count" -> "PlanCache LRU evictions (entry unpersisted to respect the size bound)")
     snapshot().toSeq.sortBy(_._1).map { case (name, v) =>
       s"# HELP $name ${help(name)}\n# TYPE $name counter\n$name $v\n"
     }.mkString

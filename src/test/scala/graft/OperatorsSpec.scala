@@ -143,6 +143,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.tables === Seq("blocks", "transactions"))
   }
 
+  test("C4 PlanCache: LRU eviction unpersists the least-recently-used entry") {
+    import org.apache.spark.storage.StorageLevel
+    val prev = PlanCache.maxEntries
+    PlanCache.clear(spark) // start from an empty cache for this session
+    PlanCache.maxEntries = 2
+    try {
+      val tag = s"evict_${System.nanoTime()}"
+      val a = PlanCache.memo(spark, "/tmp", tag, "a")(spark.range(1).toDF("x"))
+      val b = PlanCache.memo(spark, "/tmp", tag, "b")(spark.range(2).toDF("x"))
+      // touch `a` so `b` becomes least-recently-used (access-ordered LRU)
+      PlanCache.memo(spark, "/tmp", tag, "a")(fail("must be a hit"))
+      val e0 = PlanCache.evictions
+      val c = PlanCache.memo(spark, "/tmp", tag, "c")(spark.range(3).toDF("x"))
+      assert(PlanCache.evictions === e0 + 1)
+      // b was evicted AND unpersisted; a and c still cached + persisted
+      assert(b.storageLevel === StorageLevel.NONE, "evicted entry still persisted")
+      assert(a.storageLevel !== StorageLevel.NONE)
+      assert(c.storageLevel !== StorageLevel.NONE)
+      PlanCache.memo(spark, "/tmp", tag, "a")(fail("must still be cached"))
+      val b2 = PlanCache.memo(spark, "/tmp", tag, "b")(spark.range(2).toDF("x"))
+      assert(b2 ne b) // rebuilt, not served stale
+    } finally {
+      PlanCache.maxEntries = prev
+      PlanCache.clear(spark)
+    }
+  }
+
   // ---- CUSTOM_INDEXING dispatch -------------------------------------
 
   test("custom indexer: resolved by class name and validated fail-fast") {
