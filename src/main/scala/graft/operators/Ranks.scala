@@ -100,7 +100,19 @@ object Ranks {
     * bucket offsets from a counts aggregate (≤ groups × buckets rows,
     * cluster-sized) prefix-summed per group and broadcast back. */
   def withGroupRowNumber(df: DataFrame, group: Column, rnCol: String,
-      sortCols: Column*): DataFrame = {
+      sortCols: Column*): DataFrame =
+    groupRankedWithCounts(df, group, rnCol, sortCols: _*)._1
+
+  /** Shared internals of [[withGroupRowNumber]]: (ranked rows, the
+    * per-(group, bucket) counts aggregate as `(__g, __b, __cnt)`).
+    * The counts aggregate is exposed so callers that also need
+    * per-group SIZES ([[exactGroupQuantiles]]) derive them as a rollup
+    * of this cluster-sized (groups × buckets) aggregate instead of a
+    * second full scan of `df` — and because both consumers share the
+    * identical aggregate subtree, Catalyst's ReuseExchange serves the
+    * second from the first's shuffle files. */
+  private def groupRankedWithCounts(df: DataFrame, group: Column, rnCol: String,
+      sortCols: Column*): (DataFrame, DataFrame) = {
     val s = df.sparkSession
     val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val buckets = 2 * parts
@@ -126,11 +138,12 @@ object Ranks {
       .select(col("__g"), col("__b"), col("__off"))
     val wb = Window.partitionBy(col("__g"), col("__b"))
       .orderBy(sortCols.map(_.asc): _*)
-    bucketed
+    val ranked = bucketed
       .join(broadcast(offsets), Seq("__g", "__b"))
       .withColumn("__brn", row_number().over(wb).cast("long"))
       .withColumn(rnCol, col("__off") + col("__brn"))
       .drop("__g", "__b", "__off", "__brn")
+    (ranked, counts)
   }
 
   /** Append SQL-ntile(k) bucket `tileCol` (1-based) ordering by
@@ -164,34 +177,42 @@ object Ranks {
     * single-task sort, bounded memory everywhere) and one equi-join
     * fetches exactly 2·|targets| rows per group.
     *
-    * Returns (group, targetName, value) long-form. `tiebreak` only
-    * fixes rank positions among EQUAL values — interpolation is
-    * unaffected by tie order. */
+    * Returns (group, targetName, value, groupSize) long-form
+    * (`__grp`, `__target`, `__q`, `__n`) — `__n` rides along so callers
+    * needing COUNT(*) per group (q42) don't re-scan to recount.
+    * `tiebreak` only fixes rank positions among EQUAL values —
+    * interpolation is unaffected by tie order. */
   def exactGroupQuantiles(df: DataFrame, group: Column, value: Column,
       tiebreak: Column, targets: Seq[(String, Double)]): DataFrame = {
     val base = df.select(group.as("__grp"), value.as("__v"), tiebreak.as("__t"))
-    val ranked = withGroupRowNumber(base, col("__grp"), "__r", col("__v"), col("__t"))
-    val sizes = base.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val (ranked, counts) =
+      groupRankedWithCounts(base, col("__grp"), "__r", col("__v"), col("__t"))
+    // group sizes as a rollup of the (group, bucket) counts the ranking
+    // already aggregates — no second scan of `base` (round-4 item 8)
+    val sizes = counts.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
+      .select(col("__g").as("__grp"), col("__n"))
     // per (group, target): the two bracketing positions + the fraction
     val needs = sizes.select(col("__grp"), col("__n"),
         explode(array(targets.map { case (nm, p) =>
           struct(lit(nm).as("t"), lit(p).as("p"))
         }: _*)).as("tp"))
-      .select(col("__grp"), col("tp.t").as("__target"),
+      .select(col("__grp"), col("__n"), col("tp.t").as("__target"),
         (lit(1.0) + (col("__n") - 1).cast("double") * col("tp.p")).as("__pos"))
-      .select(col("__grp"), col("__target"), col("__pos"),
+      .select(col("__grp"), col("__n"), col("__target"), col("__pos"),
         floor(col("__pos")).cast("long").as("__lo"),
         ceil(col("__pos")).cast("long").as("__hi"))
-    val wanted = needs.select(col("__grp"), col("__target"), col("__pos"),
+    val wanted = needs.select(col("__grp"), col("__n"), col("__target"), col("__pos"),
         col("__lo"), col("__hi"), explode(array(col("__lo"), col("__hi"))).as("__r"))
       .distinct()
     wanted.join(ranked.select(col("__grp"), col("__r"), col("__v")), Seq("__grp", "__r"))
       .groupBy(col("__grp"), col("__target"))
       .agg(min(when(col("__r") === col("__lo"), col("__v"))).as("__vlo"),
         min(when(col("__r") === col("__hi"), col("__v"))).as("__vhi"),
-        first(col("__pos") - col("__lo")).as("__frac"))
+        first(col("__pos") - col("__lo")).as("__frac"),
+        first(col("__n")).as("__n"))
       .select(col("__grp"), col("__target"),
-        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__q"))
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__q"),
+        col("__n"))
   }
 
   /** Bucket id (1-based) of `v` against ascending `cuts` — bucket i is

@@ -116,20 +116,21 @@ object AdvancedQueries {
     * aggregate this registry had; a 100 TB priority group would OOM
     * it). Two fetched rows per (group, quartile), everything else is
     * bounded aggregates; RanksSpec proves equality against the
-    * buffer-based form at gate scale. */
+    * buffer-based form at gate scale. COUNT(*) per group comes free
+    * with the quantiles (`__n` — a rollup of the bucket-counts
+    * aggregate the ranking already runs), so there is no separate
+    * size pass or join here. */
   def q42Percentiles(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
     val q = graft.operators.Ranks.exactGroupQuantiles(base,
       col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"),
       Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-    val n = base.groupBy(col("o_orderpriority").as("__grp"))
-      .agg(count(lit(1)).as("n"))
     q.groupBy(col("__grp"))
       .agg(round(min(when(col("__target") === "p25", col("__q"))), 4).as("p25"),
         round(min(when(col("__target") === "p50", col("__q"))), 4).as("p50"),
-        round(min(when(col("__target") === "p75", col("__q"))), 4).as("p75"))
-      .join(broadcast(n), "__grp")
+        round(min(when(col("__target") === "p75", col("__q"))), 4).as("p75"),
+        min(col("__n")).as("n"))
       .select(col("__grp").as("o_orderpriority"),
         col("p25"), col("p50"), col("p75"), col("n"))
       .orderBy(col("o_orderpriority"))
