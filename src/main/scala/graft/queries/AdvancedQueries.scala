@@ -287,10 +287,18 @@ object AdvancedQueries {
       |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = b.c_custkey) AS n_orders
       |FROM big_cust b ORDER BY b.c_name LIMIT 100""".stripMargin
 
-  /** Sketch-based percentiles (approx_percentile, GK/KLL-family): the
-    * constant-memory scale path q42's exact version points at. Sketch
-    * internals are engine-specific ⇒ rows-only check (same policy as the
-    * HLL slot q10). */
+  /** Sketch-based percentiles (approx_percentile, GK-family): the
+    * constant-memory scale path q42's exact version points at.
+    *
+    * Oracle (round-4 verdict item 9): below the sketch's accuracy
+    * parameter the GK summary holds every sample uncompressed, so its
+    * answer is EXACT — and Spark's exact-path rank rule (smallest
+    * element with rank ≥ ⌈p·n⌉) is precisely DuckDB `quantile_disc`.
+    * Gate groups are ~3k rows against accuracy 10000, so q58 is fully
+    * hash-oracled at gate scale (verified sf0.001 AND sf0.01); past
+    * accuracy the sketch answers within rank error n/10000 — the
+    * documented approximation regime the oracle deliberately does not
+    * model. */
   def q58ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
@@ -301,6 +309,14 @@ object AdvancedQueries {
         element_at(col("pcts"), 2).as("p50"),
         element_at(col("pcts"), 3).as("p75"), col("n"))
       .orderBy(col("o_orderpriority"))
+
+  val q58Sql: String =
+    """SELECT o_orderpriority,
+      |  quantile_disc(o_totalprice, 0.25) AS p25,
+      |  quantile_disc(o_totalprice, 0.50) AS p50,
+      |  quantile_disc(o_totalprice, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** MapType surface: build a map from row values (str_to_map), explode
     * it, aggregate over (key, value) pairs. The oracle reproduces the
