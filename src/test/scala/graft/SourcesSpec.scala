@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{BlockSources, BlockTransport, FetchStage}
+import graft.sources.{BlockSources, BlockTransport, FetchStage, KeyOrderedStore}
 import graft.sources.FetchStage.FetchConfig
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -163,6 +163,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(FetchStage.jsonArrayElements("""[{"a":1}]""") === Vector("""{"a":1}"""))
     assert(FetchStage.jsonArrayElements("""[{"a":[1,2]},{"b":{"c":3}}]""") ===
       Vector("""{"a":[1,2]}""", """{"b":{"c":3}}"""))
+  }
+
+  test("S5 key-ordered store: tablet files cover disjoint key ranges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("s5_layout").toString
+    try {
+      KeyOrderedStore.write(BlockSources.blockRange(spark, 0, 400), dir, nRanges = 4)
+      // per-file key intervals must not overlap (Bigtable tablet layout)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(KeyOrderedStore.KeyCol)).as("lo"),
+          max(col(KeyOrderedStore.KeyCol)).as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(spans.length === 4)
+      spans.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "tablet ranges overlap")
+        case _ =>
+      }
+    } finally Staging.deleteRecursively(dir)
+  }
+
+  test("S5 key-ordered store: range scan equals the S1 generator on the sub-range") {
+    val dir = java.nio.file.Files.createTempDirectory("s5_scan").toString
+    try {
+      KeyOrderedStore.write(BlockSources.blockRange(spark, 0, 300), dir)
+      val got = KeyOrderedStore.scan(spark, dir, 120, 180)
+      val want = BlockSources.blockRange(spark, 120, 180)
+      assert(got.count() === 60)
+      assert(got.toJSON.collect().sorted.sameElements(want.toJSON.collect().sorted))
+      // half-open: end key excluded, start included
+      val one = KeyOrderedStore.scan(spark, dir, 42, 43)
+        .select("block_number").collect().map(_.getLong(0))
+      assert(one.toSeq === Seq(42L))
+    } finally Staging.deleteRecursively(dir)
+  }
+
+  test("S5 key-ordered store: the key-range predicate reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("s5_prune").toString
+    try {
+      KeyOrderedStore.write(BlockSources.blockRange(spark, 0, 200), dir)
+      val p = KeyOrderedStore.scan(spark, dir, 50, 100)
+        .queryExecution.executedPlan.toString
+      // pushed string-range bounds = footer min/max skips non-overlapping
+      // tablet files, the Bigtable row-range read shape
+      assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(row_key")
+        && p.contains("LessThan(row_key"), p.linesIterator.take(12).mkString("\n"))
+    } finally Staging.deleteRecursively(dir)
   }
 
   test("S1 blockRange: one row per index, deterministic nested txs") {
