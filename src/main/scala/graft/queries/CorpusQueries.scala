@@ -49,7 +49,12 @@ object CorpusQueries {
   /** Oracle: brute-force exact-Jaccard pairs (same CTE as q20's oracle)
     * + transitive closure by recursive CTE; component id = min reachable
     * node (including self via symmetric edges). */
-  val q70Sql: String =
+  /** Shared CTE prefix of the q70/q111 oracles: shingles → 0.8-Jaccard
+    * pairs → symmetric edges → transitive closure → one `clusters`
+    * relation. Both oracles compose from this constant (round-4
+    * advisory: q111 previously rewrote q70's tail by string surgery,
+    * which would silently no-op if q70Sql were ever reformatted). */
+  private val clustersCteSql: String =
     s"""WITH RECURSIVE sh AS (${LlmQueries.shingledSql}),
       |pairs AS (
       |  SELECT a, b FROM (
@@ -63,9 +68,14 @@ object CorpusQueries {
       |reach(node, r) AS (
       |  SELECT a AS node, b AS r FROM edges
       |  UNION
-      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
-      |SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
-      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |clusters AS (
+      |  SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY node)""".stripMargin
+
+  val q70Sql: String =
+    s"""$clustersCteSql
+      |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q71 — TF-IDF term weighting
@@ -993,20 +1003,14 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: q70's transitive-closure clusters + the same argmax. */
-  val q111Sql: String = {
-    // rewrite q70's final SELECT into one more CTE (same closure, plus
-    // the survivor argmax on top) — keeps the two oracles textually tied
-    val base = q70Sql
-      .replace("SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id\nFROM reach GROUP BY node ORDER BY doc_id",
-        ", clusters AS (SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id\n  FROM reach GROUP BY node)")
-    s"""$base
+  /** Oracle: the shared closure CTE + the same argmax on top. */
+  val q111Sql: String =
+    s"""$clustersCteSql
       |SELECT c.doc_id, c.cluster_id, d.n_chars,
       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
       |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
       |FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
       |ORDER BY c.doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // q107 — per-group percentile-rank normalization (feature scaling)

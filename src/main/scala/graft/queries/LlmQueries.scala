@@ -649,10 +649,24 @@ object LlmQueries {
     * exploded into ORDERED pairs (both directions, since containment is
     * asymmetric), with the identical sound upper bound
     * I ≤ ir + min(pa, pb); containment = I/na is increasing in I, so
-    * the bound-filter never drops a qualifying pair. Only bound-passing
-    * pairs pay the exact recount against the full index. A 10-shingle
-    * floor keeps trivially-contained snippets out (same floor in the
-    * oracle). */
+    * for every GENERATED pair the bound-filter never drops a qualifying
+    * one. Only bound-passing pairs pay the exact recount against the
+    * full index. A 10-shingle floor keeps trivially-contained snippets
+    * out (same floor in the oracle).
+    *
+    * Recall precondition (shared with q21, explicit here per the
+    * round-4 advisory because containment's small-na regime makes it
+    * more plausible): a pair is only GENERATED if it shares at least
+    * one rare shingle (document frequency ≤ cap=64). A short document
+    * consisting entirely of corpus-wide boilerplate — every shingle's
+    * posting list pruned — is never paired, even if fully contained in
+    * a larger one. That is the deliberate candidate-generation
+    * tradeoff of every postings-based join (all-boilerplate docs are
+    * exactly what the dedup pass should drop wholesale, and the q91
+    * repetition filters catch them upstream); raising `cap` trades
+    * candidate volume for recall on such docs. The ORACLE applies the
+    * same rare-shingle precondition, so the hash gate verifies the
+    * implemented semantics exactly. */
   def q103ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
     val cap = 64
     val tau = 0.9

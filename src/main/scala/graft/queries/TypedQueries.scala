@@ -193,7 +193,13 @@ object TypedQueries {
         max(asStr(c)).as(s"mx_$c"))
       }: _*)
     val perCol = cols.map { c =>
-      val top = o.groupBy(asStr(c).as("v")).agg(count(lit(1)).as("cnt"))
+      // nulls are excluded from the modal-value candidates: they are
+      // already reported via n_nulls, and engines disagree on NULL
+      // placement in ORDER BY tiebreaks (Spark sorts NULL first asc,
+      // DuckDB defaults NULLS LAST) — a null group tied at top
+      // frequency would pick different modes (round-4 advisory)
+      val top = o.filter(col(c).isNotNull)
+        .groupBy(asStr(c).as("v")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("v")).limit(1)
         .select(col("v").as("top_val"), col("cnt").as("top_n"))
       profile.crossJoin(top).select(
@@ -215,6 +221,7 @@ object TypedQueries {
          |  (SELECT MAX($castExpr) FROM orders) AS max_val,
          |  t.top_val, t.top_n
          |FROM (SELECT $castExpr AS top_val, COUNT(*) AS top_n FROM orders
+         |      WHERE $c IS NOT NULL
          |      GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1) t""".stripMargin
     def castOf(c: String) =
       if (c == "o_totalprice") s"CAST(CAST($c AS DECIMAL(14,2)) AS VARCHAR)"
