@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 warehouse/analytics tier: slowly-changing-dimension
+  * history, exact heavy hitters, Markov transition matrices,
+  * market-basket co-occurrence, and exact z-score outlier flagging.
+  * These are the downstream-warehouse passes the reference's sinks
+  * feed (etl-rust routes every table to BigQuery per
+  * docs/environment-variables.md:50-69); here they run engine-native.
+  *
+  * All five are fully DuckDB-oracled: every comparison that could
+  * drift across engines is carried in integer/decimal arithmetic.
+  */
+object WarehouseQueries {
+
+  // ---------------------------------------------------------------------
+  // q122 — SCD Type-2 history build (validity intervals from a stream)
+
+  /** Collapse each user's event-type stream into run-length state
+    * history rows (user, state, valid_from, valid_to, n_events) — the
+    * slowly-changing-dimension Type-2 build every warehouse performs
+    * on a CDC feed (q78 keeps latest-wins; this keeps FULL history).
+    *
+    * Shape: one lag() to mark state changes, one running sum to
+    * number runs, one aggregate per run, one lead() to close each
+    * interval — all windows partitioned by user_id, so the build
+    * parallelizes across users with no global sort and no self-join.
+    * valid_to of the last run is NULL (open/current interval).
+    * Timestamps compare as exact epoch millis; ties broken by
+    * event_id so run numbering is engine-independent. */
+  def q122Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val runs = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+             lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(byTime))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"),   // constant within a run
+        min(col("ms")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val q122Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+      |  FROM events WHERE user_id < 50),
+      |marked AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w <> event_type
+      |            THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, ms,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS run_id
+      |  FROM marked),
+      |hist AS (
+      |  SELECT user_id, run_id, MIN(event_type) AS state,
+      |    MIN(ms) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, state, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  n_events
+      |FROM hist ORDER BY user_id, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q123 — exact heavy hitters (Misra-Gries candidates + exact recount)
+
+  /** Tokens occurring in more than 1/1000 of the corpus token stream,
+    * with exact counts — via `operators/HeavyHitters` (per-partition
+    * Misra-Gries pass 1, exact recount of the bounded candidate set in
+    * pass 2; the shuffle never carries the long-tail vocabulary). The
+    * oracle is the brute-force HAVING form. */
+  def q123HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .as[String]
+    graft.operators.HeavyHitters.exact(tokens, k = 1000, capacity = 2000)
+  }
+
+  val q123Sql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS cnt
+      |FROM t WHERE term <> ''
+      |GROUP BY 1
+      |HAVING COUNT(*) * 1000 > (SELECT COUNT(*) FROM t WHERE term <> '')
+      |ORDER BY cnt DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124 — Markov transition matrix over per-user event sequences
+
+  /** First-order Markov transitions: for each ordered pair of event
+    * types, how often does a user's next event follow the current one,
+    * and with what probability. One lead() per user (ties broken by
+    * event_id), one count aggregate over a |types|² key domain, one
+    * tiny window for row-normalization. The probability is a single
+    * int/int double division — IEEE-exact and engine-independent. */
+  def q124MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(byTime))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val bySrc = Window.partitionBy(col("src"))
+    pairs
+      .withColumn("p",
+        col("n_transitions").cast("double") / sum(col("n_transitions")).over(bySrc))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val q124Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS dst
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, dst, COUNT(*) AS n_transitions
+      |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n_transitions,
+      |  CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY src) AS p
+      |FROM pairs ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125 — market-basket co-occurrence (top co-purchased part pairs)
+
+  /** Part pairs appearing together in the most orders. The candidate
+    * pairs are generated LOCALLY per order from its sorted item array
+    * (zip-of-slices, the q85 idiom) — one shuffle to group the order,
+    * zero self-joins; per-order fan-out is bounded by basket size
+    * (≤ 7 in TPC-H), so the pair stream is a small constant × the
+    * lineitem count at any scale. The oracle is the self-join form.
+    * Top-k compiles to TakeOrderedAndProject (no global sort). */
+  def q125CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"""
+        .stripMargin)).as("pr"))
+    pairs.select(col("pr.pa").as("part_a"), col("pr.pb").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
+  val q125Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  COUNT(*) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q126 — exact z-score outlier flagging (integer-arithmetic variance)
+
+  /** Per-user event-value outlier counts: how many of a user's events
+    * sit more than 3 population standard deviations from the user's
+    * mean. The entire test runs in exact integer arithmetic so both
+    * engines agree bit-for-bit: values are fixed-pointed to micro
+    * units (BIGINT), and |v−μ| > 3σ is evaluated multiplied through
+    * by n² — (n·v − S)² > 9·(n·Q − S²) with S = Σv, Q = Σv² carried
+    * as DECIMAL(38,0). No division, no sqrt, no FP accumulation.
+    *
+    * Shape: one per-user aggregate, one broadcast-sized join back to
+    * the stream, one per-user count — the canonical two-pass
+    * anomaly-detection scan (profile pass + flag pass). */
+  def q126ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 1000000L).cast("long").cast(d38).as("v"))
+    val prof = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("v")).cast(d38).as("sv"),
+        sum(col("v") * col("v")).cast(d38).as("qv"))
+    ev.join(broadcast(prof), "user_id")
+      .withColumn("lhs", (col("n") * col("v") - col("sv")) * (col("n") * col("v") - col("sv")))
+      .withColumn("rhs", lit(9).cast(d38) * (col("n") * col("qv") - col("sv") * col("sv")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  val q126Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DECIMAL(38,0)) AS v
+      |  FROM events),
+      |prof AS (
+      |  SELECT user_id, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(SUM(v) AS DECIMAL(38,0)) AS sv,
+      |    CAST(SUM(v * v) AS DECIMAL(38,0)) AS qv
+      |  FROM ev GROUP BY 1)
+      |SELECT ev.user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN (n * v - sv) * (n * v - sv) > 9 * (n * qv - sv * sv)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev JOIN prof ON ev.user_id = prof.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

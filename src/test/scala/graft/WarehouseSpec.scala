@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.WarehouseQueries
+
+/** Round-5 warehouse tier: SCD2 history, Misra-Gries heavy hitters,
+  * Markov transitions, co-purchase pairs, exact z-score outliers.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sfDir
+
+  test("q122 SCD2 intervals partition each user's history") {
+    val hist = WarehouseQueries.q122Scd2History(spark, dir).cache()
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 50)
+    // conservation: every event lands in exactly one run
+    assert(hist.agg(sum("n_events")).head().getLong(0) == ev.count())
+    // exactly one open (valid_to IS NULL) interval per user
+    val users = hist.select("user_id").distinct().count()
+    assert(hist.filter(col("valid_to").isNull).count() == users)
+    // intervals chain: valid_to equals the next run's valid_from
+    val broken = hist.selectExpr("user_id", "valid_from", "valid_to",
+        "lead(valid_from) over (partition by user_id order by valid_from) as nxt")
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("nxt"))
+    assert(broken.count() == 0)
+    hist.unpersist()
+  }
+
+  test("q123 equals the brute-force heavy-hitter scan") {
+    val got = WarehouseQueries.q123HeavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val n = toks.count()
+    val want = toks.groupBy("term").count()
+      .filter(col("count") * 1000 > n)
+      .orderBy(col("count").desc, col("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("Misra-Gries candidates are a superset under adversarial skew") {
+    // one dominant key + a long tail, deliberately interleaved so the
+    // decrement path runs constantly at a tiny capacity
+    val tokens = spark.range(10000)
+      .select(when(col("id") % 3 === 0, lit("heavy"))
+        .otherwise(concat(lit("t"), col("id"))).as("t"))
+      .repartition(7)
+      .as[String]
+    val cand = graft.operators.HeavyHitters.candidates(tokens, capacity = 10)
+      .collect().toSet
+    assert(cand.contains("heavy")) // freq 1/3 >> 1/10
+    val hh = graft.operators.HeavyHitters.exact(tokens, k = 10, capacity = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("heavy", 3334L)))
+  }
+
+  test("q124 transition probabilities are a stochastic matrix") {
+    val m = WarehouseQueries.q124MarkovTransitions(spark, dir).cache()
+    val rowSums = m.groupBy("src").agg(sum("p").as("s")).collect()
+    rowSums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r))
+    // transition conservation: sum counts = n_events - n_users(with events)
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(m.agg(sum("n_transitions")).head().getLong(0) == expected)
+    m.unpersist()
+  }
+
+  test("q125 matches the self-join form") {
+    val got = WarehouseQueries.q125CopurchasePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val want = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("q126 agrees with a local double-precision recompute") {
+    val gotOut = WarehouseQueries.q126ZscoreOutliers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val local = Tables.events(spark, dir)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1).map { case (u, vs) =>
+        val xs = vs.map(_._2.toDouble)
+        val n = xs.length.toDouble
+        val mean = xs.sum / n
+        val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+        (u, xs.count(x => (x - mean) * (x - mean) > 9 * varp).toLong)
+      }
+    assert(gotOut == local)
+  }
+}
