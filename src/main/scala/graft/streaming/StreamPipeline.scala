@@ -108,17 +108,25 @@ object StreamPipeline {
       .toDF()
   }
 
-  /** Stage a single-file parquet table as a streaming source directory
-    * (the file source's derived basePath rejects plain files, so the
-    * temp dir holds a symlink; the source follows links) and return the
-    * replayed stream with `ts` normalized to a timestamp. */
+  /** Stage a parquet table as a streaming source directory (the file
+    * source's derived basePath rejects plain files, so the temp dir
+    * holds a symlink; the source follows links) and return the
+    * replayed stream with `ts` normalized to a timestamp.
+    *
+    * The table may be a single parquet FILE (driver testdata) or a
+    * Spark-written DIRECTORY of part files (any engine output, e.g.
+    * the Stress generator's) — `recursiveFileLookup` makes the file
+    * source descend through the symlinked directory; `_SUCCESS` and
+    * dot-files are excluded by the source's default filters. */
   private def replayEvents(s: SparkSession, dir: String, tag: String): (DataFrame, String) = {
     val path = s"$dir/events.parquet"
     val batchSchema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"${tag}_events")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val raw = s.readStream.schema(batchSchema).parquet(streamDir.toString)
+    val raw = s.readStream.schema(batchSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
     val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
