@@ -737,14 +737,35 @@ object LlmQueries {
     * (4n + 4) DIV 5. */
   def q114PrefixJoin(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
-    val prefixes = memo(s, dir, "prefixes", "w3,t0.8") {
-      val df = rows.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+
+    // -- exact-duplicate collapse (the production composition) ----------
+    // Web-scale corpora are 30-60% byte-identical copies, and every
+    // pair-generation stage pays Σ multiplicity² for them (measured: the
+    // 10×-replicated sf1 stress corpus put q114 at 125 s, 25% of the
+    // whole registry). Identical shingle SETS have identical Jaccard
+    // against every other doc, so the quadratic candidate stage only
+    // needs one REPRESENTATIVE per set; member pairs are re-expanded
+    // afterwards, output bit-identical. Set identity = xxhash64 of the
+    // sorted shingle-hash array — same 64-bit-collision stance as the
+    // shingle hashes themselves (n²/2⁶⁴; the oracle would catch one).
+    val fps = memo(s, dir, "setfp", "w3") {
+      rows.groupBy(col("doc_id"))
+        .agg(xxhash64(sort_array(collect_list(col("hg")))).as("fp"),
+          count(lit(1)).as("sz"))
+    }
+    val reps = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sz")).as("sz"))
+    val repRows = rows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    val repSizes = reps.select(col("doc_id"), col("sz"))
+
+    // -- prefix-filter candidate generation over representatives --------
+    val prefixes = memo(s, dir, "prefixes_reps", "w3,t0.8") {
+      val df = repRows.groupBy(col("hg")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("hg"))
-      rows.join(df, "hg")
+      repRows.join(df, "hg")
         .withColumn("rk", row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(repSizes, "doc_id")
         // prefix length |S| - ceil(0.8|S|) + 1, all integer arithmetic
         .filter(col("rk") <= expr("sz - (sz * 4 + 4) DIV 5 + 1"))
         .select(col("doc_id"), col("hg"))
@@ -753,7 +774,25 @@ object LlmQueries {
         col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyCandidates(rows, sizes, cand, 0.8)
+    val repPairs = verifyCandidates(repRows, repSizes, cand, 0.8)
+
+    // -- expand back to doc-level pairs ---------------------------------
+    // cross-group: every member pair inherits the representatives' exact
+    // Jaccard; intra-group: identical sets, J = 1.0 ≥ t by construction.
+    val members = fps.select(col("doc_id"), col("fp"))
+    val repFp = reps.select(col("doc_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fpa")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fpb")), "doc_b")
+      .join(members.select(col("doc_id").as("xa"), col("fp").as("fpa")), "fpa")
+      .join(members.select(col("doc_id").as("xb"), col("fp").as("fpb")), "fpb")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Same output contract as q20/q21 → same brute-force oracle. */
