@@ -75,6 +75,21 @@ object LlmQueries {
   private def shingleSizes(rows: DataFrame): DataFrame =
     rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
+  /** (doc_id, fp, sz): per-doc shingle-SET fingerprint — xxhash64 of
+    * the sorted shingle-hash array (same 64-bit-collision stance as the
+    * shingle hashes; n²/2⁶⁴, the exact oracles would catch one).
+    * Identical sets ⇒ identical similarity against every other doc, so
+    * pairwise stages (q103/q114) run over one representative per
+    * distinct set and re-expand members afterwards — web corpora are
+    * 30-60% byte-identical copies and every pair generator otherwise
+    * pays Σ multiplicity². */
+  private def setFingerprints(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "setfp", "w3") {
+      shingleRows(s, dir).groupBy(col("doc_id"))
+        .agg(xxhash64(sort_array(collect_list(col("hg")))).as("fp"),
+          count(lit(1)).as("sz"))
+    }
+
   /** DuckDB twin of [[shingled]] as a CTE body (shared with the
     * clustering oracle in CorpusQueries). */
   private[queries] val shingledSql: String =
@@ -656,24 +671,43 @@ object LlmQueries {
     *
     * Recall precondition (shared with q21, explicit here per the
     * round-4 advisory because containment's small-na regime makes it
-    * more plausible): a pair is only GENERATED if it shares at least
-    * one rare shingle (document frequency ≤ cap=64). A short document
+    * more plausible): a CROSS-SET pair is only GENERATED if the two
+    * distinct shingle sets share at least one rare shingle (set
+    * frequency ≤ cap=64 across DISTINCT sets). A short document
     * consisting entirely of corpus-wide boilerplate — every shingle's
-    * posting list pruned — is never paired, even if fully contained in
-    * a larger one. That is the deliberate candidate-generation
-    * tradeoff of every postings-based join (all-boilerplate docs are
-    * exactly what the dedup pass should drop wholesale, and the q91
-    * repetition filters catch them upstream); raising `cap` trades
-    * candidate volume for recall on such docs. The ORACLE applies the
-    * same rare-shingle precondition, so the hash gate verifies the
-    * implemented semantics exactly. */
+    * posting list pruned — is never paired with a non-identical
+    * container. That is the deliberate candidate-generation tradeoff
+    * of every postings-based join (all-boilerplate docs are exactly
+    * what the dedup pass should drop wholesale, and the q91 repetition
+    * filters catch them upstream); raising `cap` trades candidate
+    * volume for recall on such docs. The brute-force oracle has no
+    * such precondition — the hash gate passing certifies that no
+    * qualifying pair in the verified corpus falls into the pruned
+    * blind spot. IDENTICAL-set pairs (containment exactly 1.0) are
+    * emitted unconditionally via the duplicate-collapse expansion, so
+    * the blind spot is strictly smaller than round 4's raw-df form.
+    *
+    * Duplicate collapse (the q114/q46 production composition):
+    * postings, frequencies, candidate generation, and exact
+    * verification all run over one REPRESENTATIVE per distinct
+    * shingle set ([[setFingerprints]]); member pairs re-expand
+    * afterwards — cross-set pairs inherit the representatives' exact
+    * containment (same S_a, S_b), intra-set ordered pairs are 1.0 by
+    * construction (min-10-shingle floor applied). Pair-stage cost is
+    * multiplicity-independent. */
   def q103ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
     val cap = 64
     val tau = 0.9
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
-    val lists = memo(s, dir, "postings", "w3")(
-      rows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
+    val fps = setFingerprints(s, dir)
+    val members = fps.select(col("doc_id"), col("fp"))
+    val reps = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sz")).as("sz"),
+        count(lit(1)).as("mult"))
+    val repRows = rows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    val repSizes = reps.select(col("doc_id"), col("sz"))
+    val lists = memo(s, dir, "postings_reps", "w3")(
+      repRows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
     val interRare = lists.filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -682,7 +716,7 @@ object LlmQueries {
     val prunedPerDoc = lists.filter(size(col("ids")) > cap)
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
-    val stats = sizes.join(prunedPerDoc, Seq("doc_id"), "left")
+    val stats = repSizes.join(prunedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"), coalesce(col("np"), lit(0L)).as("np"))
     val cand = interRare
       .join(broadcast(stats.select(col("doc_id").as("a"),
@@ -692,14 +726,31 @@ object LlmQueries {
       .withColumn("iub", col("ir") + least(col("pa"), col("pb")))
       .filter(col("iub").cast("double") / col("na") >= tau)
       .select(col("a"), col("b"))
-    val invA = rows.select(col("doc_id").as("a"), col("hg"))
-    val invB = rows.select(col("doc_id").as("b"), col("hg"))
-    broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
+    val invA = repRows.select(col("doc_id").as("a"), col("hg"))
+    val invB = repRows.select(col("doc_id").as("b"), col("hg"))
+    val repPairs = broadcast(cand).join(invA, "a").join(invB, Seq("b", "hg"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), "a")
+      .join(repSizes.select(col("doc_id").as("a"), col("sz").as("na")), "a")
       .filter(col("inter").cast("double") / col("na") >= tau)
-      .select(col("a").as("doc_inner"), col("b").as("doc_outer"),
+      .select(col("a"), col("b"),
         round(col("inter").cast("double") / col("na"), 4).as("containment"))
+    // expansion: ordered cross-set member pairs keep the reps' exact
+    // value; intra-set ordered pairs are identical sets -> 1.0
+    val repFp = reps.select(col("doc_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("a"), col("fp").as("fpa")), "a")
+      .join(repFp.select(col("doc_id").as("b"), col("fp").as("fpb")), "b")
+      .join(members.select(col("doc_id").as("doc_inner"), col("fp").as("fpa")), "fpa")
+      .join(members.select(col("doc_id").as("doc_outer"), col("fp").as("fpb")), "fpb")
+      .select(col("doc_inner"), col("doc_outer"), col("containment"))
+    val intra = members.join(
+        reps.filter(col("mult") >= 2 && col("sz") >= 10)
+          .select(col("fp"), col("mult")), "fp")
+      .as("x").join(members.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_inner"), col("y.doc_id").as("doc_outer"),
+        lit(1.0).as("containment"))
+    cross.unionByName(intra)
       .orderBy(col("doc_inner"), col("doc_outer"))
   }
 
@@ -745,14 +796,9 @@ object LlmQueries {
     // whole registry). Identical shingle SETS have identical Jaccard
     // against every other doc, so the quadratic candidate stage only
     // needs one REPRESENTATIVE per set; member pairs are re-expanded
-    // afterwards, output bit-identical. Set identity = xxhash64 of the
-    // sorted shingle-hash array — same 64-bit-collision stance as the
-    // shingle hashes themselves (n²/2⁶⁴; the oracle would catch one).
-    val fps = memo(s, dir, "setfp", "w3") {
-      rows.groupBy(col("doc_id"))
-        .agg(xxhash64(sort_array(collect_list(col("hg")))).as("fp"),
-          count(lit(1)).as("sz"))
-    }
+    // afterwards, output bit-identical. Set identity via the shared
+    // [[setFingerprints]] memo (also feeds q103).
+    val fps = setFingerprints(s, dir)
     val reps = fps.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("sz")).as("sz"))
     val repRows = rows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
