@@ -214,7 +214,15 @@ object LlmQueries {
     * exact array_intersect. */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sigs = memo(s, dir, "minhash", "w3,k64")(minhashSigs(rows, 64))
+    // duplicate collapse (see [[setFingerprints]]): signatures, banding,
+    // and verification run once per DISTINCT shingle set — q70/q111's
+    // shared pair-graph build stops paying multiplicity² on exact
+    // copies (sf1 stress: q111's first-build cost was 15.6 s, mostly
+    // this stage) — then member pairs re-expand, output unchanged.
+    val fps = setFingerprints(s, dir)
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val repRows = rows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    val sigs = memo(s, dir, "minhash_reps", "w3,k64")(minhashSigs(repRows, 64))
     val sizes = sigs.select(col("doc_id"), col("sz"))
     // band rows sit on both sides of the candidate self-join; they are a
     // trivial codegen projection off the PERSISTED sigs, so recomputing
@@ -225,7 +233,30 @@ object LlmQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyCandidates(rows, sizes, cand, 0.8)
+    expandSymmetric(fps, verifyCandidates(repRows, sizes, cand, 0.8))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Re-expand representative-level symmetric pairs (doc_a, doc_b,
+    * jaccard) to member level: cross-set member pairs inherit the
+    * representatives' exact value (same two sets), intra-set pairs are
+    * identical sets — J = sz/(sz+sz−sz) = exactly 1.0 at any rounding.
+    * Shared by q20 (LSH) and q114 (prefix filter). */
+  private def expandSymmetric(fps: DataFrame, repPairs: DataFrame): DataFrame = {
+    val members = fps.select(col("doc_id"), col("fp"))
+    val repFp = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fpa")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fpb")), "doc_b")
+      .join(members.select(col("doc_id").as("xa"), col("fp").as("fpa")), "fpa")
+      .join(members.select(col("doc_id").as("xb"), col("fp").as("fpb")), "fpb")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Shared exact-verification tail (q20 LSH / q21 inverted-index): the
@@ -820,25 +851,10 @@ object LlmQueries {
         col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val repPairs = verifyCandidates(repRows, repSizes, cand, 0.8)
-
-    // -- expand back to doc-level pairs ---------------------------------
-    // cross-group: every member pair inherits the representatives' exact
-    // Jaccard; intra-group: identical sets, J = 1.0 ≥ t by construction.
-    val members = fps.select(col("doc_id"), col("fp"))
-    val repFp = reps.select(col("doc_id"), col("fp"))
-    val cross = repPairs
-      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fpa")), "doc_a")
-      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fpb")), "doc_b")
-      .join(members.select(col("doc_id").as("xa"), col("fp").as("fpa")), "fpa")
-      .join(members.select(col("doc_id").as("xb"), col("fp").as("fpb")), "fpb")
-      .select(least(col("xa"), col("xb")).as("doc_a"),
-        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
-    val intra = members.as("x").join(members.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(intra).orderBy(col("doc_a"), col("doc_b"))
+    // cross-set member pairs inherit the representatives' exact Jaccard;
+    // intra-set pairs are identical sets, J = 1.0 ≥ t by construction
+    expandSymmetric(fps, verifyCandidates(repRows, repSizes, cand, 0.8))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Same output contract as q20/q21 → same brute-force oracle. */
