@@ -238,11 +238,14 @@ object LlmQueries {
   }
 
   /** Re-expand representative-level symmetric pairs (doc_a, doc_b,
-    * jaccard) to member level: cross-set member pairs inherit the
-    * representatives' exact value (same two sets), intra-set pairs are
-    * identical sets — J = sz/(sz+sz−sz) = exactly 1.0 at any rounding.
-    * Shared by q20 (LSH) and q114 (prefix filter). */
-  private def expandSymmetric(fps: DataFrame, repPairs: DataFrame): DataFrame = {
+    * `valCol`) to member level: cross-set member pairs inherit the
+    * representatives' exact value (it is a function of the two SETS —
+    * Jaccard for q20/q114, signature Hamming for q22), intra-set pairs
+    * are identical sets and emit `intraVal` (J = sz/(sz+sz−sz) = 1.0;
+    * Hamming = 0). */
+  private def expandSymmetric(fps: DataFrame, repPairs: DataFrame,
+      valCol: String = "jaccard",
+      intraVal: org.apache.spark.sql.Column = lit(1.0)): DataFrame = {
     val members = fps.select(col("doc_id"), col("fp"))
     val repFp = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val cross = repPairs
@@ -251,11 +254,11 @@ object LlmQueries {
       .join(members.select(col("doc_id").as("xa"), col("fp").as("fpa")), "fpa")
       .join(members.select(col("doc_id").as("xb"), col("fp").as("fpb")), "fpb")
       .select(least(col("xa"), col("xb")).as("doc_a"),
-        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
+        greatest(col("xa"), col("xb")).as("doc_b"), col(valCol))
     val intra = members.as("x").join(members.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
+        intraVal.as(valCol))
     cross.unionByName(intra)
   }
 
@@ -429,8 +432,19 @@ object LlmQueries {
     * sign-diff count) from the same portable hash family.
     * Scale: identical LSH shape to q20 — groupBy buckets, no O(n²). */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = memo(s, dir, "simhash", "w3,b64,p31")(
-      simhashSigs(portableTriRows(s, dir)))
+    // duplicate collapse over the PORTABLE trigram-value sets (distinct
+    // from the xxhash shingle fingerprint — same stance): the signature
+    // is a pure function of the set, so identical sets band and confirm
+    // once and member pairs re-expand with Hamming 0 intra / inherited
+    // Hamming cross.
+    val triRows = portableTriRows(s, dir)
+    val fps = memo(s, dir, "setfp_tri", "w3") {
+      triRows.groupBy(col("doc_id"))
+        .agg(xxhash64(sort_array(collect_list(col("v")))).as("fp"))
+    }
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val repTriRows = triRows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    val sh = memo(s, dir, "simhash_reps", "w3,b64,p31")(simhashSigs(repTriRows))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
         .as(Seq("band", "key")))
@@ -438,13 +452,14 @@ object LlmQueries {
     // re-check (one xor+popcount on values already in the join row) and
     // the filter cuts the distinct's input from every-band-collision
     // (~n²/2^b rows of background pairs) to just the accepted pairs.
-    withPos.as("x").join(withPos.as("y"),
+    val repPairs = withPos.as("x").join(withPos.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
+    expandSymmetric(fps, repPairs, "hamming", lit(0L))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
