@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.LlmQueries
+
+/** The duplicate-collapse compositions (q20/q22/q103/q114/q46-family)
+  * verified on a corpus that actually CONTAINS exact duplicates: the
+  * sf0.001 tables doubled with re-keyed copies. Every query's output is
+  * checked against brute force computed independently in-test — this
+  * exercises both expansion paths (intra-set pairs and cross-set
+  * inheritance), which the pristine testdata barely does.
+  */
+class DuplicateCollapseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val OFF = 100000L
+
+  private lazy val dupDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + OFF))
+      .write.parquet(s"$d/documents.parquet")
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    emb.unionByName(emb.withColumn("vec_id", col("vec_id") + OFF))
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  /** doc_id -> distinct word-trigram set (same tokenization as the
+    * engine: lower, split on single space, docs with >= 3 tokens). */
+  private lazy val shingleSets: Map[Long, Set[String]] =
+    spark.read.parquet(s"$dupDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val set =
+          if (toks.length < 3) Set.empty[String]
+          else toks.sliding(3).map(_.mkString(" ")).toSet
+        (r.getLong(0), set)
+      }.toMap
+
+  test("q20 on a doubled corpus equals brute-force Jaccard >= 0.8") {
+    val got = LlmQueries.q20DedupMinhash(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ids = shingleSets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      sa = shingleSets(a); sb = shingleSets(b)
+      if sa.nonEmpty && sb.nonEmpty
+      // J <= min/max: sound skip far below the threshold
+      if math.min(sa.size, sb.size).toDouble / math.max(sa.size, sb.size) >= 0.8
+      inter = (sa & sb).size
+      jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.8
+    } yield (a, b, jac)).toSet
+    assert(got == want)
+    // the doubled corpus must actually exercise the intra path
+    assert(want.exists { case (a, b, _) => b == a + OFF })
+  }
+
+  test("q114 equals q20 on the doubled corpus") {
+    val a = LlmQueries.q114PrefixJoin(spark, dupDir).collect().toSeq.map(_.toSeq)
+    val b = LlmQueries.q20DedupMinhash(spark, dupDir).collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
+
+  test("q103 on a doubled corpus: brute-force containment is a superset match") {
+    val got = LlmQueries.q103ContainmentDedup(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force WITH the documented candidate precondition relaxed:
+    // q103's emitted pairs must all be true (precision 1.0) and must
+    // include every identical-set pair (the collapse guarantee)
+    val ids = shingleSets.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids.iterator; b <- ids.iterator
+      if a != b
+      sa = shingleSets(a); sb = shingleSets(b)
+      if sa.size >= 10
+      // containment <= |sb|/|sa|: sound skip when b is far smaller
+      if sb.size.toDouble / sa.size >= 0.9
+      inter = (sa & sb).size
+      c = BigDecimal(inter.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.9
+    } yield (a, b, c)).toSet
+    assert(got.subsetOf(brute), s"${(got -- brute).take(3)} not in brute force")
+    val identicalPairs = brute.filter { case (a, b, c) =>
+      c == 1.0 && shingleSets(a) == shingleSets(b)
+    }
+    assert(identicalPairs.subsetOf(got), "identical-set pairs must always emit")
+    assert(identicalPairs.nonEmpty)
+  }
+
+  test("q46 on doubled embeddings equals brute-force cosine >= 0.4") {
+    val vecs = spark.read.parquet(s"$dupDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = graft.queries.VectorQueries.q46CosinePairs(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ids = vecs.keys.toSeq.sorted
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      c = dot(vecs(a), vecs(b)) / (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if r >= 0.4
+    } yield (a, b, r)).toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, _) => b == a + OFF }) // intra pairs present
+  }
+}
