@@ -224,4 +224,134 @@ object WarehouseQueries {
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM ev JOIN prof ON ev.user_id = prof.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q127 — data-expectation validation (constraint report)
+
+  /** The ingestion-gate constraint report: each declared expectation is
+    * evaluated corpus-wide and lands as one row (rule, n_checked,
+    * n_violations) — the pass a production pipeline runs before
+    * publishing a snapshot (Deequ/Great-Expectations shape, engine-
+    * native). Covers the three rule families: column predicates
+    * (range/null/derived-consistency — one scan each, partial-agg
+    * sums), referential integrity (left-anti join counts on the FK),
+    * and set membership (enum allowlist). All counts exact. */
+  def q127DataExpectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pred(df: DataFrame, rule: String, bad: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val docs = Tables.documents(s, dir)
+    val ev = Tables.events(s, dir)
+    val fkOrders = orders.join(
+        Tables.customer(s, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders.o_custkey_fk_customer").as("rule"),
+        lit(null).cast("long").as("n_checked"), col("n_violations"))
+    val fkLineitem = li.join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem.l_orderkey_fk_orders").as("rule"),
+        lit(null).cast("long").as("n_checked"), col("n_violations"))
+    pred(orders, "orders.o_totalprice_positive", col("o_totalprice") <= 0)
+      .unionByName(pred(orders, "orders.o_orderdate_not_null", col("o_orderdate").isNull))
+      .unionByName(pred(li, "lineitem.l_quantity_in_1_50",
+        col("l_quantity") < 1 || col("l_quantity") > 50))
+      .unionByName(pred(docs, "documents.n_chars_matches_text",
+        col("n_chars") =!= length(col("text"))))
+      .unionByName(pred(ev, "events.event_type_in_enum",
+        !col("event_type").isin("view", "click", "purchase", "error", "signup")))
+      .unionByName(fkOrders)
+      .unionByName(fkLineitem)
+      .orderBy(col("rule"))
+  }
+
+  val q127Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_totalprice_positive' AS rule, COUNT(*) AS n_checked,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderdate_not_null', COUNT(*),
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity_in_1_50', COUNT(*),
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'documents.n_chars_matches_text', COUNT(*),
+      |    CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'events.event_type_in_enum', COUNT(*),
+      |    CAST(SUM(CASE WHEN event_type NOT IN
+      |      ('view', 'click', 'purchase', 'error', 'signup') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey_fk_customer', NULL, COUNT(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey_fk_orders', NULL, COUNT(*)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128 — snapshot diff (change-data-feed generation)
+
+  /** Diff two table snapshots into a change feed — the reverse of q78's
+    * CDC apply: OLD = orders with key % 10 ≠ 3 (simulated prior
+    * snapshot), NEW = orders with key % 10 ≠ 0 and the price bumped
+    * where key % 7 = 0 (simulated churn). One full-outer join on the
+    * key classifies every row: insert (old absent), delete (new
+    * absent), update (payload differs), unchanged — then a count
+    * rollup per change type with key ranges. The join shuffles both
+    * snapshots once on the key; payload comparison is row-local.
+    * Exact integer/decimal comparisons only (price compared at cents
+    * via round-to-long, engine-independent). */
+  def q128SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val oldSnap = base.filter(pmod(col("k"), lit(10)) =!= 3)
+      .select(col("k").as("k_old"), col("price_c").as("p_old"))
+    val newSnap = base.filter(pmod(col("k"), lit(10)) =!= 0)
+      .select(col("k").as("k_new"),
+        (col("price_c") + when(pmod(col("k"), lit(7)) === 0, 100L).otherwise(0L))
+          .as("p_new"))
+    oldSnap.join(newSnap, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("p_old") =!= col("p_new"), "update")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("k_old"), col("k_new")).as("k"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
+  val q128Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |snap_old AS (SELECT k AS k_old, price_c AS p_old FROM base WHERE k % 10 <> 3),
+      |snap_new AS (SELECT k AS k_new,
+      |    price_c + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS p_new
+      |  FROM base WHERE k % 10 <> 0)
+      |SELECT CASE WHEN k_old IS NULL THEN 'insert'
+      |            WHEN k_new IS NULL THEN 'delete'
+      |            WHEN p_old <> p_new THEN 'update'
+      |            ELSE 'unchanged' END AS change_type,
+      |  COUNT(*) AS n_rows,
+      |  MIN(COALESCE(k_old, k_new)) AS min_key,
+      |  MAX(COALESCE(k_old, k_new)) AS max_key
+      |FROM snap_old FULL OUTER JOIN snap_new ON k_old = k_new
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -84,6 +84,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q127 expectation report: clean data passes, planted violations are counted") {
+    val report = WarehouseQueries.q127DataExpectations(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(report.size == 7)
+    // driver-generated data is referentially intact and type-clean
+    assert(report("orders.o_custkey_fk_customer") == 0L)
+    assert(report("lineitem.l_orderkey_fk_orders") == 0L)
+    assert(report("orders.o_totalprice_positive") == 0L)
+    assert(report("events.event_type_in_enum") == 0L)
+  }
+
+  test("q128 snapshot diff partitions keys and counts churn exactly") {
+    val diff = WarehouseQueries.q128SnapshotDiff(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val keys = Tables.orders(spark, dir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val inserts = keys.count(k => k % 10 == 3)          // absent old, present new
+    val deletes = keys.count(k => k % 10 == 0)          // present old, absent new
+    val updates = keys.count(k => k % 10 != 3 && k % 10 != 0 && k % 7 == 0)
+    assert(diff("insert") == inserts)
+    assert(diff("delete") == deletes)
+    assert(diff("update") == updates)
+    assert(diff.values.sum == keys.length)              // every key classified once
+  }
+
   test("q126 agrees with a local double-precision recompute") {
     val gotOut = WarehouseQueries.q126ZscoreOutliers(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
