@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in a prefix-filter plan")
   }
 
+  test("q125: co-purchase pairs expand order-locally — no join operator at all") {
+    // the oracle self-joins lineitem on l_orderkey; the engine plan must
+    // instead be groupBy -> local pair explode -> groupBy (joins appear
+    // nowhere, so pair generation can never shuffle the fact table twice)
+    val p = plan(WarehouseQueries.q125CopurchasePairs(spark, dir))
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+  }
+
+  test("q122/q126: warehouse passes have no single-partition exchange") {
+    for (q <- Seq(WarehouseQueries.q122Scd2History _,
+        WarehouseQueries.q126ZscoreOutliers _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Exchange SinglePartition"),
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+    // q126's profile joins back broadcast — the event stream never
+    // shuffles for the join
+    val p126 = plan(WarehouseQueries.q126ZscoreOutliers(spark, dir))
+    assert(p126.contains("BroadcastHashJoin"), p126)
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
