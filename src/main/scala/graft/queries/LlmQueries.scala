@@ -936,4 +936,44 @@ object LlmQueries {
       |  b.old_id AS best_match, b.j AS best_j
       |FROM nw LEFT JOIN best b ON nw.doc_id = b.doc_id AND b.rn = 1
       |ORDER BY nw.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sliding-window document chunking
+
+  /** Fixed-window token chunking with stride — the context-window prep
+    * every pre-training pipeline runs (window 64 tokens, stride 48 →
+    * 16-token overlap between consecutive chunks; the tail chunk may be
+    * short). One `sequence` explode per doc generates chunk starts
+    * (rows ∝ Σ tokens/stride — linear, no window function, no join);
+    * the chunk text is a local array slice + join, so the whole pass is
+    * scan-shaped and embarrassingly parallel across docs. Contrast q106
+    * (sequence PACKING, which concatenates short docs into fixed-size
+    * training examples): chunking SPLITS long docs, packing MERGES
+    * short ones; real pipelines run both. */
+  def q129DocChunking(s: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(S))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / S).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(W)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q129Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |s AS (
+      |  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 48)) AS start
+      |  FROM t WHERE len(tk) >= 1)
+      |SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |  CAST(len(tk[start:start + 63]) AS BIGINT) AS n_tokens,
+      |  array_to_string(tk[start:start + 63], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 }

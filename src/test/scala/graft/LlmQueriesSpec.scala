@@ -45,6 +45,25 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(pruned == unpruned)
   }
 
+  test("q129 chunking: stride geometry and token conservation per doc") {
+    val chunks = LlmQueries.q129DocChunking(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) AS n").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.filter(_._2 >= 1).keySet)
+    for ((doc, cs) <- byDoc) {
+      val n = docs(doc)
+      assert(cs.map(_._2).sorted.toSeq == (0L until cs.length).toSeq)
+      for ((_, cid, ntok, text) <- cs) {
+        assert(ntok == math.min(64L, n - 48L * cid))     // window clamps at the tail
+        assert(text.count(_ == ' ') + 1 == ntok || (ntok == 0))
+      }
+      assert(cs.length == ((n - 1) / 48) + 1)            // stride covers every token
+    }
+  }
+
   test("q114 prefix-filter emits exactly the LSH generator's pairs (q20)") {
     // three independent candidate generators, one semantics: the
     // prefix-filtered join must find the same exact-Jaccard pairs the
