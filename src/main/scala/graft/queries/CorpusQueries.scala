@@ -1053,6 +1053,60 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q131 — token-budget corpus selection (greedy per-source prefix)
+
+  /** Data selection under a token budget: within each source, rank
+    * documents by quality (n_chars as the stand-in score, doc_id as
+    * the deterministic tiebreak) and admit them greedily until the
+    * source's running token total exceeds the budget — the curation
+    * pass that turns a raw crawl into a fixed-size training mixture
+    * with per-source caps. Token counts are exact non-empty
+    * whitespace splits (the q25 convention). Output is the per-source
+    * admission report: candidates vs selected, tokens total vs used.
+    *
+    * Shape: one ranking/cumsum window partitioned by source, one
+    * aggregate. Partition count scales with the source (domain)
+    * cardinality — the natural axis in a web corpus; for a few-source
+    * corpus the ranking composes with `operators/Ranks` bucketing the
+    * same way q80/q107 do. */
+  def q131TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("tokens"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col("tokens")).over(bySrc))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(when(col("cum_tokens") <= budget, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum_tokens") <= budget, col("tokens")).otherwise(0L))
+          .as("tokens_used"))
+      .orderBy(col("source"))
+  }
+
+  val q131Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |      AS tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, SUM(tokens) OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_candidates,
+      |  CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN cum_tokens <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_selected,
+      |  CAST(SUM(CASE WHEN cum_tokens <= 600 THEN tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_used
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q107Sql: String =
     """SELECT doc_id, lang, n_chars, round(pr, 6) AS pct_rank, decile FROM (
       |  SELECT doc_id, lang, n_chars,

@@ -336,6 +336,141 @@ object WarehouseQueries {
       .orderBy(col("change_type"))
   }
 
+  // ---------------------------------------------------------------------
+  // q130 — robust outlier flagging via median / MAD (exact integer form)
+
+  /** The robust twin of q126: flag events more than 3 median-absolute-
+    * deviations from the user's median — the estimator of choice when
+    * the data itself contains the outliers that would poison a
+    * mean/stddev profile. Everything runs in exact integer arithmetic:
+    * values fixed-pointed to micros, and each median carried DOUBLED
+    * (lo+hi of the two middle ranks, so even-count interpolation never
+    * divides). |v−med| > 3·MAD is tested as 2·|2v−med2| > 3·mad4 with
+    * med2 = 2·median and mad4 = 4·MAD — bit-identical in any engine.
+    *
+    * Shape: two ranking windows partitioned by user_id (scales with
+    * the user population), two joins back on user_id; no global sort,
+    * no driver collection, no FP accumulation anywhere. */
+  def q130MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 1000000L).cast("long").as("v"),
+        col("event_id"))
+    val byU = Window.partitionBy(col("user_id"))
+    def doubledMedian(df: DataFrame, c: String, out: String): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col(c), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byU))
+      .groupBy(col("user_id"))
+      .agg((sum(when(expr("rn = (n + 1) DIV 2"), col(c)).otherwise(0L)) +
+            sum(when(expr("rn = (n + 2) DIV 2"), col(c)).otherwise(0L))).as(out))
+    val med = doubledMedian(ev, "v", "med2")
+    val dv = ev.join(med, "user_id")
+      .withColumn("d", abs(lit(2L) * col("v") - col("med2")))
+    val mad = doubledMedian(dv, "d", "mad4")
+    dv.join(mad, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (first(col("med2")).cast("double") / 2000000.0d).as("med_value"),
+        (first(col("mad4")).cast("double") / 4000000.0d).as("mad_value"),
+        sum(when(lit(2L) * col("d") > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  val q130Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ROUND(value * 1000000) AS BIGINT) AS v, event_id
+      |  FROM events),
+      |r1 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM ev),
+      |med AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN rn = (n+1)//2 THEN v ELSE 0 END) +
+      |    SUM(CASE WHEN rn = (n+2)//2 THEN v ELSE 0 END) AS med2
+      |  FROM r1 GROUP BY 1),
+      |dv AS (
+      |  SELECT ev.user_id, ev.event_id, ev.v, med.med2,
+      |    ABS(2 * ev.v - med.med2) AS d
+      |  FROM ev JOIN med ON ev.user_id = med.user_id),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM dv),
+      |mad AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN rn = (n+1)//2 THEN d ELSE 0 END) +
+      |    SUM(CASE WHEN rn = (n+2)//2 THEN d ELSE 0 END) AS mad4
+      |  FROM r2 GROUP BY 1)
+      |SELECT dv.user_id, COUNT(*) AS n_events,
+      |  CAST(ANY_VALUE(dv.med2) AS DOUBLE) / 2000000.0 AS med_value,
+      |  CAST(ANY_VALUE(mad.mad4) AS DOUBLE) / 4000000.0 AS mad_value,
+      |  CAST(SUM(CASE WHEN 2 * dv.d > 3 * mad.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dv JOIN mad ON dv.user_id = mad.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q132 — per-entity OLS trend slopes (exact fixed-point moments)
+
+  /** Per-user linear trend of event value over time: the OLS slope
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = whole hours since the
+    * user's first event and y = value in cents — the per-entity drift
+    * detector a monitoring warehouse runs over every metric stream.
+    * All five moments are exact DECIMAL(38,0) sums of integer terms;
+    * the only FP steps are two int→double conversions and one divide
+    * at the very end (numerator/denominator stay < 2⁵³, so both
+    * conversions are exact in any IEEE engine). Degenerate users
+    * (all events in one hour ⇒ den = 0) are filtered, not NaN'd.
+    *
+    * Shape: one aggregate for the per-user epoch base, one join back,
+    * one moment aggregate — two shuffles on user_id total. */
+  def q132TrendSlopes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("yc"))
+    val base = ev.groupBy(col("user_id")).agg(min(col("ms")).as("ms0"))
+    val xy = ev.join(base, "user_id")
+      .select(col("user_id"),
+        ((col("ms") - col("ms0")) / lit(3600000L)).cast("long").cast(d38).as("x"),
+        col("yc").cast(d38).as("y"))
+    xy.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("slope_cents_per_hour"))
+      .orderBy(col("user_id"))
+  }
+
+  val q132Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS yc
+      |  FROM events),
+      |base AS (SELECT user_id, MIN(ms) AS ms0 FROM ev GROUP BY 1),
+      |xy AS (
+      |  SELECT ev.user_id,
+      |    CAST((ev.ms - base.ms0) // 3600000 AS DECIMAL(38,0)) AS x,
+      |    CAST(ev.yc AS DECIMAL(38,0)) AS y
+      |  FROM ev JOIN base ON ev.user_id = base.user_id),
+      |st AS (
+      |  SELECT user_id, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS slope_cents_per_hour
+      |FROM st WHERE n*sxx - sx*sx > 0 ORDER BY user_id""".stripMargin
+
   val q128Sql: String =
     """WITH base AS (
       |  SELECT o_orderkey AS k,

@@ -109,6 +109,70 @@ class WarehouseSpec extends AnyFunSuite {
     assert(diff.values.sum == keys.length)              // every key classified once
   }
 
+  test("q130 median/MAD outliers agree with a local recompute") {
+    val got = WarehouseQueries.q130MadOutliers(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val local = Tables.events(spark, dir)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1).map { case (u, vs) =>
+        def med2(xs: Seq[Long]): Long = { // lo+hi of the two middle ranks
+          val s = xs.sorted; val n = s.length
+          s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+        }
+        val xs = vs.map(_._2).toSeq
+        val m2 = med2(xs)
+        val ds = xs.map(v => math.abs(2 * v - m2))
+        val m4 = med2(ds)
+        val out = ds.count(d => 2 * d > 3 * m4).toLong
+        (u, (xs.length.toLong, m2 / 2e6, m4 / 4e6, out))
+      }
+    assert(got == local)
+  }
+
+  test("q131 selects the maximal prefix within each source's budget") {
+    val rep = graft.queries.CorpusQueries.q131TokenBudget(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("tk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._2)).map(_._4)
+      val cums = ordered.scanLeft(0L)(_ + _).tail
+      val nSel = cums.count(_ <= 600L)
+      val used = if (nSel == 0) 0L else cums(nSel - 1)
+      val (nc, tt, ns, tu) = rep(src)
+      assert(nc == rows.length && tt == ordered.sum && ns == nSel && tu == used, src)
+      // maximality: the next candidate (if any) would break the budget
+      if (nSel < ordered.length) assert(used + ordered(nSel) > 600L, src)
+    }
+  }
+
+  test("q132 slopes equal a local double-precision OLS fit") {
+    val got = WarehouseQueries.q132TrendSlopes(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val local = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ms0 = rows.map(_._2).min
+      val pts = rows.map(r => ((r._2 - ms0) / 3600000L, r._3))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val den = n * sxx - sx * sx
+      if (den > 0) Some((u, (pts.length.toLong, (n * sxy - sx * sy) / den))) else None
+    }
+    assert(got.keySet == local.keySet)
+    got.foreach { case (u, (n, s)) =>
+      val (ln, ls) = local(u)
+      assert(n == ln && math.abs(s - ls) <= 1e-9 * math.max(1.0, math.abs(ls)), u)
+    }
+  }
+
   test("q126 agrees with a local double-precision recompute") {
     val gotOut = WarehouseQueries.q126ZscoreOutliers(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
