@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p126.contains("BroadcastHashJoin"), p126)
   }
 
+  test("q130/q131/q132: round-5 additions have no single-partition exchange") {
+    for (q <- Seq(WarehouseQueries.q130MadOutliers _,
+        CorpusQueries.q131TokenBudget _,
+        WarehouseQueries.q132TrendSlopes _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Exchange SinglePartition"),
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
+    }
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
