@@ -1135,4 +1135,212 @@ object CorpusQueries {
       |  CAST(SUM(least(cum, (pack_id + 1) * 512) -
       |    greatest(strt, pack_id * 512)) AS BIGINT) AS n_tokens
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q134 — DSIR-style importance-weighted data selection
+
+  /** Data Selection via Importance Resampling (Xie et al., DSIR),
+    * relationally: score every document by how much more likely its
+    * tokens are under a TARGET distribution (here the `lang = 'en'`
+    * slice standing in for "high-quality domain") than under the RAW
+    * corpus distribution, then keep the top-k. Per-term weight is the
+    * add-1-smoothed log-likelihood ratio
+    * ln((ct+1)/(Nt+V)) − ln((cr+1)/(Nr+V)), rounded to the 1e-6 grid
+    * (q71's ln-ulp stance); the per-doc score sums those weights over
+    * token POSITIONS with Oracle.dsum's decimal grid so the result is
+    * combine-order-independent and hash-stable.
+    *
+    * Shape: one corpus scan builds both count tables (target counts
+    * are a filtered second aggregate of the same term stream); the
+    * weight table is vocabulary-sized → broadcast (q87's argument);
+    * the scoring pass is a broadcast join + one doc-keyed aggregate;
+    * top-k is TakeOrdered, never a global sort. At 100 TB the only
+    * large shuffles are the two vocab aggregates — both map-side
+    * combinable. */
+  def q134DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val raw = terms.groupBy(col("term")).agg(count(lit(1)).as("cr"))
+    val tgt = terms.filter(col("lang") === "en")
+      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val consts = terms.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      countDistinct(col("term")).as("v"))
+    val weights = raw.join(tgt, Seq("term"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("term"),
+        round(log((coalesce(col("ct"), lit(0L)) + 1) /
+              (col("nt") + col("v")).cast("double"))
+            - log((col("cr") + 1) / (col("nr") + col("v")).cast("double")),
+          6).as("lr"))
+    terms.select(col("doc_id"), col("term"))
+      .join(broadcast(weights), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        Oracle.dsum(col("lr")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val q134Sql: String =
+    s"""WITH t2 AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> ''),
+      |lng AS (SELECT doc_id, lang FROM documents),
+      |raw AS (SELECT term, COUNT(*) AS cr FROM t2 GROUP BY 1),
+      |tgt AS (SELECT t2.term, COUNT(*) AS ct FROM t2 JOIN lng USING (doc_id)
+      |        WHERE lng.lang = 'en' GROUP BY 1),
+      |c AS (SELECT (SELECT COUNT(*) FROM t2) AS nr,
+      |             (SELECT COUNT(*) FROM t2 JOIN lng USING (doc_id)
+      |              WHERE lng.lang = 'en') AS nt,
+      |             (SELECT COUNT(*) FROM raw) AS v),
+      |w AS (SELECT r.term,
+      |        round(ln((COALESCE(t.ct, 0) + 1) / CAST(c.nt + c.v AS DOUBLE))
+      |            - ln((r.cr + 1) / CAST(c.nr + c.v AS DOUBLE)), 6) AS lr
+      |      FROM raw r LEFT JOIN tgt t USING (term) CROSS JOIN c)
+      |SELECT d.doc_id, COUNT(*) AS n_toks,
+      |  ${Oracle.dsumSql("lr")} AS dsir_score
+      |FROM t2 d JOIN w USING (term)
+      |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q135 — per-cluster capped survivor selection (diversity cap)
+
+  /** Near-duplicate CLUSTER capping: where q111 keeps exactly one
+    * survivor per duplicate cluster, this keeps the top-C (C = 2) by
+    * quality (n_chars desc, doc_id tiebreak) — the mixture-shaping
+    * policy that bounds how much any one boilerplate family can
+    * contribute to a training set without deleting it outright.
+    * Reuses the memoized q70 component assignment (the expensive
+    * LSH + connected-components pass runs once per session/dir
+    * whichever cluster query fires first); the cap itself is one
+    * cluster-partitioned row_number window over the cluster-sized
+    * assignment table — partitions are duplicate clusters, so the
+    * window never sees a partition larger than the biggest duplicate
+    * family even at corpus scale. */
+  def q135ClusterCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    q70DedupClusters(s, dir)
+      .join(docs, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= 2)
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  val q135Sql: String =
+    s"""$clustersCteSql,
+      |capped AS (
+      |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY d.n_chars DESC, c.doc_id) AS BIGINT) AS rk
+      |  FROM clusters c JOIN documents d USING (doc_id))
+      |SELECT cluster_id, doc_id, n_chars, rk FROM capped
+      |WHERE rk <= 2 ORDER BY cluster_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q136 — filter-cascade attrition report (curation funnel)
+
+  /** The FineWeb/RefinedWeb-style filter CASCADE: quality rules applied
+    * in a fixed order, reported as a funnel — per stage, how many docs
+    * entered, were dropped, and survived. This is the artifact a
+    * curation pipeline actually ships to its operators: it shows which
+    * rule pays and which is dead weight. Stages: minimum length →
+    * language allowlist → duplicate-token fraction → top-token mass →
+    * mean word length (the q91 Gopher signals re-used as gates).
+    *
+    * Every threshold is evaluated in INTEGER arithmetic (e.g.
+    * dup_tok_frac ≤ 0.6 ⟺ 5·n_distinct ≥ 2·n_toks), the q126/q130
+    * fixed-point stance: no FP boundary can flip a verdict between
+    * engines. Shape: one per-doc aggregate chain (linear, co-keyed),
+    * one left join back to the doc spine (token-less docs fail the
+    * token gates rather than vanish from the funnel), ONE global
+    * 1-row aggregate of 6 conditional counters, stacked into 5 report
+    * rows. The single-partition exchange carries exactly one row —
+    * the q35-throughput precedent, not a scale hazard. */
+  def q136FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sig = docTerms(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"),
+        sum(length(col("term")).cast("long") * col("c")).cast("long")
+          .as("n_term_chars"))
+    val f = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(sig, Seq("doc_id"), "left")
+      .select(
+        (col("n_chars") >= 100).as("f1"),
+        col("lang").isin("en", "de", "fr", "es").as("f2"),
+        coalesce(col("n_distinct") * 5 >= col("n_toks") * 2, lit(false)).as("f3"),
+        coalesce(col("max_c") * 20 <= col("n_toks") * 3, lit(false)).as("f4"),
+        coalesce(col("n_term_chars") >= col("n_toks") * 3 &&
+          col("n_term_chars") <= col("n_toks") * 12, lit(false)).as("f5"))
+    f.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+          .otherwise(0L)).as("c4"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4") && col("f5"), 1L)
+          .otherwise(0L)).as("c5"))
+      .select(expr(
+        """stack(5,
+          |  1, 'min_chars',      c0, c1,
+          |  2, 'lang_allowed',   c1, c2,
+          |  3, 'dup_token_frac', c2, c3,
+          |  4, 'top_token_mass', c3, c4,
+          |  5, 'mean_word_len',  c4, c5) AS (stage, rule, n_in, n_out)""".stripMargin))
+      .select(col("stage"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  val q136Sql: String =
+    """WITH uc AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+      |    COUNT(*) AS n_distinct, MAX(c) AS max_c,
+      |    CAST(SUM(len(term) * c) AS BIGINT) AS n_term_chars
+      |  FROM uc GROUP BY 1),
+      |f AS (
+      |  SELECT (d.n_chars >= 100) AS f1,
+      |    (d.lang IN ('en', 'de', 'fr', 'es')) AS f2,
+      |    COALESCE(s.n_distinct * 5 >= s.n_toks * 2, false) AS f3,
+      |    COALESCE(s.max_c * 20 <= s.n_toks * 3, false) AS f4,
+      |    COALESCE(s.n_term_chars >= s.n_toks * 3
+      |      AND s.n_term_chars <= s.n_toks * 12, false) AS f5
+      |  FROM documents d LEFT JOIN sig s USING (doc_id)),
+      |agg AS (
+      |  SELECT COUNT(*) AS c0,
+      |    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c4,
+      |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c5
+      |  FROM f),
+      |r AS (
+      |  SELECT 1 AS stage, 'min_chars' AS rule, c0 AS n_in, c1 AS n_out FROM agg
+      |  UNION ALL SELECT 2, 'lang_allowed', c1, c2 FROM agg
+      |  UNION ALL SELECT 3, 'dup_token_frac', c2, c3 FROM agg
+      |  UNION ALL SELECT 4, 'top_token_mass', c3, c4 FROM agg
+      |  UNION ALL SELECT 5, 'mean_word_len', c4, c5 FROM agg)
+      |SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out
+      |FROM r ORDER BY stage""".stripMargin
 }

@@ -976,4 +976,62 @@ object LlmQueries {
       |  CAST(len(tk[start:start + 63]) AS BIGINT) AS n_tokens,
       |  array_to_string(tk[start:start + 63], ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Span-level duplicate detection (substring dedup)
+
+  /** Substring-level duplication audit, the relational shape of
+    * exact-substring training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): every 8-token
+    * sliding span of every document is inventoried, and a span
+    * POSITION counts as duplicated when the same 8-gram occurs in at
+    * least one OTHER document. Per doc the report is (total spans,
+    * duplicated-span positions) — the signal an operator uses to cut
+    * repeated boilerplate that document-level Jaccard never sees
+    * (two long docs sharing one paragraph sit far below any doc-level
+    * threshold).
+    *
+    * Shape: the span stream is built exactly like [[shingleRows]] —
+    * arrays_zip of 8 token-array slices → explode → one xxhash64 per
+    * position (16-byte rows into the shuffle, span text never
+    * materialized; the 64-bit-collision stance is shingleRows').
+    * Then ONE groupBy(span, doc) partial-aggregates positions, a
+    * span-partitioned window counts docs per span (reusing the
+    * hash-compatible partitioning), and a final doc-keyed aggregate
+    * emits the audit. No join back to the corpus, no second scan, no
+    * pair expansion — cost is linear in Σ tokens even when a
+    * boilerplate span infects millions of docs (contrast any
+    * pair-emitting design, which pays the quadratic on exactly those
+    * spans). */
+  def q133DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val n = size(col("toks"))
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(n >= K)
+      .select(col("doc_id"), explode(arrays_zip(
+        (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*)).as("tg"))
+      .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
+    val perDoc = spans.groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("npos"))
+    perDoc
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("span"))))
+      .groupBy(col("doc_id"))
+      .agg(graft.Oracle.lsum(col("npos")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("npos")).otherwise(lit(0L))).as("n_dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
+      |spans AS (SELECT doc_id, array_to_string(ts[i:i + 7], ' ') AS span FROM pos),
+      |sd AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY 1)
+      |SELECT s.doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN sd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |FROM spans s JOIN sd USING (span)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

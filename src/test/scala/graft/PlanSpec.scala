@@ -91,6 +91,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q133: span dedup is join-free — one linear pass, hash exchanges only") {
+    val p = plan(LlmQueries.q133DuplicateSpans(spark, dir))
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q134: vocab weight table broadcasts; top-k is TakeOrdered not global sort") {
+    val p = plan(CorpusQueries.q134DsirSelect(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q135: cluster cap joins on doc_id with no single-partition exchange") {
+    val p = plan(CorpusQueries.q135ClusterCap(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
