@@ -1343,4 +1343,70 @@ object CorpusQueries {
       |  UNION ALL SELECT 5, 'mean_word_len', c4, c5 FROM agg)
       |SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out
       |FROM r ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q138 — dedup-method overlap matrix (strategy comparison)
+
+  /** Which dedup signal catches what: per document, three boolean
+    * verdicts — EXACT (its sha256 group has ≥2 members), NEAR (it has
+    * at least one Jaccard ≥ 0.8 partner, i.e. appears in the memoized
+    * q70 component assignment), SPAN (at least half its 8-token span
+    * positions recur in another doc, the q133 signal) — folded into
+    * the 2×2×2 contingency table. This is the report that justifies a
+    * pipeline's dedup budget: exact ⊂ near on this corpus, and SPAN
+    * catches partial-overlap docs neither whole-doc method flags.
+    *
+    * Shape: three per-doc passes (sha window count, broadcast-able
+    * cluster-membership join off the memo, q133's linear span audit),
+    * one co-keyed flag join, one 8-row aggregate. Each pass is the
+    * documented scale shape of its family; nothing here introduces a
+    * new join geometry. */
+  def q138DedupOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ex = docs.select(col("doc_id"), col("text"))
+      .withColumn("gsz", count(lit(1)).over(
+        Window.partitionBy(sha2(col("text"), 256))))
+      .select(col("doc_id"), (col("gsz") >= 2).as("is_exact"))
+    val near = q70DedupClusters(s, dir)
+      .select(col("doc_id"), lit(true).as("is_near"))
+    val span = LlmQueries.q133DuplicateSpans(s, dir)
+      .select(col("doc_id"),
+        (col("n_dup_spans") * 2 >= col("n_spans") && col("n_spans") > 0)
+          .as("is_span"))
+    ex.join(near, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .select(col("is_exact"),
+        coalesce(col("is_near"), lit(false)).as("is_near"),
+        coalesce(col("is_span"), lit(false)).as("is_span"))
+      .groupBy(col("is_exact"), col("is_near"), col("is_span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("is_exact"), col("is_near"), col("is_span"))
+  }
+
+  val q138Sql: String =
+    s"""$clustersCteSql,
+      |ex AS (
+      |  SELECT doc_id,
+      |    COUNT(*) OVER (PARTITION BY sha256(text)) >= 2 AS is_exact
+      |  FROM documents),
+      |stoks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |spos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM stoks),
+      |sspans AS (SELECT doc_id, array_to_string(ts[i:i + 7], ' ') AS span
+      |  FROM spos),
+      |ssd AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sspans GROUP BY 1),
+      |spstat AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_spans,
+      |    SUM(CASE WHEN ssd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+      |  FROM sspans s JOIN ssd USING (span) GROUP BY 1),
+      |flags AS (
+      |  SELECT ex.is_exact,
+      |    COALESCE(c.doc_id IS NOT NULL, false) AS is_near,
+      |    COALESCE(p.n_dup_spans * 2 >= p.n_spans AND p.n_spans > 0, false)
+      |      AS is_span
+      |  FROM ex LEFT JOIN clusters c USING (doc_id)
+      |    LEFT JOIN spstat p USING (doc_id))
+      |SELECT is_exact, is_near, is_span, COUNT(*) AS n_docs
+      |FROM flags GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

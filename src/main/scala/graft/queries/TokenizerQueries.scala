@@ -178,4 +178,60 @@ object TokenizerQueries {
        |$rounds
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q137 — per-language tokenizer fertility / corpus economics
+
+  /** The mixture-design dashboard for a multilingual corpus: per
+    * language, document and token volume, vocabulary size (types),
+    * characters per token (the whitespace-fertility proxy every
+    * tokenizer evaluation starts from — zh's high chars/token here is
+    * exactly the signal that whitespace tokenization under-segments
+    * it), and type-token ratio on a 1e-6 grid. Ratios divide two
+    * exact BIGINTs, so both engines divide identical operands —
+    * there is no accumulated-FP path (q71's determinism argument).
+    *
+    * Shape: one (lang, term) hash aggregate with map-side partials —
+    * vocabulary-sized, the natural shuffle key for a 100 TB corpus —
+    * folded to one row per language; doc counts ride the same scan as
+    * a separate tiny aggregate joined back. Output is
+    * language-cardinality-sized. */
+  def q137TokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val byLang = terms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(length(col("term")).cast("long") * col("c")).cast("long")
+          .as("n_token_chars"))
+    val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    nd.join(byLang, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_token_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val q137Sql: String =
+    """WITH t AS (
+      |  SELECT lang, term, COUNT(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |bl AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(len(term) * c) AS BIGINT) AS n_token_chars
+      |  FROM t GROUP BY 1),
+      |nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT lang, n_docs, n_tokens, n_types,
+      |  round(CAST(n_token_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+      |FROM nd JOIN bl USING (lang) ORDER BY lang""".stripMargin
 }

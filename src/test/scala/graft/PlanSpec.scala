@@ -113,6 +113,17 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
   }
 
+  test("q137/q138: fertility and overlap reports keep hash-exchange shapes") {
+    for (q <- Seq(TokenizerQueries.q137TokenFertility _,
+        CorpusQueries.q138DedupOverlap _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
+      assert(!p.contains("Exchange SinglePartition"),
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
