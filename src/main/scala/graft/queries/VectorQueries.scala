@@ -89,38 +89,59 @@ object VectorQueries {
     * Scale: each Lloyd iteration is one n×d-row shuffle (d longs per
     * row) and the centroid table stays k×d — broadcast-sized for any
     * realistic k; iterations are a fixed small constant. */
-  def q56AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def q56AnnIvf(s: SparkSession, dir: String): DataFrame =
+    topKWithinBucket(ivfAssigned(s, dir), "cell", k = 3)
+
+  /** All-vector spine for IVF: (vec_id, embedding, nrm). */
+  private def ivfSpine(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-    // argmax as an aggregate, not a window: max_by gets map-side partial
-    // aggregation — a window over the n×16 cross-join output would
-    // shuffle all of it. Tie-break: higher cos, then lower cent_id
-    // (lexicographic struct ordering).
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("cent_id"), col("embedding"), col("nrm")),
-          struct(col("cent_cos"), -col("cent_id"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
-    var centroids = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    for (_ <- 1 to 2) {
-      centroids = assign(centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cell").as("cent_id"),
-          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("c_emb"))
-        .withColumn("c_nrm", vecNorm(col("c_emb")))
+
+  /** Nearest-centroid assignment. argmax as an aggregate, not a window:
+    * max_by gets map-side partial aggregation — a window over the n×16
+    * cross-join output would shuffle all of it. Tie-break: higher cos,
+    * then lower cent_id (lexicographic struct ordering). */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("embedding"), col("nrm")),
+        struct(col("cent_cos"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+
+  /** Trained IVF centroids (cent_id, c_emb, c_nrm): first-16 seed, two
+    * deterministic Lloyd iterations with exact DECIMAL means (combine-
+    * order-independent). Memoized — shared by q56 and the q139 IVF-PQ
+    * path. */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "ivf_centroids", "k16,it2") {
+      val e = ivfSpine(s, dir)
+      var centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      for (_ <- 1 to 2) {
+        centroids = ivfAssign(e, centroids)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .groupBy(col("cell"), col("d"))
+          .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+          .select(col("cell").as("cent_id"),
+            expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("c_emb"))
+          .withColumn("c_nrm", vecNorm(col("c_emb")))
+      }
+      centroids
     }
-    topKWithinBucket(assign(centroids), "cell", k = 3)
-  }
+
+  /** Final cell assignment of every vector against the trained
+    * centroids: (vec_id, embedding, nrm, cell). Memoized — the
+    * inverted file q56 probes and q139's candidate source. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "ivf_assign", "k16,it2") {
+      ivfAssign(ivfSpine(s, dir), ivfCentroids(s, dir))
+    }
 
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
     * exact, via a BLOCKED self-join. Vectors are assigned to B blocks by
@@ -419,7 +440,7 @@ object VectorQueries {
     * search over the reconstructed vectors. */
   def q96PqCodes(s: SparkSession, dir: String): DataFrame = {
     val cents = pqCodebooks(s, dir)
-    val codes = pqAssign(pqSubvecs(s, dir), cents)
+    val codes = pqCodes(s, dir)
     val errs = codes.join(broadcast(cents), Seq("sub", "cid"))
       .select(col("vec_id"), col("sub"), col("cid"),
         expr("""aggregate(zip_with(svec, cvec, (a, b) ->
@@ -447,6 +468,16 @@ object VectorQueries {
         .groupBy(col("vec_id"), col("sub"))
         .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
         .select(col("vec_id"), col("sub"), expr("transform(iv, p -> p.x)").as("svec")))
+
+  /** The full-corpus PQ code table (vec_id, sub, svec, cid), memoized —
+    * the compressed representation q96 audits and q139 searches over.
+    * 8 one-byte codes per vector is the structure that actually fits in
+    * memory at billion scale; everything downstream of this table never
+    * touches raw candidate embeddings. */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "pq_codes", "m8,k256,it2") {
+      pqAssign(pqSubvecs(s, dir), pqCodebooks(s, dir))
+    }
 
   /** Nearest-codebook assignment: (vec_id, sub, svec, cid). */
   private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
@@ -510,12 +541,69 @@ object VectorQueries {
     * against. */
   private[graft] def pqReconstruct(s: SparkSession, dir: String): DataFrame = {
     val cents = pqCodebooks(s, dir)
-    pqAssign(pqSubvecs(s, dir), cents)
+    pqCodes(s, dir)
       .join(broadcast(cents), Seq("sub", "cid"))
       .select(col("vec_id"), col("sub"), col("cvec"))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("cvec")))).as("sc"))
       .select(col("vec_id"), flatten(expr("transform(sc, p -> p.cvec)")).as("embedding"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q139 — IVF-PQ search with asymmetric distance computation (ADC)
+
+  /** The billion-scale ANN shape (FAISS IVFPQ / Jégou et al. 2011):
+    * IVF cells bound WHICH candidates a query touches, PQ codes bound
+    * WHAT is read per candidate. Each query probes its nprobe = 4
+    * closest of 16 cells; candidates in those cells are scored
+    * asymmetrically — the exact query sub-vectors dot the candidate's
+    * CODEBOOK entries, so per candidate the engine reads 8 one-byte
+    * codes, never the raw vector. The per-query lookup table (8×256
+    * sub-dot products) is |Q|·2048 rows → broadcast; the candidate
+    * side is one inverted-file bucket join plus one code-table join.
+    * ADC partial dots sum on Oracle.dsum's decimal grid (8 values/
+    * pair, combine-order-independent), and the final top-3 is a
+    * cluster-bounded window, never global.
+    *
+    * At 100 TB of vectors: raw embeddings appear ONLY in query-side
+    * structures (|Q|-sized) and the LUT; the corpus-sized tables that
+    * move are (vec_id, cell, nrm) and (vec_id, sub, cid) — ~16 bytes a
+    * vector, the whole point of PQ. Approximate ⇒ rows-only gate;
+    * SelfConsistencySpec pins recall vs exact brute force and rank
+    * soundness. */
+  def q139IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 4
+    val cents = ivfCentroids(s, dir)
+    val assigned = ivfAssigned(s, dir)
+    val probes = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cc", vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_nrm"), col("cent_id").as("cell"))
+    val lut = pqSubvecs(s, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qsub"))
+      .join(broadcast(pqCodebooks(s, dir)), "sub")
+      .select(col("q_id"), col("sub"), col("cid"),
+        vecDot(col("qsub"), col("cvec")).as("pdot"))
+    val codes = pqCodes(s, dir).select(col("vec_id"), col("sub"), col("cid"))
+    assigned.select(col("vec_id").as("c_id"), col("nrm").as("c_nrm"), col("cell"))
+      .join(probes, "cell")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(codes, col("c_id") === codes("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(graft.Oracle.dsum(col("pdot")).as("adc"),
+        max(col("q_nrm")).as("qn"), max(col("c_nrm")).as("cn"))
+      .select(col("q_id"), col("c_id"),
+        round(col("adc") / (col("qn") * col("cn")), 6).as("adc_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_cos").desc, col("c_id"))))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
   }
 
   /** DuckDB replay of the full PQ pipeline. The SQL is composed

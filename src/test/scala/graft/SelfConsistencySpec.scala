@@ -91,6 +91,34 @@ class SelfConsistencySpec extends AnyFunSuite {
     assert(recall >= 0.35, f"q56 recall@3 $recall%.3f below floor")
   }
 
+  // ---- q139 IVF-PQ ADC search -----------------------------------------
+
+  test("q139 IVF-PQ: ranks sound, ADC score near exact cosine, recall floor holds") {
+    val rows = VectorQueries.q139IvfPqSearch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length), s"q139 q=$q ranks not contiguous")
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"q139 q=$q not sorted")
+    }
+    // ADC error is bounded by PQ quantization error (q96's audited MSE):
+    // the asymmetric score may not exceed exact cosine by more than the
+    // reconstruction slack
+    rows.foreach { r =>
+      val (q, c, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = cosine(vecs(q), vecs(c))
+      assert(math.abs(adc - exact) <= 0.25,
+        f"q139 ADC $adc%.4f vs exact $exact%.4f for ($q,$c) — PQ slack blown")
+    }
+    val ann = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = exactTopK(ann.keys.toSeq, 3)
+    val recall = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
+      .toDouble / (ann.size * 3)
+    info(f"q139 recall@3 = $recall%.3f over ${ann.size} queries")
+    assert(recall >= 0.25, f"q139 recall@3 $recall%.3f below floor")
+  }
+
   // ---- q10 HLL approx distinct ---------------------------------------
 
   test("q10 HLL: approx distinct within 5x the declared 1% rsd of exact") {
