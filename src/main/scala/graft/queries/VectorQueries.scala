@@ -880,6 +880,91 @@ object VectorQueries {
       |SELECT node AS vec_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q140 — Johnson-Lindenstrauss random projection + distortion audit
+
+  /** Random-projection dimensionality reduction (Achlioptas ±1 variant
+    * of Johnson-Lindenstrauss): project 64-d embeddings to 16-d with a
+    * sign matrix derived from the q22-style PORTABLE affine hash
+    * family — r(i,j) = ±1 by the parity of ((a·(16i+j)+b) mod p) — so
+    * both engines materialize the identical matrix from integer
+    * arithmetic, no RNG anywhere. The audit output is what a pipeline
+    * actually checks before trusting a projection: per sampled pair,
+    * squared distance in the original and projected space and their
+    * ratio (the JL distortion; scale factor 1/√16 = 0.25 is exact in
+    * binary). Projected coordinates and distances sum on the decimal
+    * grid (Oracle.dsum) — combine-order-independent, hash-stable.
+    *
+    * Scale: the projection is scan-local per vector (64×16 multiply-
+    * adds off a hash-derived sign, no matrix table to join or
+    * broadcast) — the standard cheap first stage before ANN indexing
+    * when d is large; the audit pairs are a bounded sample. */
+  def q140JlProjection(s: SparkSession, dir: String): DataFrame = {
+    val (a, b, p) = (1103515245L, 12345L, 2147483647L)
+    val px = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+    val proj = px
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("sx", when(
+        expr(s"((${a}L * (d * 16 + j) + ${b}L) % ${p}L) % 2 = 1"),
+        col("x")).otherwise(-col("x")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg((graft.Oracle.dsum(col("sx")) * lit(0.25d)).as("y"))
+    // consecutive (even, even+1) pairs, co-keyed on (pair, coord index)
+    def pairD2(df: DataFrame, idx: String, coord: String, out: String): DataFrame = {
+      val keyed = df.withColumn("pair", expr("vec_id div 2"))
+      keyed.filter(col("vec_id") % 2 === 0)
+        .select(col("pair"), col(idx), col(coord).as("va"))
+        .join(keyed.filter(col("vec_id") % 2 === 1)
+          .select(col("pair"), col(idx), col(coord).as("vb")), Seq("pair", idx))
+        .groupBy(col("pair"))
+        .agg(graft.Oracle.dsum((col("va") - col("vb")) * (col("va") - col("vb"))).as(out))
+    }
+    val orig = pairD2(px, "d", "x", "d2_orig")
+    val prj = pairD2(proj, "j", "y", "d2_proj")
+    orig.join(prj, Seq("pair"))
+      .filter(col("d2_orig") > 0)
+      .select((col("pair") * 2).as("a_id"), (col("pair") * 2 + 1).as("b_id"),
+        round(col("d2_orig"), 6).as("d2_orig"),
+        round(col("d2_proj"), 6).as("d2_proj"),
+        round(col("d2_proj") / col("d2_orig"), 6).as("distortion"))
+      .orderBy(col("a_id"))
+  }
+
+  val q140Sql: String =
+    """WITH px AS (
+      |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings WHERE vec_id < 40)),
+      |proj AS (
+      |  SELECT vec_id, j,
+      |    0.25 * CAST(SUM(CAST(CASE
+      |      WHEN ((1103515245 * (d * 16 + j) + 12345) % 2147483647) % 2 = 1
+      |      THEN x ELSE -x END AS DECIMAL(30,6))) AS DOUBLE) AS y
+      |  FROM px CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+      |  GROUP BY 1, 2),
+      |orig AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(30,6)))
+      |      AS DOUBLE) AS d2_orig
+      |  FROM px a JOIN px b ON a.d = b.d AND a.vec_id % 2 = 0
+      |    AND b.vec_id = a.vec_id + 1
+      |  GROUP BY 1, 2),
+      |prj AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    CAST(SUM(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(30,6)))
+      |      AS DOUBLE) AS d2_proj
+      |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id % 2 = 0
+      |    AND b.vec_id = a.vec_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, round(d2_orig, 6) AS d2_orig,
+      |  round(d2_proj, 6) AS d2_proj,
+      |  round(d2_proj / d2_orig, 6) AS distortion
+      |FROM orig JOIN prj USING (a_id, b_id)
+      |WHERE d2_orig > 0 ORDER BY a_id""".stripMargin
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,

@@ -124,6 +124,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: ADC search joins codes/LUT as hash joins — no cartesian") {
+    // (the 16-row centroid probe is an intentional tiny-side BNLJ, the
+    // q27/q38 precedent; the corpus-sized joins must all be equi)
+    val p = plan(VectorQueries.q139IvfPqSearch(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "LUT must broadcast")
+  }
+
+  test("q140: JL projection is scan-local; pair audit joins stay equi") {
+    val p = plan(VectorQueries.q140JlProjection(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
