@@ -236,6 +236,44 @@ object StreamPipeline {
       |FROM (SELECT DISTINCT user_id, event_type FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STREAM-STATIC ENRICHMENT — the remaining core streaming join
+    * pattern beside windows/dedup/sessionization/stream-stream: live
+    * events joined to a slowly-changing dimension read as a plain
+    * batch table. Structured Streaming re-plans the static side every
+    * micro-batch (so dimension updates/compaction are picked up), and
+    * a stream-static INNER join keeps no state at all — no watermark,
+    * no state store; the dimension broadcasts under AQE exactly as in
+    * batch, so the stream side never shuffles for the join. With the
+    * replay source the result provably equals the batch join the
+    * oracle computes. Enriched rows stage through the exactly-once
+    * parquet sink; the bounded per-segment report aggregates
+    * batch-side on the staged output, fully distributed. */
+  def q141StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.Oracle.dsum
+    val (ev, streamDir) = replayEvents(s, dir, "q141")
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runStaged(s, "q141", streamDir, (outDir, ck) =>
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("event_type"), col("value"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .start())
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
+  val q141Sql: String =
+    s"""SELECT c.c_mktsegment AS segment, e.event_type,
+      |  COUNT(*) AS n_events, ${graft.Oracle.dsumSql("e.value")} AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // q92 — streaming sessionization with arbitrary per-key state
 

@@ -275,7 +275,8 @@ class PlanSpec extends AnyFunSuite {
       "q68" -> (graft.streaming.StreamPipeline.q68StreamingWindows _),
       "q83" -> (graft.streaming.StreamPipeline.q83StreamingDedup _),
       "q92" -> (graft.streaming.StreamPipeline.q92StreamingSessions _),
-      "q99" -> (graft.streaming.StreamPipeline.q99StreamIntervalJoin _))
+      "q99" -> (graft.streaming.StreamPipeline.q99StreamIntervalJoin _),
+      "q141" -> (graft.streaming.StreamPipeline.q141StreamEnrich _))
     qs.foreach { case (name, q) =>
       val df = q(spark, dir)
       val p = plan(df)
