@@ -1150,30 +1150,33 @@ object CorpusQueries {
     * token POSITIONS with Oracle.dsum's decimal grid so the result is
     * combine-order-independent and hash-stable.
     *
-    * Shape: one corpus scan builds both count tables (target counts
-    * are a filtered second aggregate of the same term stream); the
-    * weight table is vocabulary-sized → broadcast (q87's argument);
-    * the scoring pass is a broadcast join + one doc-keyed aggregate;
+    * Shape: ONE corpus scan builds both distributions — raw count and
+    * conditional target count ride the same vocab aggregate, whose
+    * rollup also yields all three normalizing constants; the weight
+    * table is vocabulary-sized → broadcast (q87's argument); the
+    * scoring pass is a broadcast join + one doc-keyed aggregate;
     * top-k is TakeOrdered, never a global sort. At 100 TB the only
-    * large shuffles are the two vocab aggregates — both map-side
-    * combinable. */
+    * large shuffle is the map-side-combinable vocab aggregate. */
   def q134DsirSelect(s: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
       .filter(col("term") =!= "")
-    val raw = terms.groupBy(col("term")).agg(count(lit(1)).as("cr"))
-    val tgt = terms.filter(col("lang") === "en")
-      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
-    val consts = terms.agg(
-      count(lit(1)).as("nr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-      countDistinct(col("term")).as("v"))
-    val weights = raw.join(tgt, Seq("term"), "left")
+    // ONE vocab aggregate carries both distributions (raw count + a
+    // conditional target count) and the normalizing constants derive
+    // from it — the corpus scans are the scoring pass and this one,
+    // not four
+    val counts = terms.groupBy(col("term")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val consts = counts.agg(
+      graft.Oracle.lsum(col("cr")).as("nr"),
+      graft.Oracle.lsum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val weights = counts
       .crossJoin(broadcast(consts))
       .select(col("term"),
-        round(log((coalesce(col("ct"), lit(0L)) + 1) /
-              (col("nt") + col("v")).cast("double"))
+        round(log((col("ct") + 1) / (col("nt") + col("v")).cast("double"))
             - log((col("cr") + 1) / (col("nr") + col("v")).cast("double")),
           6).as("lr"))
     terms.select(col("doc_id"), col("term"))
@@ -1356,16 +1359,19 @@ object CorpusQueries {
     * pipeline's dedup budget: exact ⊂ near on this corpus, and SPAN
     * catches partial-overlap docs neither whole-doc method flags.
     *
-    * Shape: three per-doc passes (sha window count, broadcast-able
+    * Shape: three per-doc passes (sha group-count join, broadcast-able
     * cluster-membership join off the memo, q133's linear span audit),
     * one co-keyed flag join, one 8-row aggregate. Each pass is the
     * documented scale shape of its family; nothing here introduces a
     * new join geometry. */
   def q138DedupOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val ex = docs.select(col("doc_id"), col("text"))
-      .withColumn("gsz", count(lit(1)).over(
-        Window.partitionBy(sha2(col("text"), 256))))
+    // groupBy + equi-join, not a window over the sha partition: partial
+    // aggregation collapses a 10M-copy dup family map-side and AQE can
+    // split the skewed join partition (q133's argument)
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val ex = hashed.join(
+        hashed.groupBy(col("h")).agg(count(lit(1)).as("gsz")), "h")
       .select(col("doc_id"), (col("gsz") >= 2).as("is_exact"))
     val near = q70DedupClusters(s, dir)
       .select(col("doc_id"), lit(true).as("is_near"))

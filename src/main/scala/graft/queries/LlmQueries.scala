@@ -996,13 +996,15 @@ object LlmQueries {
     * position (16-byte rows into the shuffle, span text never
     * materialized; the 64-bit-collision stance is shingleRows').
     * Then ONE groupBy(span, doc) partial-aggregates positions, a
-    * span-partitioned window counts docs per span (reusing the
-    * hash-compatible partitioning), and a final doc-keyed aggregate
-    * emits the audit. No join back to the corpus, no second scan, no
-    * pair expansion — cost is linear in Σ tokens even when a
-    * boilerplate span infects millions of docs (contrast any
-    * pair-emitting design, which pays the quadratic on exactly those
-    * spans). */
+    * second span-keyed aggregate counts docs per span (map-side
+    * partials collapse a hot span to one row per task BEFORE the
+    * shuffle), an equi-join re-attaches the doc count (AQE's skew
+    * join splits the partition of a boilerplate span that infects
+    * millions of docs — a window over the same partitioning would
+    * have neither the partials nor the skew split), and a final
+    * doc-keyed aggregate emits the audit. No pair expansion anywhere
+    * — cost is linear in Σ tokens (contrast any pair-emitting design,
+    * which pays the quadratic on exactly the boilerplate spans). */
   def q133DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
     val K = 8
     val n = size(col("toks"))
@@ -1014,9 +1016,9 @@ object LlmQueries {
       .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
     val perDoc = spans.groupBy(col("span"), col("doc_id"))
       .agg(count(lit(1)).as("npos"))
-    perDoc
-      .withColumn("ndocs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("span"))))
+    val spanDocs = perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("ndocs"))
+    perDoc.join(spanDocs, "span")
       .groupBy(col("doc_id"))
       .agg(graft.Oracle.lsum(col("npos")).as("n_spans"),
         sum(when(col("ndocs") >= 2, col("npos")).otherwise(lit(0L))).as("n_dup_spans"))

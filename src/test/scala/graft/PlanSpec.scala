@@ -91,9 +91,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q133: span dedup is join-free — one linear pass, hash exchanges only") {
+  test("q133: span dedup is linear — equi-joins only, hash exchanges only") {
+    // the span-count re-attach must be an AQE-splittable equi-join, never
+    // a window over the raw span partitioning (no partials, no skew split)
     val p = plan(LlmQueries.q133DuplicateSpans(spark, dir))
-    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape")
+    assert(!p.contains("Window"), "span count must aggregate, not window")
     assert(!p.contains("Exchange SinglePartition"),
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
