@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text/vector primitives for the LLM-data-pipeline operators.
@@ -20,6 +20,15 @@ object TextFunctions {
 
   /** Lowercased whitespace tokens. Mirror: DuckDB `string_split(lower(x),' ')`. */
   def tokensOf(c: Column): Column = split(lower(c), " ")
+
+  /** (doc_id, lang, term): one row per non-empty token with the doc's
+    * language carried — the shared term stream of the language-aware
+    * corpus queries (q134 DSIR, q137 fertility). One definition so
+    * token semantics can never diverge between them. */
+  def langTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(tokensOf(col("text"))).as("term"))
+      .filter(col("term") =!= "")
 
   // Shingling lives in LlmQueries.shingleRows as a relational pipeline
   // (arrays_zip of slices → explode → xxhash64 → distinct), not here as an

@@ -859,14 +859,23 @@ object CorpusQueries {
     * doc_id: two partial-aggregate chains (unigram, bigram via the q85
     * zip-of-slices shape) and one co-keyed join — per-doc work only,
     * no corpus-wide state, linear at any scale. */
-  def q91RepetitionFilters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val uniS = docTerms(docs)
+  /** Per-doc unigram stats off one (doc, term) aggregate chain:
+    * (doc_id, n_toks, n_distinct, max_c, n_term_chars). ONE definition
+    * feeds both the q91 Gopher filters and q136's cascade gates —
+    * unused columns prune out of each consumer's plan. */
+  private def unigramStats(docs: DataFrame): DataFrame =
+    docTerms(docs)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_toks"),
         count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_c"))
+        max(col("c")).as("max_c"),
+        sum(length(col("term")).cast("long") * col("c")).cast("long")
+          .as("n_term_chars"))
+
+  def q91RepetitionFilters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uniS = unigramStats(docs)
     val toks = docs.select(col("doc_id"),
       graft.functions.TextFunctions.tokensOf(col("text")).as("t"))
     val n = size(col("t"))
@@ -1158,10 +1167,7 @@ object CorpusQueries {
     * top-k is TakeOrdered, never a global sort. At 100 TB the only
     * large shuffle is the map-side-combinable vocab aggregate. */
   def q134DsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+    val terms = graft.functions.TextFunctions.langTerms(Tables.documents(s, dir))
     // ONE vocab aggregate carries both distributions (raw count + a
     // conditional target count) and the normalizing constants derive
     // from it — the corpus scans are the scoring pass and this one,
@@ -1271,14 +1277,7 @@ object CorpusQueries {
     * the q35-throughput precedent, not a scale hazard. */
   def q136FilterCascade(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sig = docTerms(docs)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_toks"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_c"),
-        sum(length(col("term")).cast("long") * col("c")).cast("long")
-          .as("n_term_chars"))
+    val sig = unigramStats(docs)
     val f = docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(sig, Seq("doc_id"), "left")
       .select(
@@ -1375,7 +1374,7 @@ object CorpusQueries {
       .select(col("doc_id"), (col("gsz") >= 2).as("is_exact"))
     val near = q70DedupClusters(s, dir)
       .select(col("doc_id"), lit(true).as("is_near"))
-    val span = LlmQueries.q133DuplicateSpans(s, dir)
+    val span = LlmQueries.spanAudit(s, dir)
       .select(col("doc_id"),
         (col("n_dup_spans") * 2 >= col("n_spans") && col("n_spans") > 0)
           .as("is_span"))
@@ -1395,17 +1394,7 @@ object CorpusQueries {
       |  SELECT doc_id,
       |    COUNT(*) OVER (PARTITION BY sha256(text)) >= 2 AS is_exact
       |  FROM documents),
-      |stoks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 8),
-      |spos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM stoks),
-      |sspans AS (SELECT doc_id, array_to_string(ts[i:i + 7], ' ') AS span
-      |  FROM spos),
-      |ssd AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sspans GROUP BY 1),
-      |spstat AS (
-      |  SELECT s.doc_id, COUNT(*) AS n_spans,
-      |    SUM(CASE WHEN ssd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
-      |  FROM sspans s JOIN ssd USING (span) GROUP BY 1),
+      |${LlmQueries.spanAuditCtesSql},
       |flags AS (
       |  SELECT ex.is_exact,
       |    COALESCE(c.doc_id IS NOT NULL, false) AS is_near,

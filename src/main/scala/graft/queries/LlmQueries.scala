@@ -1004,36 +1004,53 @@ object LlmQueries {
     * have neither the partials nor the skew split), and a final
     * doc-keyed aggregate emits the audit. No pair expansion anywhere
     * — cost is linear in Σ tokens (contrast any pair-emitting design,
-    * which pays the quadratic on exactly the boilerplate spans). */
-  def q133DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
-    val K = 8
-    val n = size(col("toks"))
-    val spans = Tables.documents(s, dir)
-      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
-      .filter(n >= K)
-      .select(col("doc_id"), explode(arrays_zip(
-        (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*)).as("tg"))
-      .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
-    val perDoc = spans.groupBy(col("span"), col("doc_id"))
-      .agg(count(lit(1)).as("npos"))
-    val spanDocs = perDoc.groupBy(col("span"))
-      .agg(count(lit(1)).as("ndocs"))
-    perDoc.join(spanDocs, "span")
-      .groupBy(col("doc_id"))
-      .agg(graft.Oracle.lsum(col("npos")).as("n_spans"),
-        sum(when(col("ndocs") >= 2, col("npos")).otherwise(lit(0L))).as("n_dup_spans"))
-      .orderBy(col("doc_id"))
-  }
+    * which pays the quadratic on exactly the boilerplate spans).
+    *
+    * The per-doc audit is doc-count-sized output of an expensive pass
+    * — memoized like the other shared small-output passes
+    * (dedup_clusters, pq_codes); q138's overlap matrix reads the same
+    * table. */
+  private[queries] def spanAudit(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "span_audit", "k8") {
+      val K = 8
+      val n = size(col("toks"))
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+        .filter(n >= K)
+        .select(col("doc_id"), explode(arrays_zip(
+          (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*)).as("tg"))
+        .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
+      val perDoc = spans.groupBy(col("span"), col("doc_id"))
+        .agg(count(lit(1)).as("npos"))
+      val spanDocs = perDoc.groupBy(col("span"))
+        .agg(count(lit(1)).as("ndocs"))
+      perDoc.join(spanDocs, "span")
+        .groupBy(col("doc_id"))
+        .agg(graft.Oracle.lsum(col("npos")).as("n_spans"),
+          sum(when(col("ndocs") >= 2, col("npos")).otherwise(lit(0L))).as("n_dup_spans"))
+    }
 
-  val q133Sql: String =
-    """WITH toks AS (
+  def q133DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    spanAudit(s, dir).orderBy(col("doc_id"))
+
+  /** Shared CTE chain of the q133/q138 oracles: spans → doc counts →
+    * per-doc audit as one `spstat` relation (q70's clustersCteSql
+    * composition stance: never post-hoc string surgery, never a
+    * pasted copy that drifts when span geometry changes). */
+  private[queries] val spanAuditCtesSql: String =
+    """toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
       |  WHERE len(string_split(lower(text), ' ')) >= 8),
       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
       |spans AS (SELECT doc_id, array_to_string(ts[i:i + 7], ' ') AS span FROM pos),
-      |sd AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY 1)
-      |SELECT s.doc_id, COUNT(*) AS n_spans,
-      |  CAST(SUM(CASE WHEN sd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-      |FROM spans s JOIN sd USING (span)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |sd AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY 1),
+      |spstat AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_spans,
+      |    CAST(SUM(CASE WHEN sd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_spans
+      |  FROM spans s JOIN sd USING (span) GROUP BY 1)""".stripMargin
+
+  val q133Sql: String =
+    s"""WITH $spanAuditCtesSql
+      |SELECT doc_id, n_spans, n_dup_spans FROM spstat ORDER BY doc_id""".stripMargin
 }

@@ -198,9 +198,7 @@ object TokenizerQueries {
     * language-cardinality-sized. */
   def q137TokenFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val terms = docs.select(col("doc_id"), col("lang"),
-        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+    val terms = graft.functions.TextFunctions.langTerms(docs)
     val byLang = terms.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
