@@ -1404,4 +1404,79 @@ object CorpusQueries {
       |    LEFT JOIN spstat p USING (doc_id))
       |SELECT is_exact, is_near, is_span, COUNT(*) AS n_docs
       |FROM flags GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q142 — Count-Min sketch frequency estimation (audited)
+
+  /** The mergeable frequency sketch (Cormode & Muthukrishnan): a d=4 ×
+    * w=256 counter matrix where every term adds its count to one cell
+    * per hash row, and est(term) = min over rows — never an
+    * underestimate, overestimate bounded by collisions. CM sketches
+    * are THE shuffle-friendly frequency structure at 100 TB: the whole
+    * matrix is 1024 cells regardless of vocabulary size, built with
+    * map-side partials in one pass, mergeable across partitions/days
+    * by cell-wise addition. The audit emits, for the top-20 exact
+    * terms, exact count vs CM estimate vs overestimate — the report
+    * that tells an operator whether w is sized right.
+    *
+    * Everything is deterministic and exactly oracle-able: term →
+    * integer via the q26 portable token value, rows hash with the q22
+    * affine family, so DuckDB reproduces the identical matrix (a
+    * sketch whose cells cannot be reproduced is untestable).
+    * Shape: one vocab aggregate (shared by exact counts and cell
+    * sums), the 1024-cell matrix broadcasts, top-20 via TakeOrdered. */
+  def q142CmSketch(s: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L; val W = 256
+    val As = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+    val Bs = Seq(12345L, 362437L, 1013904223L, 1L)
+    val tvExpr = graft.functions.TextFunctions.tokvalSql("term")
+    val counts = graft.functions.TextFunctions
+      .langTerms(Tables.documents(s, dir))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("tv", expr(tvExpr))
+    def rowCells(df: DataFrame): DataFrame =
+      df.select(col("term"), col("c"), explode(array((0 until 4).map(i =>
+          struct(lit(i).as("r"),
+            (((lit(As(i)) * col("tv") + lit(Bs(i))) % P) % W).as("cell"))): _*))
+        .as("rc"))
+        .select(col("term"), col("c"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+    val sketch = rowCells(counts)
+      .groupBy(col("r"), col("cell"))
+      .agg(Oracle.lsum(col("c")).as("cnt"))
+    rowCells(counts.orderBy(col("c").desc, col("term")).limit(20))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("term"))
+      .agg(max(col("c")).as("exact_count"), min(col("cnt")).as("cm_est"))
+      .select(col("term"), col("exact_count"), col("cm_est"),
+        (col("cm_est") - col("exact_count")).as("overestimate"))
+      .orderBy(col("exact_count").desc, col("term"))
+  }
+
+  val q142Sql: String = {
+    // DuckDB twin of TextFunctions.tokvalSql (no L suffixes; BIGINT cast
+    // because DuckDB INTEGER would overflow on a*tv — q26Sql precedent)
+    val tv = """CAST(length(term) * 1000003 + ascii(term) * 1009 +
+      |  ascii(substr(term, length(term), 1)) * 31 +
+      |  ascii(substr(term, 2, 1)) AS BIGINT)""".stripMargin
+    s"""WITH t2 AS (
+      |  SELECT term FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |  WHERE term <> ''),
+      |counts AS (SELECT term, COUNT(*) AS c, $tv AS tv FROM t2 GROUP BY 1),
+      |h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 69069, 362437),
+      |  (2, 1664525, 1013904223), (3, 22695477, 1)),
+      |cells AS (
+      |  SELECT r, ((a * tv + b) % 2147483647) % 256 AS cell,
+      |    CAST(SUM(c) AS BIGINT) AS cnt
+      |  FROM counts CROSS JOIN h GROUP BY 1, 2),
+      |top AS (SELECT term, c, tv FROM counts ORDER BY c DESC, term LIMIT 20),
+      |est AS (
+      |  SELECT term, c, r, ((a * tv + b) % 2147483647) % 256 AS cell
+      |  FROM top CROSS JOIN h)
+      |SELECT term, CAST(MAX(c) AS BIGINT) AS exact_count,
+      |  MIN(cells.cnt) AS cm_est,
+      |  MIN(cells.cnt) - CAST(MAX(c) AS BIGINT) AS overestimate
+      |FROM est JOIN cells USING (r, cell)
+      |GROUP BY 1 ORDER BY exact_count DESC, term""".stripMargin
+  }
 }

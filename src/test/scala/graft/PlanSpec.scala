@@ -144,6 +144,13 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q142: CM sketch matrix broadcasts; top-20 is TakeOrdered") {
+    val p = plan(CorpusQueries.q142CmSketch(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "1024-cell sketch must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q22/q28: banded LSH plans contain no cartesian or nested-loop join") {
     for (q <- Seq(LlmQueries.q22DedupSimhash _, VectorQueries.q28AnnLsh _)) {
       val p = plan(q(spark, dir))
