@@ -122,8 +122,13 @@ object StreamPipeline {
     val path = s"$dir/events.parquet"
     val batchSchema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"${tag}_events")
+    // absolutize: a relative sf dir would make the symlink resolve
+    // INSIDE the temp dir (broken link -> zero files listed -> empty
+    // staged output); caught by the sf10 spot check with a relative
+    // stress path
     java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
     val raw = s.readStream.schema(batchSchema)
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
