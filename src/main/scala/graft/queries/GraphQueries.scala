@@ -108,11 +108,18 @@ object GraphQueries {
       .limit(20)
   }
 
-  val q97Sql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  /** Shared CTE prefix of every bulk-co-purchase-graph oracle
+    * (q97/q100/q143): the DuckDB twin of [[bulkEdges]]. One constant so
+    * the edge definition cannot drift between oracles (the q70/q133
+    * composition stance). */
+  private val edgesCteSql: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |            FROM lineitem WHERE l_quantity > 30),
       |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  val q97Sql: String =
+    s"""WITH $edgesCteSql,
       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
       |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -169,10 +176,7 @@ object GraphQueries {
   }
 
   val q100Sql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-      |            FROM lineitem WHERE l_quantity > 30),
-      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+    s"""WITH $edgesCteSql,
       |adj AS (SELECT a AS u, b AS n FROM e
       |        UNION ALL SELECT b, a FROM e),
       |cn AS (SELECT x.n AS v, y.n AS w, COUNT(*) AS cn
@@ -187,4 +191,56 @@ object GraphQueries {
       |WHERE cn.cn >= 3
       |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.v AND e.b = cn.w)
       |ORDER BY jaccard DESC, cn.v, cn.w LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143 — multi-source BFS hop distance (bounded frontier expansion)
+
+  /** Bounded breadth-first search from a seed set (nodes < 50) over the
+    * shared co-purchase graph: min hop distance per node up to 4 hops,
+    * reported as the hop histogram with a membership checksum (which
+    * nodes, not just how many — a frontier bug that swaps nodes between
+    * hops cannot cancel).
+    *
+    * Frontier expansion, the scalable BFS shape: each round joins ONLY
+    * the newly-reached frontier against the (memoized) edge list, and a
+    * left-anti join against the visited set keeps first-reach rows — so
+    * round cost tracks frontier × degree, never visited × degree.
+    * Rounds are a fixed small constant and each frontier is
+    * localCheckpoint'd (the ConnectedComponents lineage stance: an
+    * iterative plan must not grow a 4-round join tower for Catalyst to
+    * re-analyze). The oracle walks the same graph with a recursive CTE
+    * (UNION-distinct bounds rows to nodes × hops). */
+  def q143BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("v")).distinct()
+    var dist = nodes.filter(col("v") < 50)
+      .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to 4) {
+      val newNodes = frontier.join(sym, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(h).as("hop")).localCheckpoint(true)
+      frontier = newNodes
+      dist = dist.unionByName(newNodes)
+    }
+    dist.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), graft.Oracle.lsum(col("v")).as("node_checksum"))
+      .orderBy(col("hop"))
+  }
+
+  val q143Sql: String =
+    s"""WITH RECURSIVE $edgesCteSql,
+      |sym AS (SELECT a AS src, b AS dst FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |walk(v, d) AS (
+      |  SELECT DISTINCT src AS v, 0 AS d FROM sym WHERE src < 50
+      |  UNION
+      |  SELECT sym.dst AS v, walk.d + 1 AS d
+      |  FROM walk JOIN sym ON walk.v = sym.src WHERE walk.d < 4),
+      |dist AS (SELECT v, CAST(MIN(d) AS INTEGER) AS hop FROM walk GROUP BY 1)
+      |SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS node_checksum
+      |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin
 }
