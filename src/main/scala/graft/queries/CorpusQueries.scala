@@ -214,6 +214,40 @@ object CorpusQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q144 — weighted sampling without replacement (Efraimidis–Spirakis)
+
+  /** Quality-weighted corpus sampling WITHOUT replacement: pick k = 30
+    * docs with inclusion tilted toward high n_chars, via the
+    * Efraimidis–Spirakis A-ES reduction — per row draw u ∈ (0,1),
+    * keep the top-k by u^(1/w), here as the equivalent key ln(u)/w.
+    * This turns weighted sampling into a TOP-K, which is exactly what
+    * distributes: no sequential pass, no rejection loop, TakeOrdered
+    * keeps k rows per partition. The uniform is the q73/q95 Knuth
+    * multiplicative hash of doc_id ((h % 10⁶ + 0.5)/10⁶ — a pure
+    * function of the row, so any engine, partitioning, or rerun draws
+    * the SAME sample), and the key rounds to the 1e-6 grid with
+    * doc_id tiebreak (q71's ln-ulp stance). */
+  def q144WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000000L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u",
+        (pmod(col("doc_id") * lit(2654435761L), lit(M)).cast("double") + 0.5) / M)
+      .withColumn("es_key", round(log(col("u")) / col("n_chars"), 6))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(30)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"))
+  }
+
+  val q144Sql: String =
+    """SELECT doc_id, lang, n_chars, es_key FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(ln(((doc_id * 2654435761) % 1000000 + 0.5) / 1000000.0)
+      |      / n_chars, 6) AS es_key
+      |  FROM documents)
+      |ORDER BY es_key DESC, doc_id LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q113 — deterministic stratified train/val/test split (exact strata)
 
   /** The 80/10/10 split every training run starts from, with EXACT

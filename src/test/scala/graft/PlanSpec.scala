@@ -144,6 +144,12 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q144: weighted sample is a pure TakeOrdered — no global sort, no join") {
+    val p = plan(CorpusQueries.q144WeightedSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), "A-ES must compile to top-k")
+    assert(!p.contains("Join"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q142: CM sketch matrix broadcasts; top-20 is TakeOrdered") {
     val p = plan(CorpusQueries.q142CmSketch(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "1024-cell sketch must broadcast")
