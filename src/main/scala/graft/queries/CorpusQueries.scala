@@ -231,6 +231,9 @@ object CorpusQueries {
     val M = 1000000L
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      // zero-weight guard: ln(u)/0 is -Infinity in Spark but NULL in
+      // DuckDB — an empty doc must be excluded, not sorted differently
+      .filter(col("n_chars") > 0)
       .withColumn("u",
         (pmod(col("doc_id") * lit(2654435761L), lit(M)).cast("double") + 0.5) / M)
       .withColumn("es_key", round(log(col("u")) / col("n_chars"), 6))
@@ -244,7 +247,7 @@ object CorpusQueries {
       |  SELECT doc_id, lang, n_chars,
       |    round(ln(((doc_id * 2654435761) % 1000000 + 0.5) / 1000000.0)
       |      / n_chars, 6) AS es_key
-      |  FROM documents)
+      |  FROM documents WHERE n_chars > 0)
       |ORDER BY es_key DESC, doc_id LIMIT 30""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1463,11 +1466,15 @@ object CorpusQueries {
     val P = 2147483647L; val W = 256
     val As = Seq(1103515245L, 69069L, 1664525L, 22695477L)
     val Bs = Seq(12345L, 362437L, 1013904223L, 1L)
+    // tv bounded to [0, P) BEFORE the affine multiply: a pathological
+    // multi-KB whitespace token (minified JS in a real crawl) would
+    // otherwise push a*tv past 2^63, where Spark wraps silently but
+    // DuckDB BIGINT throws — a*(tv%P) <= 1.1e9 * 2.1e9 stays in range
     val tvExpr = graft.functions.TextFunctions.tokvalSql("term")
     val counts = graft.functions.TextFunctions
       .langTerms(Tables.documents(s, dir))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .withColumn("tv", expr(tvExpr))
+      .withColumn("tv", expr(tvExpr) % P)
     def rowCells(df: DataFrame): DataFrame =
       df.select(col("term"), col("c"), explode(array((0 until 4).map(i =>
           struct(lit(i).as("r"),
@@ -1487,11 +1494,13 @@ object CorpusQueries {
   }
 
   val q142Sql: String = {
-    // DuckDB twin of TextFunctions.tokvalSql (no L suffixes; BIGINT cast
-    // because DuckDB INTEGER would overflow on a*tv — q26Sql precedent)
-    val tv = """CAST(length(term) * 1000003 + ascii(term) * 1009 +
-      |  ascii(substr(term, length(term), 1)) * 31 +
-      |  ascii(substr(term, 2, 1)) AS BIGINT)""".stripMargin
+    // DERIVED from tokvalSql (q86Sql's stance — the two can never
+    // drift): strip Spark L suffixes, substring -> substr, cast BIGINT
+    // (DuckDB INTEGER would overflow on a*tv), bound to [0, P) exactly
+    // like the Spark side
+    val tv = "CAST(" + graft.functions.TextFunctions.tokvalSql("term")
+      .replaceAll("(\\d)L\\b", "$1")
+      .replace("substring", "substr") + " AS BIGINT) % 2147483647"
     s"""WITH t2 AS (
       |  SELECT term FROM (
       |    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
