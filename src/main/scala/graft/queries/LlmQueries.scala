@@ -1053,4 +1053,47 @@ object LlmQueries {
   val q133Sql: String =
     s"""WITH $spanAuditCtesSql
       |SELECT doc_id, n_spans, n_dup_spans FROM spstat ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q145 — per-source shingle novelty (source-level redundancy)
+
+  /** Mixture design needs a SOURCE-level redundancy signal before any
+    * per-document dedup runs: for each source, what fraction of its
+    * distinct trigram shingles appears in NO other source. A crawl
+    * slice that is 90% shared boilerplate gets its mixture weight cut
+    * wholesale; a high-novelty source earns upsampling. Rides the
+    * memoized [[shingleRows]] pass (the doc→shingle inventory is
+    * computed once per session for the whole dedup family), then two
+    * aggregates and one AQE-splittable equi-join — the q133 hot-key
+    * stance, since one boilerplate shingle can appear in every source.
+    * Identity is the 64-bit shingle hash on the engine side and the
+    * trigram string in the oracle — same equivalence classes
+    * (shingleRows' collision stance). */
+  def q145SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val srcSh = shingleRows(s, dir).join(srcs, "doc_id")
+      .select(col("source"), col("hg")).distinct()
+    val spread = srcSh.groupBy(col("hg")).agg(count(lit(1)).as("nsrc"))
+    srcSh.join(spread, "hg")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy(col("source"))
+  }
+
+  val q145Sql: String =
+    s"""WITH sh AS ($shingledSql),
+      |srcsh AS (
+      |  SELECT DISTINCT d.source, x.sg
+      |  FROM (SELECT doc_id, unnest(shingles) AS sg FROM sh) x
+      |  JOIN documents d USING (doc_id)),
+      |spread AS (SELECT sg, COUNT(*) AS nsrc FROM srcsh GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  round(CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS novelty
+      |FROM srcsh JOIN spread USING (sg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
