@@ -1010,17 +1010,23 @@ object LlmQueries {
     * — memoized like the other shared small-output passes
     * (dedup_clusters, pq_codes); q138's overlap matrix reads the same
     * table. */
+  /** One row per 8-token span POSITION: (doc_id, span hash). Corpus-
+    * sized — deliberately never persisted (re-deriving from the
+    * columnar scan beats spilling it; STRESS_r5 note). */
+  private def spanRows(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val n = size(col("toks"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(n >= K)
+      .select(col("doc_id"), explode(arrays_zip(
+        (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*)).as("tg"))
+      .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
+  }
+
   private[queries] def spanAudit(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "span_audit", "k8") {
-      val K = 8
-      val n = size(col("toks"))
-      val spans = Tables.documents(s, dir)
-        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
-        .filter(n >= K)
-        .select(col("doc_id"), explode(arrays_zip(
-          (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*)).as("tg"))
-        .select(col("doc_id"), xxhash64((0 until K).map(i => col(s"tg.t$i")): _*).as("span"))
-      val perDoc = spans.groupBy(col("span"), col("doc_id"))
+      val perDoc = spanRows(s, dir).groupBy(col("span"), col("doc_id"))
         .agg(count(lit(1)).as("npos"))
       val spanDocs = perDoc.groupBy(col("span"))
         .agg(count(lit(1)).as("ndocs"))
@@ -1096,4 +1102,41 @@ object LlmQueries {
       |    / COUNT(*), 6) AS novelty
       |FROM srcsh JOIN spread USING (sg)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q146 — span duplication spectrum (the Lee et al. headline curve)
+
+  /** HOW MUCH text is duplicated HOW MANY times: the distribution of
+    * 8-token spans by the number of documents they appear in — the
+    * figure the exact-substring-dedup paper leads with, and the
+    * number that decides whether span dedup is worth running at all
+    * (a corpus whose mass sits at ndocs = 1 doesn't need it). One row
+    * per multiplicity: distinct spans at that spread and total
+    * positions they occupy.
+    *
+    * Deliberately a SPECTRUM, not a top-spans listing: per-span output
+    * would need a cross-engine tiebreak on the span identity itself,
+    * and the engine's 64-bit hash and the oracle's string sort
+    * differently — aggregating by multiplicity keeps the result
+    * deterministic by construction. Shape: two nested aggregates over
+    * the span stream (both map-side combinable; the span-keyed first
+    * phase is the same partial-aggregation story as q133) and a
+    * final multiplicity-keyed rollup whose cardinality is the max doc
+    * count of any span — tiny at any corpus size. */
+  def q146SpanSpectrum(s: SparkSession, dir: String): DataFrame =
+    spanRows(s, dir)
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("npos"))
+      .groupBy(col("ndocs"))
+      .agg(count(lit(1)).as("n_spans"), graft.Oracle.lsum(col("npos")).as("n_positions"))
+      .orderBy(col("ndocs"))
+
+  val q146Sql: String =
+    s"""WITH $spanAuditCtesSql,
+      |per_span AS (
+      |  SELECT span, COUNT(DISTINCT doc_id) AS ndocs, COUNT(*) AS npos
+      |  FROM spans GROUP BY 1)
+      |SELECT ndocs, COUNT(*) AS n_spans,
+      |  CAST(SUM(npos) AS BIGINT) AS n_positions
+      |FROM per_span GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -150,6 +150,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q146: span spectrum is two nested aggregates — no join, no single-partition exchange") {
+    val p = plan(LlmQueries.q146SpanSpectrum(spark, dir))
+    assert(!p.contains("Join"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q142: CM sketch matrix broadcasts; top-20 is TakeOrdered") {
     val p = plan(CorpusQueries.q142CmSketch(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "1024-cell sketch must broadcast")
