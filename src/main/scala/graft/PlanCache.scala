@@ -36,7 +36,16 @@ object PlanCache {
     * bound); default sized so the full registry's ~20 memoized subtrees
     * fit with headroom. */
   @volatile private[graft] var maxEntries: Int =
-    sys.props.get("graft.plancache.maxEntries").map(_.toInt).getOrElse(64)
+    sys.props.get("graft.plancache.maxEntries").flatMap { v =>
+      // guarded: a malformed value inside a static initializer would
+      // otherwise surface as an opaque ExceptionInInitializerError on
+      // the first memo call, far from the misconfiguration
+      val parsed = scala.util.Try(v.trim.toInt).toOption.filter(_ > 0)
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[graft] ignoring malformed graft.plancache.maxEntries='$v' (using default 64)")
+      parsed
+    }.getOrElse(64)
 
   // access-ordered LinkedHashMap gives true LRU (gets reorder); all
   // access goes through `lock` — contention is irrelevant next to the

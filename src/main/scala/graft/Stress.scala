@@ -50,9 +50,18 @@ object Stress {
 
   def replicate(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     require(factor >= 1, "factor must be >= 1")
-    val strides: Map[String, Long] = domainSource.map { case (dom, (tbl, c)) =>
+    val raw: Map[String, Long] = domainSource.map { case (dom, (tbl, c)) =>
       dom -> (Tables.load(s, srcDir, tbl).agg(max(col(c))).head().getLong(0) + 1L)
     }
+    // events.user_id is an FK into customer (q141 joins user_id =
+    // c_custkey), so it must stride by the CUSTOMER domain: copy k's
+    // users then land exactly on copy k's customers (copy-consistent),
+    // not merely somewhere inside the replicated key range. Sound only
+    // while the user domain fits inside the customer domain — asserted.
+    require(raw("user") <= raw("cust"),
+      s"events.user_id domain (${raw("user")}) exceeds customer key domain " +
+        s"(${raw("cust")}): copies would collide under the shared stride")
+    val strides = raw + ("user" -> raw("cust"))
     println(s"[stress] key strides: $strides")
     val copies = s.range(factor).toDF("__copy")
     Tables.names.foreach { t =>

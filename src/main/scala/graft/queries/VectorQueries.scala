@@ -452,7 +452,11 @@ object VectorQueries {
       // top field can set the sign bit — a code, not a number)
       .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), CAST(sub * 8 AS INT))"))
           .cast("long").as("code_word"),
-        round(sum(col("err2")), 6).as("sq_err"))
+        // decimal-grid sum (Oracle.dsum discipline): the 8 per-sub err2
+        // values quantize to the 1e-6 grid before summing, so Spark's
+        // nondeterministic partial-agg combine order can never round a
+        // boundary value differently than DuckDB's sequential fold
+        round(graft.Oracle.dsum(col("err2")), 6).as("sq_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -659,7 +663,7 @@ object VectorQueries {
        |w AS (
        |  SELECT a.vec_id,
        |    SUM(CAST(a.cid AS HUGEINT) * ($pow)) AS uword,
-       |    round(SUM($err8), 6) AS sq_err
+       |    round(${graft.Oracle.dsumSql(s"($err8)")}, 6) AS sq_err
        |  FROM a3 a JOIN c2 c USING (sub, cid)
        |  WHERE a.vec_id < 100 GROUP BY a.vec_id)
        |SELECT vec_id,

@@ -159,6 +159,22 @@ class SelfConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("q58's hash oracle stays in the sketch's exact regime at gate scale") {
+    // q58 is hash-oracled against DuckDB quantile_disc ONLY because every
+    // group at the driver's gate scale (sf0.01) sits below the GK
+    // accuracy parameter (10000), where approx_percentile holds all
+    // samples and answers exactly. This guard turns a future sf bump
+    // into a clear diagnostic instead of an opaque hash mismatch.
+    val maxGroup = Tables.orders(spark, "/root/testdata/sf0.01")
+      .groupBy(col("o_orderpriority")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxGroup < 10000,
+      s"q58 gate groups reached $maxGroup rows >= accuracy 10000: " +
+        "approx_percentile is now approximating and the quantile_disc " +
+        "oracle no longer applies — raise the accuracy parameter or " +
+        "demote q58 to a rows-only check")
+  }
+
   // ---- q93 int8 scalar quantization ------------------------------------
 
   test("q93 SQ8: codes bounded, per-dim error under one quantization step, recall@5 holds") {

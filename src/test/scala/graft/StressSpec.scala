@@ -41,6 +41,27 @@ class StressSpec extends AnyFunSuite {
     assert(maxPerCust(outDir) == maxPerCust(TestSpark.sfDir))
   }
 
+  test("events→customer FK is copy-consistent, not just range-contained (q141)") {
+    // user_id strides by the CUSTOMER domain, so copy k's events must hit
+    // copy k's customers — i.e. the matched customer's payload equals the
+    // payload of the copy-0 customer at (user_id mod stride). A mere
+    // range-subset mapping (the pre-fix behavior) still yields a 100%
+    // join match rate but fails this payload check.
+    val custStride = Tables.load(spark, TestSpark.sfDir, "customer")
+      .agg(max($"c_custkey")).head().getLong(0) + 1L
+    val srcCust = Tables.load(spark, TestSpark.sfDir, "customer")
+      .select($"c_custkey".as("base_key"), $"c_name".as("base_name"))
+    val mismatched = Tables.load(spark, outDir, "events")
+      .join(Tables.load(spark, outDir, "customer"), $"user_id" === $"c_custkey")
+      .withColumn("base_key", $"user_id" % custStride)
+      .join(srcCust, "base_key")
+      .filter($"c_name" =!= $"base_name").count()
+    assert(mismatched == 0L, s"$mismatched events matched a wrong-copy customer")
+    def matchedEvents(dir: String) = Tables.load(spark, dir, "events")
+      .join(Tables.load(spark, dir, "customer"), $"user_id" === $"c_custkey").count()
+    assert(matchedEvents(outDir) == 3 * matchedEvents(TestSpark.sfDir))
+  }
+
   test("payloads are byte-identical across copies") {
     // distinct texts unchanged => each copy carries the same corpus
     assert(Tables.load(spark, outDir, "documents").select("text").distinct().count() ==
