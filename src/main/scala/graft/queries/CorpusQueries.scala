@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Oracle, Tables}
 import graft.operators.ConnectedComponents
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1522,4 +1522,184 @@ object CorpusQueries {
       |FROM est JOIN cells USING (r, cell)
       |GROUP BY 1 ORDER BY exact_count DESC, term""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q148 — sketch-based join-cardinality estimation (CM inner product)
+
+  /** Join-size estimation from Count-Min sketches (Cormode &
+    * Muthukrishnan §4.2): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by
+    * the inner product of the two sketches' rows — est_d =
+    * Σ_w A[d][w]·B[d][w], an overestimate for every row, min over rows
+    * is the estimate. This is how an optimizer (or an ingest planner)
+    * sizes a join WITHOUT touching both tables together: each side's
+    * sketch is built independently in one scan (map-side partials,
+    * cell-wise mergeable across partitions/days), the comparison is
+    * 4×256 cells. The audit emits per depth the row estimate beside the
+    * exact join size — the overestimate column is the collision mass,
+    * provably ≥ 0 (SelfConsistencySpec gates it).
+    *
+    * Everything is deterministic (q142's affine family on the BIGINT
+    * keys bounded into [0, P)), so DuckDB reproduces the identical
+    * matrices. Exact size comes from joining the two FREQUENCY tables
+    * (vocabulary-sized), never the raw fact tables pairwise. */
+  def q148JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L; val W = 256
+    val As = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+    val Bs = Seq(12345L, 362437L, 1013904223L, 1L)
+    def freq(df: DataFrame, key: Column): DataFrame =
+      df.groupBy(pmod(key, lit(P)).as("k")).agg(count(lit(1)).as("c"))
+    def sketch(f: DataFrame): DataFrame =
+      f.select(col("c"), explode(array((0 until 4).map(i =>
+          struct(lit(i).as("r"),
+            (((lit(As(i)) * col("k") + lit(Bs(i))) % P) % W).as("cell"))): _*)).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .agg(Oracle.lsum(col("c")).as("cnt"))
+    val fe = freq(Tables.events(s, dir), col("user_id"))
+    val fo = freq(Tables.orders(s, dir), col("o_custkey"))
+    val exact = fe.join(fo.select(col("k"), col("c").as("c2")), "k")
+      .agg(Oracle.lsum(col("c") * col("c2")).as("exact"))
+    sketch(fe)
+      .join(sketch(fo).select(col("r"), col("cell"), col("cnt").as("cnt2")),
+        Seq("r", "cell"))
+      .groupBy(col("r"))
+      .agg(Oracle.lsum(col("cnt") * col("cnt2")).as("row_est"))
+      .crossJoin(broadcast(exact))
+      .select(col("r").as("depth"), col("row_est"), col("exact"),
+        (col("row_est") - col("exact")).as("overestimate"))
+      .orderBy(col("depth"))
+  }
+
+  val q148Sql: String =
+    """WITH h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 69069, 362437),
+      |  (2, 1664525, 1013904223), (3, 22695477, 1)),
+      |fe AS (SELECT user_id % 2147483647 AS k, COUNT(*) AS c
+      |       FROM events GROUP BY 1),
+      |fo AS (SELECT o_custkey % 2147483647 AS k, COUNT(*) AS c
+      |       FROM orders GROUP BY 1),
+      |ae AS (SELECT r, ((a * k + b) % 2147483647) % 256 AS cell,
+      |         CAST(SUM(c) AS BIGINT) AS cnt
+      |       FROM fe CROSS JOIN h GROUP BY 1, 2),
+      |ao AS (SELECT r, ((a * k + b) % 2147483647) % 256 AS cell,
+      |         CAST(SUM(c) AS BIGINT) AS cnt
+      |       FROM fo CROSS JOIN h GROUP BY 1, 2),
+      |ex AS (SELECT CAST(SUM(fe.c * fo.c) AS BIGINT) AS exact
+      |       FROM fe JOIN fo USING (k))
+      |SELECT ae.r AS depth, CAST(SUM(ae.cnt * ao.cnt) AS BIGINT) AS row_est,
+      |  ex.exact,
+      |  CAST(SUM(ae.cnt * ao.cnt) AS BIGINT) - ex.exact AS overestimate
+      |FROM ae JOIN ao USING (r, cell) CROSS JOIN ex
+      |GROUP BY 1, ex.exact ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q151 — chunk-level quality scoring (worst-chunk flagging)
+
+  /** Chunk-granular quality: q87 scores whole documents, but a long doc
+    * with one garbage section averages it away — pipelines therefore
+    * score fixed chunks and flag the worst (FineWeb drops or trims at
+    * chunk granularity). Tokens chunk by position (32 per chunk, q129's
+    * geometry without overlap), each chunk gets the corpus-unigram NLL
+    * (q87's model, vocab-sized → broadcast; per-chunk mean on the
+    * decimal grid), and the per-doc report carries chunk count, the
+    * worst chunk's id and score, and the best score — argmax on the
+    * 6dp-ROUNDED score with chunk-id tiebreak, so both engines pick the
+    * identical chunk. Scale: one scan builds positions, one aggregate
+    * per (doc, chunk) — partial-agg friendly, no windows over raw
+    * tokens; the per-doc fold is chunk-count-sized. */
+  def q151ChunkQuality(s: SparkSession, dir: String): DataFrame = {
+    val C = 32
+    val posTerms = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokensOf(col("text")))
+          .as(Seq("pos", "term")))
+    val terms = docTerms(Tables.documents(s, dir))
+    val total = terms.agg(count(lit(1)).cast("double").as("n_total"))
+    val probs = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), log(col("c") / col("n_total")).as("lnp"))
+    val chunks = posTerms
+      .filter(col("doc_id") < 200 && col("term") =!= "")
+      .withColumn("chunk", (col("pos") / C).cast("long"))
+      .join(broadcast(probs), "term")
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(-Oracle.dsum(col("lnp")) / count(lit(1)), 6).as("nll"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max_by(struct(col("chunk"), col("nll")),
+          struct(col("nll"), -col("chunk"))).as("worst"),
+        min(col("nll")).as("best_nll"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("worst.chunk").as("worst_chunk"), col("worst.nll").as("worst_nll"),
+        col("best_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |pt AS (
+      |  SELECT doc_id, (i - 1) // 32 AS chunk, tk[i] AS term
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)),
+      |tt AS (SELECT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents) WHERE term <> ''),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tt),
+      |p AS (SELECT term, ln(COUNT(*) / n_total) AS lnp
+      |  FROM tt CROSS JOIN n GROUP BY term, n_total),
+      |ch AS (
+      |  SELECT doc_id, CAST(chunk AS BIGINT) AS chunk, COUNT(*) AS n_toks,
+      |    round(-${Oracle.dsumSql("lnp")} / COUNT(*), 6) AS nll
+      |  FROM pt JOIN p USING (term)
+      |  WHERE doc_id < 200 AND term <> '' GROUP BY 1, 2)
+      |SELECT doc_id, n_chunks, chunk AS worst_chunk, nll AS worst_nll, best_nll
+      |FROM (
+      |  SELECT doc_id, chunk, nll,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll DESC, chunk) AS rn,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks,
+      |    MIN(nll) OVER (PARTITION BY doc_id) AS best_nll
+      |  FROM ch)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q152 — deterministic training order + shard assignment
+
+  /** The last step of a data pipeline: write the curated corpus in a
+    * DETERMINISTIC pseudo-random order, sharded — training runs read
+    * shards sequentially, so the global shuffle must happen here, be
+    * reproducible (resume/restart, multi-framework), and never funnel
+    * the corpus through one task. Order is the q113 portable
+    * multiplicative hash of doc_id (a pure function — any engine, any
+    * partitioning, any rerun materializes the identical permutation);
+    * the global rank comes from `Ranks.withGlobalRowNumber` (sketch-
+    * bucketed — NO single-partition sort anywhere, the primitive a
+    * naive ORDER BY would break at 100 TB); shards interleave
+    * round-robin by rank. The report pins the full assignment: per
+    * shard, document count, payload mass, and an order-sensitive
+    * checksum Σ (doc_id·rank mod P) — two engines agree iff every
+    * document landed at the same rank. */
+  def q152TrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    val S = 8; val P = 1000000007L
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id") * lit(2654435761L), lit(P)).as("h"))
+    graft.operators.Ranks.withGlobalRowNumber(base, "rk", col("h"), col("doc_id"))
+      .withColumn("shard", pmod(col("rk") - 1, lit(S.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        Oracle.lsum(col("n_chars")).as("total_chars"),
+        Oracle.lsum(pmod(col("doc_id") * col("rk"), lit(P))).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val q152Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM h)
+      |SELECT (rk - 1) % 8 AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM((doc_id * rk) % 1000000007) AS BIGINT) AS order_checksum
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

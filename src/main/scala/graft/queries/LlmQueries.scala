@@ -1139,4 +1139,153 @@ object LlmQueries {
       |SELECT ndocs, COUNT(*) AS n_spans,
       |  CAST(SUM(npos) AS BIGINT) AS n_positions
       |FROM per_span GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q147 — segment-level dedup with document reconstruction (CCNet lines)
+
+  /** CCNet-style LINE-level dedup, the REWRITE companion of q133's
+    * span audit: q133 reports where duplicated text sits; this
+    * operator actually removes it and rebuilds the documents. Text is
+    * segmented into consecutive 10-token units (the stand-in for
+    * newline-delimited lines, which the fixture corpus lacks); a
+    * segment occurring in two or more documents is dropped from ALL of
+    * them (CCNet's rule — shared boilerplate has no privileged owner),
+    * and each document is reassembled from its surviving segments in
+    * original order. Output per doc: segment counts and the md5 of the
+    * reconstructed text, so the oracle pins the rebuilt corpus
+    * byte-for-byte without shipping full texts through the gate.
+    *
+    * Shape: segmentation is scan-local (one `transform(sequence(...))`
+    * per doc — work linear in tokens); segment doc-frequency is the
+    * q133 aggregate stance (per-(seg, doc) partials collapse hot
+    * boilerplate before the shuffle, countDistinct over the collapsed
+    * rows); the frequency re-attaches via an AQE-skew-splittable
+    * equi-join; reconstruction is one doc-keyed aggregate whose
+    * sort_array(collect_list) holds ONE document's segments — bounded
+    * by doc length, never corpus-shaped. No pair expansion anywhere. */
+  def q147SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val SEG = 10
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks), $SEG),
+           |  st -> array_join(slice(toks, st, $SEG), ' '))""".stripMargin))
+        .as(Seq("seg_id", "seg")))
+    val segFreq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    segs.join(segFreq, "seg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls the `when` leaves on duplicated
+        // segments; sort by seg_id restores document order
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("ndocs") < 2,
+            struct(col("seg_id"), col("seg"))))),
+          p => p.getField("seg")), " ")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q147Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 10)) AS st FROM t),
+      |segs AS (
+      |  SELECT doc_id, CAST((st - 1) // 10 AS BIGINT) AS seg_id,
+      |    array_to_string(tk[st:st + 9], ' ') AS seg FROM s),
+      |df AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  md5(COALESCE(string_agg(CASE WHEN ndocs < 2 THEN seg END, ' '
+      |    ORDER BY seg_id), '')) AS kept_md5
+      |FROM segs JOIN df USING (seg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q150 — winnowing fingerprints (MOSS local document sketches)
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm): slide a
+    * w = 4 window over the stream of k = 5-gram hashes and keep each
+    * window's MINIMUM as a fingerprint — a position-robust document
+    * sketch that guarantees any shared run of ≥ w + k − 1 tokens
+    * contributes at least one common fingerprint, at a fraction of the
+    * full k-gram inventory's size. The report per doc: k-gram/window
+    * counts, distinct fingerprints kept (the sketch size), fingerprints
+    * shared with any other document (the plagiarism/boilerplate
+    * signal), and the selection density.
+    *
+    * Variant note: fingerprints are the distinct window-min VALUES
+    * (hash-set winnowing); trailing windows shorter than w are kept, so
+    * every k-gram position heads exactly one window and n_windows =
+    * n_kgrams — both choices mirror trivially in SQL, keeping the whole
+    * operator under the hash gate. The k-gram hash is a portable
+    * polynomial over the q26 token values (every step the same BIGINT
+    * op in both engines — xxhash64 would be opaque to the oracle).
+    *
+    * Shape: hashing is scan-local off one arrays_zip explode
+    * ([[spanRows]]' geometry); the window min runs per doc (bounded
+    * partitions); sharing counts are the q133 docfreq join, AQE-
+    * splittable on a boilerplate fingerprint. */
+  def q150Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val K = 5; val W = 4
+    val n = size(col("toks"))
+    val kg = Tables.documents(s, dir)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(n >= K)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*))
+        .as(Seq("pos", "tg")))
+      .select(col("doc_id"), col("pos"),
+        (0 until K).foldLeft(lit(0L)) { (acc, i) =>
+          pmod(acc * lit(POLY_B) +
+            pmod(expr(graft.functions.TextFunctions.tokvalSql(s"tg.t$i")), lit(POLY_P)),
+            lit(POLY_P))
+        }.as("kg"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fps = kg
+      .withColumn("wmin", min(col("kg")).over(wdoc.rowsBetween(0, W - 1)))
+      .select(col("doc_id"), col("wmin")).distinct()
+    val spread = fps.groupBy(col("wmin")).agg(count(lit(1)).as("ndocs"))
+    val stats = kg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
+    stats.join(
+      fps.join(spread, "wmin")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared")),
+      "doc_id")
+      .select(col("doc_id"), col("n_kgrams"), col("n_kgrams").as("n_windows"),
+        col("n_fp"), col("n_shared"),
+        round(col("n_fp").cast("double") / col("n_kgrams"), 6).as("density"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val POLY_P = 1000000007L
+  private val POLY_B = 1000003L
+
+  val q150Sql: String = {
+    // the identical polynomial, unrolled: h_i = (h_{i-1}*B + tv_i%P) % P
+    val tv0 = graft.functions.TextFunctions.tokvalSql("ts[i]")
+      .replaceAll("(\\d)L\\b", "$1").replace("substring", "substr")
+    def tvAt(j: Int) = tv0.replace("ts[i]", s"ts[i + $j]")
+    val hash = (0 until 5).foldLeft("0") { (acc, j) =>
+      s"(($acc) * 1000003 + (${tvAt(j)}) % 1000000007) % 1000000007"
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 5),
+      |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM toks),
+      |kg AS (SELECT doc_id, i, $hash AS kg FROM pos),
+      |w AS (SELECT doc_id, i, MIN(kg) OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM kg),
+      |fp AS (SELECT DISTINCT doc_id, wmin FROM w),
+      |spread AS (SELECT wmin, COUNT(*) AS ndocs FROM fp GROUP BY 1),
+      |stats AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM kg GROUP BY 1)
+      |SELECT s.doc_id, s.n_kgrams, s.n_kgrams AS n_windows,
+      |  COUNT(*) AS n_fp,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  round(CAST(COUNT(*) AS DOUBLE) / s.n_kgrams, 6) AS density
+      |FROM fp JOIN spread USING (wmin) JOIN stats s USING (doc_id)
+      |GROUP BY s.doc_id, s.n_kgrams ORDER BY s.doc_id""".stripMargin
+  }
 }

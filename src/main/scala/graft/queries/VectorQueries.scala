@@ -854,15 +854,24 @@ object VectorQueries {
     * — blocked pair join, iterative clustering — survives a 10⁹-vector
     * corpus. Oracle: recursive-CTE transitive closure over the same SQL
     * pair set. */
-  def q110SemanticClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = cosinePairs(s, dir).select(col("id_a"), col("id_b"))
-    graft.operators.ConnectedComponents.run(pairs)
-      .select(col("node").as("vec_id"), col("component").as("cluster_id"))
-      .orderBy(col("vec_id"))
-  }
+  def q110SemanticClusters(s: SparkSession, dir: String): DataFrame =
+    semClusters(s, dir).orderBy(col("vec_id"))
 
-  val q110Sql: String =
-    """WITH RECURSIVE n AS (
+  /** The semantic cluster assignment (vec_id, cluster_id), memoized —
+    * node-count-sized output of the pair join + iterative CC chain,
+    * shared by q110 and the q149 cohesion audit (the q70/q135 memo
+    * stance applied to the embedding-side clusters). */
+  private[queries] def semClusters(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "sem_clusters", "t0.4") {
+      graft.operators.ConnectedComponents
+        .run(cosinePairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+    }
+
+  /** Shared CTE chain of the q110/q149 oracles: normed vectors → exact
+    * pair graph → recursive transitive closure → membership (`memb`). */
+  private val semClosureCteSql: String =
+    """n AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
@@ -880,9 +889,76 @@ object VectorQueries {
       |reach(node, r) AS (
       |  SELECT a AS node, b AS r FROM edges
       |  UNION
-      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
-      |SELECT node AS vec_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
-      |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |memb AS (
+      |  SELECT node AS vec_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY node)""".stripMargin
+
+  val q110Sql: String =
+    s"""WITH RECURSIVE $semClosureCteSql
+      |SELECT vec_id, cluster_id FROM memb ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q149 — per-cluster cohesion audit (semantic dedup quality report)
+
+  /** The audit that decides whether a semantic cluster is safe to
+    * collapse: q110 groups by transitive closure, so two members can
+    * sit far apart (chained through intermediates) even though every
+    * EDGE passed the 0.4 threshold — a survivor-selection pass (q111/
+    * q135) that trusts such a cluster deletes non-duplicates. Per
+    * cluster this emits member/pair counts and the mean and MINIMUM
+    * pairwise cosine over ALL member pairs (not just the thresholded
+    * edges): min_cos < threshold is precisely the transitive-chaining
+    * evidence. Per-pair cosines round to the q46 6dp grid and the mean
+    * sums on the decimal grid — hash-stable in both engines.
+    *
+    * Scale: the pairwise stage is keyed by cluster_id, so its cost is
+    * Σ |cluster|² — dedup clusters are inherently small (the q111
+    * argument; a corpus whose largest near-dup cluster is corpus-sized
+    * has a different problem), and the memoized assignment + one
+    * embedding join feeds it without touching the blocked all-pairs
+    * join again. */
+  def q149ClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    val me = semClusters(s, dir).join(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm")),
+      "vec_id")
+    val pw = me.as("x").join(me.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cluster_id").as("cluster_id"),
+        round(vecDot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 6).as("pcos"))
+    pw.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(graft.Oracle.dsum(col("pcos")) / count(lit(1)), 6).as("mean_cos"),
+        min(col("pcos")).as("min_cos"))
+      .join(semClusters(s, dir).groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members")), "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_pairs"),
+        col("mean_cos"), col("min_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q149Sql: String =
+    s"""WITH RECURSIVE $semClosureCteSql,
+      |me AS (SELECT m.vec_id, m.cluster_id, n.embedding, n.nrm
+      |       FROM memb m JOIN n USING (vec_id)),
+      |pw AS (
+      |  SELECT x.cluster_id,
+      |    round(list_sum(list_transform(range(1, len(x.embedding) + 1),
+      |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      |      / (x.nrm * y.nrm), 6) AS pcos
+      |  FROM me x JOIN me y
+      |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+      |agg AS (
+      |  SELECT cluster_id, COUNT(*) AS n_pairs,
+      |    round(${graft.Oracle.dsumSql("pcos")} / COUNT(*), 6) AS mean_cos,
+      |    MIN(pcos) AS min_cos
+      |  FROM pw GROUP BY 1),
+      |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM memb GROUP BY 1)
+      |SELECT cluster_id, n_members, n_pairs, mean_cos, min_cos
+      |FROM agg JOIN sz USING (cluster_id) ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q140 — Johnson-Lindenstrauss random projection + distortion audit

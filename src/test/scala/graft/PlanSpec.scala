@@ -57,6 +57,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in a prefix-filter plan")
   }
 
+  test("q147/q150: segment-dedup and winnowing plans have no cartesian or nested loop") {
+    for (q <- Seq(LlmQueries.q147SegmentDedup _, LlmQueries.q150Winnowing _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) join shape in a dedup plan")
+    }
+  }
+
+  test("q152: training-order rank never funnels DATA through one task") {
+    // Ranks.withGlobalRowNumber keeps one Exchange SinglePartition by
+    // design: the prefix sum over the ≤ 2×shuffle-partitions bucket
+    // counts (cluster-sized metadata, broadcast back). The data path —
+    // per-bucket row_number — must stay hash-partitioned. Assert every
+    // SinglePartition exchange feeds the bucket-count aggregate, never
+    // a row-level sort.
+    val p = plan(CorpusQueries.q152TrainingOrder(spark, dir))
+    val lines = p.linesIterator.toVector
+    val spIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+    }
+    assert(spIdx.nonEmpty, "expected the bucket-offset prefix sum in the plan")
+    spIdx.foreach { i =>
+      assert(lines.drop(i + 1).headOption.exists(_.contains("HashAggregate(keys=[__b")),
+        s"SinglePartition exchange over something other than the bucket-count aggregate:\n${lines.slice(i, i + 3).mkString("\n")}")
+    }
+    assert(p.contains("windowspecdefinition(__b"),
+      "per-bucket row_number window missing — rank may have gone global")
+  }
+
   test("q125: co-purchase pairs expand order-locally — no join operator at all") {
     // the oracle self-joins lineitem on l_orderkey; the engine plan must
     // instead be groupBy -> local pair explode -> groupBy (joins appear

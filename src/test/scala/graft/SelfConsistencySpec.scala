@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, LlmQueries, RelationalQueries, VectorQueries}
+import graft.queries.{AdvancedQueries, CorpusQueries, LlmQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -173,6 +173,27 @@ class SelfConsistencySpec extends AnyFunSuite {
         "approx_percentile is now approximating and the quantile_disc " +
         "oracle no longer applies — raise the accuracy parameter or " +
         "demote q58 to a rows-only check")
+  }
+
+  test("q148 CM join-size estimate never underestimates (inner-product guarantee)") {
+    val rows = CorpusQueries.q148JoinCardinality(spark, dir).collect()
+    assert(rows.length == 4, "one row per sketch depth")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"depth ${r.getInt(0)}: est ${r.getLong(1)} < exact ${r.getLong(2)}")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
+  test("q149 cohesion audit: complete pairsets, min bounds mean") {
+    val rows = VectorQueries.q149ClusterCohesion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nm, np) = (r.getLong(1), r.getLong(2))
+      assert(np == nm * (nm - 1) / 2, s"cluster ${r.getLong(0)}: $np pairs for $nm members")
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9,
+        s"cluster ${r.getLong(0)}: min_cos above mean_cos")
+    }
   }
 
   // ---- q93 int8 scalar quantization ------------------------------------
