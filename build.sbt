@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked `run` output unprefixed: the driver's tail-capture parses the
+// Bench JSON line, and sbt's default LoggedOutput "[info] " prefix breaks it
+// (BENCH_r03..r05 all recorded "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
