@@ -243,4 +243,70 @@ object GraphQueries {
       |dist AS (SELECT v, CAST(MIN(d) AS INTEGER) AS hop FROM walk GROUP BY 1)
       |SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS node_checksum
       |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q153 — community detection by synchronous label propagation
+
+  /** Three rounds of synchronous label propagation (Raghavan et al. 2007)
+    * over the shared co-purchase graph, reported as the community-size
+    * table with a membership checksum. Every node starts with its own id
+    * as its label; each round, every node adopts the most frequent label
+    * among its NEIGHBORS, ties broken by the smaller label — a fully
+    * deterministic variant (classic LPA breaks ties randomly; a data
+    * engine's clustering must be replayable, the q152 stance).
+    *
+    * Scale shape, per round: one shuffle joins the edge list against the
+    * node-sized label table on dst (AQE may broadcast the label side
+    * while node count is small relative to edges), one count aggregate
+    * keyed by (node, label) — reduce-key cardinality is bounded by the
+    * out-degree sum, per-key width by the node's degree — and one
+    * `max_by` argmax per node. Rounds are a fixed constant and each
+    * round's label table is localCheckpoint'd (the q143/ConnectedComponents
+    * lineage stance). No per-round driver traffic; the label vector
+    * never leaves the cluster. The oracle replays the identical three
+    * rounds as chained CTEs with a ROW_NUMBER argmax. */
+  def q153LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      labels = sym
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+        .select(col("src").as("v"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.Oracle.lsum(col("v")).as("member_checksum"),
+        min(col("v")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(30)
+  }
+
+  val q153Sql: String = {
+    // one LPA round as SQL: neighbor-label counts + ROW_NUMBER argmax
+    def round(prev: String, out: String): String =
+      s"""n_$out AS (SELECT sym.src AS v, $prev.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym JOIN $prev ON sym.dst = $prev.v GROUP BY 1, 2),
+         |$out AS (SELECT v, lbl FROM (
+         |  SELECT v, lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |  FROM n_$out) WHERE rn = 1)""".stripMargin
+    s"""WITH $edgesCteSql,
+      |sym AS (SELECT a AS src, b AS dst FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT lbl AS community, COUNT(*) AS n_members,
+      |  CAST(SUM(v) AS BIGINT) AS member_checksum, MIN(v) AS min_member
+      |FROM l3 GROUP BY 1
+      |ORDER BY n_members DESC, community LIMIT 30""".stripMargin
+  }
 }

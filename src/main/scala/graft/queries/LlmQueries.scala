@@ -1288,4 +1288,84 @@ object LlmQueries {
       |FROM fp JOIN spread USING (wmin) JOIN stats s USING (doc_id)
       |GROUP BY s.doc_id, s.n_kgrams ORDER BY s.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q155 — blocklist phrase filtering (dictionary scan, Aho-Corasick shape)
+
+  /** Multi-word blocklist filtering: corpora are scrubbed against phrase
+    * lists (toxicity, PII patterns, licensing strings) with a
+    * dictionary-scan — the dictionary is tiny and broadcast, the corpus
+    * is streamed once (the distributed analogue of an Aho-Corasick
+    * automaton pass; token-bigram granularity here). The blocklist
+    * itself is derived deterministically from a designated source slice
+    * (top-20 bigrams of sources src0-src3 — standing in for a curated
+    * list, which offline testdata cannot ship), then audited against
+    * the WHOLE corpus: per phrase, how many documents and occurrences
+    * it hits, across how many sources, and the total character mass of
+    * the flagged documents (what a drop-on-match policy would delete).
+    *
+    * Scale: bigram stream is one scan (the q94 arrays_zip shape, no
+    * self-join); the blocklist is vocabulary-bounded (LIMIT 20) and
+    * broadcast; flagged-doc mass dedups (doc, phrase) BEFORE joining
+    * n_chars so a phrase repeating inside one doc counts its chars
+    * once. */
+  def q155BlocklistPhrases(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokensOf(col("text")).as("t"))
+    val n = size(col("t"))
+    val bi = toks.filter(n >= 2)
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        slice(col("t"), lit(1), n - 1).as("a"),
+        slice(col("t"), lit(2), n - 1).as("b"))).as("bg"))
+      .filter(col("bg.a") =!= "" && col("bg.b") =!= "")
+      .select(col("doc_id"), col("source"),
+        concat(col("bg.a"), lit(" "), col("bg.b")).as("phrase"))
+    val blocklist = bi
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("list_count"))
+      .orderBy(col("list_count").desc, col("phrase")).limit(20)
+    val hits = bi.join(broadcast(blocklist), "phrase")
+    val docMass = hits.select(col("phrase"), col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.Oracle.lsum(col("n_chars")).as("flagged_chars"))
+    hits.groupBy(col("phrase"))
+      .agg(max(col("list_count")).as("list_count"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("source")).as("n_sources"))
+      .join(docMass, "phrase")
+      .select(col("phrase"), col("list_count"), col("n_occurrences"),
+        col("n_docs"), col("n_sources"), col("flagged_chars"))
+      .orderBy(col("list_count").desc, col("phrase"))
+  }
+
+  val q155Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS phrase
+      |  FROM (SELECT doc_id, source, tk, unnest(range(1, len(tk))) AS i
+      |        FROM toks WHERE len(tk) >= 2)
+      |  WHERE tk[i] <> '' AND tk[i + 1] <> ''),
+      |bl AS (
+      |  SELECT phrase, COUNT(*) AS list_count
+      |  FROM bi WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      |  GROUP BY 1 ORDER BY list_count DESC, phrase LIMIT 20),
+      |hits AS (SELECT bi.* , bl.list_count FROM bi JOIN bl USING (phrase)),
+      |mass AS (
+      |  SELECT phrase, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS flagged_chars
+      |  FROM (SELECT DISTINCT phrase, doc_id FROM hits)
+      |    JOIN documents USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT phrase, MAX(list_count) AS list_count,
+      |  COUNT(*) AS n_occurrences, MAX(mass.n_docs) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  MAX(mass.flagged_chars) AS flagged_chars
+      |FROM hits JOIN mass USING (phrase)
+      |GROUP BY phrase
+      |ORDER BY list_count DESC, phrase""".stripMargin
 }

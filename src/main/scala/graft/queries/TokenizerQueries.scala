@@ -232,4 +232,68 @@ object TokenizerQueries {
       |  round(CAST(n_token_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
       |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
       |FROM nd JOIN bl USING (lang) ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q159 — vocabulary coverage / OOV-rate curve
+
+  /** The coverage curve a tokenizer designer reads before fixing a
+    * vocabulary size: for candidate sizes V ∈ {100, 500, 1k, 2k, 5k},
+    * what fraction of all token OCCURRENCES the top-V types cover, and
+    * the resulting OOV rate. (The inverse question of q131's
+    * token-budget selection; Zipf makes the curve concave and this
+    * query materializes exactly where it flattens.)
+    *
+    * Shape: one scan to type counts (vocabulary-sized), a global
+    * frequency rank from `Ranks.withGlobalRowNumber` (sketch-bucketed
+    * — no single-partition sort even when the vocabulary is huge; ties
+    * broken (count desc, term asc)), then one explode of the constant
+    * V-list with rank ≤ V → a 5-group aggregate. Rank-explode volume
+    * is Σ V ≈ 8.6k rows regardless of corpus size. */
+  def q159VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(100, 500, 1000, 2000, 5000)
+    val counts = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.tokensOf(col("text")))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(graft.Oracle.lsum(col("c")).as("n_total"),
+      count(lit(1)).as("n_types"))
+    val ranked = graft.operators.Ranks.withGlobalRowNumber(
+      counts, "rk", -col("c"), col("term"))
+    ranked
+      .select(col("c"), col("rk"),
+        explode(lit(sizes.map(_.toLong).toArray)).as("vocab_size"))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(graft.Oracle.lsum(col("c")).as("covered_occurrences"),
+        count(lit(1)).as("n_types_used"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_types_used"),
+        col("covered_occurrences"),
+        round(col("covered_occurrences").cast("double") / col("n_total"), 6)
+          .as("coverage"),
+        round((col("n_total") - col("covered_occurrences")).cast("double") /
+          col("n_total"), 6).as("oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
+
+  val q159Sql: String =
+    """WITH t AS (
+      |  SELECT term, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS n_types
+      |        FROM t),
+      |r AS (SELECT term, c,
+      |        ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM t),
+      |v(vocab_size) AS (VALUES (100), (500), (1000), (2000), (5000))
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  COUNT(*) AS n_types_used,
+      |  CAST(SUM(c) AS BIGINT) AS covered_occurrences,
+      |  round(CAST(SUM(c) AS DOUBLE) / MAX(n_total), 6) AS coverage,
+      |  round(CAST(MAX(n_total) - SUM(c) AS DOUBLE) / MAX(n_total), 6)
+      |    AS oov_rate
+      |FROM r JOIN v ON r.rk <= v.vocab_size CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1045,6 +1045,81 @@ object VectorQueries {
       |FROM orig JOIN prj USING (a_id, b_id)
       |WHERE d2_orig > 0 ORDER BY a_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q156 — embedding covariance / correlation structure
+
+  /** The full dim×dim covariance and correlation structure of the
+    * embedding table — the statistics PCA/whitening and drift monitors
+    * start from (and the input to q140's JL-distortion analysis done
+    * exactly). One pass computes all Σxᵢxⱼ via a constant-factor
+    * (d(d+1)/2 = 136×) pair expansion that map-side partial
+    * aggregation collapses to 136 running sums per partition — the
+    * degenerate-but-correct alternative, one driver-side Gram matrix,
+    * would not distribute; d is model-fixed, so the blowup does NOT
+    * grow with data.
+    *
+    * Determinism: float→double widening is exact; per-row products are
+    * identical IEEE doubles in both engines; sums land on the decimal
+    * grid (Oracle.dsum); cov/corr are then pure scalar arithmetic on
+    * identical doubles, rounded at 6/4dp. Correlation joins the
+    * diagonal (the 16 variances) back in via two broadcast-sized
+    * joins. */
+  def q156EmbeddingCovariance(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.agg(count(lit(1)).as("n"))
+    val xs = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+    val means = xs.groupBy(col("i"))
+      .agg(graft.Oracle.dsum(col("x")).as("sx"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), (col("sx") / col("n")).as("mx"))
+    val prods = emb
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("embedding")).as(Seq("j", "y")))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("x").cast("double") * col("y").cast("double")).as("xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.Oracle.dsum(col("xy")).as("sxy"))
+    val cov = prods
+      .join(broadcast(means), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("mx").as("my"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") - col("mx") * col("my")).as("cov_raw"))
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov_raw").as("var_d"))
+    cov
+      .join(broadcast(diag.select(col("d").as("i"), col("var_d").as("vi"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("var_d").as("vj"))), "j")
+      .select(col("i"), col("j"), round(col("cov_raw"), 6).as("cov"),
+        round(col("cov_raw") / sqrt(col("vi") * col("vj")), 4).as("corr"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q156Sql: String = {
+    val d = graft.Oracle.dsumSql("x * y")
+    s"""WITH xs AS (
+      |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |m AS (SELECT i, ${graft.Oracle.dsumSql("x")} / n AS mx
+      |      FROM xs CROSS JOIN n GROUP BY i, n.n),
+      |p AS (SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y
+      |      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |sp AS (SELECT i, j, $d AS sxy FROM p GROUP BY 1, 2),
+      |cv AS (SELECT i, j, sxy / n.n - mi.mx * mj.mx AS cov_raw
+      |       FROM sp JOIN m mi USING (i) JOIN m mj ON mj.i = sp.j
+      |       CROSS JOIN n),
+      |dg AS (SELECT i AS d, cov_raw AS var_d FROM cv WHERE i = j)
+      |SELECT cv.i, cv.j, round(cov_raw, 6) AS cov,
+      |  round(cov_raw / sqrt(vi.var_d * vj.var_d), 4) AS corr
+      |FROM cv JOIN dg vi ON vi.d = cv.i JOIN dg vj ON vj.d = cv.j
+      |ORDER BY cv.i, cv.j""".stripMargin
+  }
+
   /** Shared ANN tail (q28 LSH / q56 IVF): exact cosine among bucket-mates
     * of each query (vec_id < 50), per-query top-k with deterministic
     * (cos desc, candidate id) ordering. Input needs (vec_id, embedding,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -470,6 +470,261 @@ object WarehouseQueries {
       |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
       |    AS slope_cents_per_hour
       |FROM st WHERE n*sxx - sx*sx > 0 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q154 — KMV (k-minimum-values) distinct sketches with set algebra
+
+  /** Distinct-count sketching by k minimum hash values (Bar-Yossef et
+    * al. 2002), the mergeable sketch family behind Theta sketches —
+    * reported beside the EXACT counts so the estimate error is fully
+    * oracled (unlike q10's HLL++, whose sketch internals are
+    * engine-specific and rows-only). Four sets: event users, order
+    * customers, their union, and their intersection (by inclusion-
+    * exclusion — how warehouses estimate join/overlap cardinality
+    * without a join).
+    *
+    * Determinism: the hash is the q142/q148 affine family on the key
+    * mod P — injective on the sub-P key domain, so the k smallest
+    * values (and hence the k-th min) are a pure function of the key
+    * SET on any engine. Estimator: (k−1)·P/h_k, or the exact count
+    * while the sketch is not yet full (it holds every value). Scale:
+    * per-set cost is one distinct (shuffle on the hash) + a k-sized
+    * top-k (TakeOrdered, never a global sort); sketches merge by
+    * union-then-top-k, the same property Theta sketches exploit
+    * across partitions. */
+  def q154KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L; val K = 256
+    def hs(df: DataFrame, key: Column): DataFrame =
+      df.select(pmod(pmod(key, lit(P)) * lit(1103515245L) + lit(12345L),
+        lit(P)).as("h")).distinct()
+    val ha = hs(Tables.events(s, dir), col("user_id"))
+    val hb = hs(Tables.orders(s, dir), col("o_custkey"))
+    val hu = ha.unionByName(hb).distinct()
+    // one-row frame per set: exact distinct + the KMV estimate
+    def stats(h: DataFrame, suf: String): DataFrame = {
+      val sk = h.orderBy(col("h")).limit(K)
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+      val est = when(col("n_sk") < K, col("n_sk").cast("double"))
+        .otherwise(round(lit((K - 1).toDouble * P) / col("hk"), 4))
+      sk.crossJoin(h.agg(count(lit(1)).as("exact")))
+        .select(col("exact").as(s"ex_$suf"), est.as(s"est_$suf"))
+    }
+    val ei = ha.join(hb, "h").agg(count(lit(1)).as("ex_i"))
+    stats(ha, "a").crossJoin(stats(hb, "b")).crossJoin(stats(hu, "u"))
+      .crossJoin(ei)
+      .select(explode(array(
+        struct(lit("events_users").as("set_name"),
+          col("ex_a").as("exact_distinct"), col("est_a").as("kmv_est")),
+        struct(lit("orders_custs").as("set_name"),
+          col("ex_b").as("exact_distinct"), col("est_b").as("kmv_est")),
+        struct(lit("union").as("set_name"),
+          col("ex_u").as("exact_distinct"), col("est_u").as("kmv_est")),
+        struct(lit("intersection").as("set_name"),
+          col("ex_i").as("exact_distinct"),
+          round(col("est_a") + col("est_b") - col("est_u"), 4).as("kmv_est"))
+      )).as("r"))
+      .select(col("r.set_name").as("set_name"),
+        col("r.exact_distinct").as("exact_distinct"),
+        col("r.kmv_est").as("kmv_est"))
+      .withColumn("rel_err",
+        round((col("kmv_est") - col("exact_distinct")) / col("exact_distinct"), 4))
+      .orderBy(col("set_name"))
+  }
+
+  val q154Sql: String =
+    """WITH ha AS (SELECT DISTINCT
+      |    ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+      |  FROM events),
+      |hb AS (SELECT DISTINCT
+      |    ((o_custkey % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+      |  FROM orders),
+      |hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+      |sa AS (SELECT COUNT(*) AS n_sk, MAX(h) AS hk
+      |       FROM (SELECT h FROM ha ORDER BY h LIMIT 256)),
+      |sb AS (SELECT COUNT(*) AS n_sk, MAX(h) AS hk
+      |       FROM (SELECT h FROM hb ORDER BY h LIMIT 256)),
+      |su AS (SELECT COUNT(*) AS n_sk, MAX(h) AS hk
+      |       FROM (SELECT h FROM hu ORDER BY h LIMIT 256)),
+      |va AS (SELECT ea.exact, CASE WHEN sa.n_sk < 256
+      |         THEN CAST(sa.n_sk AS DOUBLE)
+      |         ELSE round(255.0 * 2147483647 / sa.hk, 4) END AS est
+      |       FROM sa, (SELECT COUNT(*) AS exact FROM ha) ea),
+      |vb AS (SELECT eb.exact, CASE WHEN sb.n_sk < 256
+      |         THEN CAST(sb.n_sk AS DOUBLE)
+      |         ELSE round(255.0 * 2147483647 / sb.hk, 4) END AS est
+      |       FROM sb, (SELECT COUNT(*) AS exact FROM hb) eb),
+      |vu AS (SELECT eu.exact, CASE WHEN su.n_sk < 256
+      |         THEN CAST(su.n_sk AS DOUBLE)
+      |         ELSE round(255.0 * 2147483647 / su.hk, 4) END AS est
+      |       FROM su, (SELECT COUNT(*) AS exact FROM hu) eu),
+      |ei AS (SELECT COUNT(*) AS exact FROM ha JOIN hb USING (h)),
+      |rows_ AS (
+      |  SELECT 'events_users' AS set_name, exact AS exact_distinct,
+      |    est AS kmv_est FROM va
+      |  UNION ALL
+      |  SELECT 'orders_custs', exact, est FROM vb
+      |  UNION ALL
+      |  SELECT 'union', exact, est FROM vu
+      |  UNION ALL
+      |  SELECT 'intersection', ei.exact,
+      |    round(va.est + vb.est - vu.est, 4) FROM ei, va, vb, vu)
+      |SELECT set_name, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  kmv_est,
+      |  round((kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
+      |FROM rows_ ORDER BY set_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q157 — blocked entity resolution (blocking key + edit-distance match)
+
+  /** Classic record-linkage shape: generate candidate pairs only WITHIN
+    * a blocking key, adjudicate with an edit-distance predicate — never
+    * the all-pairs cross join (Fellegi-Sunter blocking). Part names are
+    * 'modifier noun'; the block is the noun, so only same-noun names
+    * are compared, and the quadratic stage runs on DISTINCT names (the
+    * q114 representative-collapse stance: the name vocabulary is
+    * orders of magnitude smaller than the part table, and byte-equal
+    * names are resolved by the collapse itself, not by Levenshtein).
+    * Matched pairs carry both sides' member counts so the output
+    * reports cluster mass, not just pair existence.
+    *
+    * Scale: block sizes are bounded by the modifier vocabulary of one
+    * noun; a skewed blocking key (one noun dominating) would re-use
+    * q67's salting on the block id. Levenshtein is Spark's codegen'd
+    * built-in on both sides of the comparison. */
+  def q157EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("blk"))
+      .groupBy(col("p_name"), col("blk")).agg(count(lit(1)).as("n_parts"))
+    names.as("x").join(names.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+      .filter(levenshtein(col("x.p_name"), col("y.p_name")) <= 3)
+      .select(col("x.blk").as("block"),
+        col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+        levenshtein(col("x.p_name"), col("y.p_name")).as("dist"),
+        col("x.n_parts").as("n_parts_a"), col("y.n_parts").as("n_parts_b"))
+      .orderBy(col("block"), col("name_a"), col("name_b"))
+  }
+
+  val q157Sql: String =
+    """WITH names AS (
+      |  SELECT p_name, string_split(p_name, ' ')[2] AS blk,
+      |    COUNT(*) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT x.blk AS block, x.p_name AS name_a, y.p_name AS name_b,
+      |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist,
+      |  x.n_parts AS n_parts_a, y.n_parts AS n_parts_b
+      |FROM names x JOIN names y
+      |  ON x.blk = y.blk AND x.p_name < y.p_name
+      |WHERE levenshtein(x.p_name, y.p_name) <= 3
+      |ORDER BY block, name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q158 — OHLC bars (order-sensitive first/last via pure aggregation)
+
+  /** Daily open-high-low-close bars per event type over the event
+    * stream — the canonical time-series downsample. The interesting
+    * part is open/close: order-sensitive "first/last by time" computed
+    * as a PURE aggregate (`min_by`/`max_by` on a packed sort key), not
+    * a window — so the plan is one partial-aggregatable hash aggregate
+    * with no per-(type, day) sort, the shape that survives a day with
+    * 10⁹ events. The sort key packs (event-time µs, event_id mod 2¹²)
+    * into ONE BIGINT — a numeric key keeps the aggregate in
+    * HashAggregate (a string key would demote the whole pass to
+    * SortAggregate, Spark's hash buffers being primitive-only;
+    * PlanSpec pins this) and the oracle's arg_min/arg_max take scalar
+    * keys only. The id suffix totalizes ordering among same-µs events
+    * up to id-congruence mod 4096 — event times are µs-unique in this
+    * corpus (asserted nowhere cheaper than the hash gate itself), and
+    * a production stream with µs collisions would widen the pack.
+    * O/H/L/C are SELECTED raw doubles (no arithmetic → bit-identical
+    * across engines). */
+  def q158OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("day"),
+        (unix_micros(col("ts")) * lit(4096L) + pmod(col("event_id"), lit(4096L)))
+          .as("ok"))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(min_by(col("value"), col("ok")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ok")).as("close"),
+        count(lit(1)).as("n_events"),
+        // the bar's mass, not its mean: an averaged double re-rounds on a
+        // division result, where the two engines' round(double, n) modes
+        // can disagree at exact half-boundaries (observed at sf0.001);
+        // the decimal-grid SUM is deterministic by construction and the
+        // consumer divides by n_events at display time
+        graft.Oracle.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q158Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value, CAST(ts AS DATE) AS day,
+      |    epoch_us(ts) * 4096 + event_id % 4096 AS ok
+      |  FROM events)
+      |SELECT event_type, day,
+      |  arg_min(value, ok) AS open, MAX(value) AS high, MIN(value) AS low,
+      |  arg_max(value, ok) AS close, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q160 — weight-of-evidence encoding + information value
+
+  /** Weight-of-evidence feature encoding against a binary target
+    * (purchase vs non-purchase events), per customer market segment —
+    * the credit-scoring-lineage encoder feature pipelines use for
+    * categorical→numeric conversion, plus each segment's information-
+    * value term (IV = Σ (pos_share − neg_share)·WOE).
+    *
+    * Shape: fact→dimension FK join (AQE broadcasts the customer side
+    * while it fits), one count aggregate per segment, one broadcast of
+    * the 1-row totals. WOE's log argument is formed as a single
+    * exact-integer cross-ratio (n_pos·tot_neg)/(n_neg·tot_pos) — both
+    * engines evaluate ln on the identical double, and results round on
+    * the 6dp grid (the q87/q94 discipline). */
+  def q160WoeEncoding(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      (col("event_type") === "purchase").cast("long").as("pos"))
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val per = ev.join(seg, "user_id")
+      .groupBy(col("segment"))
+      .agg(graft.Oracle.lsum(col("pos")).as("n_pos"),
+        graft.Oracle.lsum(lit(1L) - col("pos")).as("n_neg"))
+    val tot = per.agg(graft.Oracle.lsum(col("n_pos")).as("tp"),
+      graft.Oracle.lsum(col("n_neg")).as("tn"))
+    val lnArg = (col("n_pos").cast("double") * col("tn")) /
+      (col("n_neg").cast("double") * col("tp"))
+    per.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_pos"), col("n_neg"),
+        round(log(lnArg), 6).as("woe"),
+        round((col("n_pos").cast("double") / col("tp") -
+          col("n_neg").cast("double") / col("tn")) * log(lnArg), 6).as("iv_term"))
+      .orderBy(col("segment"))
+  }
+
+  val q160Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |per AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      |  FROM ev JOIN customer ON user_id = c_custkey
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+      |               CAST(SUM(n_neg) AS BIGINT) AS tn FROM per)
+      |SELECT segment, n_pos, n_neg,
+      |  round(ln((CAST(n_pos AS DOUBLE) * tn) / (CAST(n_neg AS DOUBLE) * tp)), 6)
+      |    AS woe,
+      |  round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+      |    * ln((CAST(n_pos AS DOUBLE) * tn) / (CAST(n_neg AS DOUBLE) * tp)), 6)
+      |    AS iv_term
+      |FROM per CROSS JOIN tot ORDER BY segment""".stripMargin
 
   val q128Sql: String =
     """WITH base AS (

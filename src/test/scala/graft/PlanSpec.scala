@@ -86,6 +86,27 @@ class PlanSpec extends AnyFunSuite {
       "per-bucket row_number window missing — rank may have gone global")
   }
 
+  test("q153/q157: LPA and blocked ER plans have no cartesian or nested loop") {
+    for (q <- Seq(GraphQueries.q153LabelPropagation _,
+        WarehouseQueries.q157EntityResolution _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "all-pairs join shape in a blocked plan")
+    }
+  }
+
+  test("q154: KMV sketches take top-k, never a global sort") {
+    val p = plan(WarehouseQueries.q154KmvDistinct(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q158: OHLC bars are one hash aggregate — no window sort over events") {
+    val p = plan(WarehouseQueries.q158OhlcBars(spark, dir))
+    assert(!p.contains("Window"), "order-sensitive first/last must be min_by/max_by, not a window")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q125: co-purchase pairs expand order-locally — no join operator at all") {
     // the oracle self-joins lineitem on l_orderkey; the engine plan must
     // instead be groupBy -> local pair explode -> groupBy (joins appear

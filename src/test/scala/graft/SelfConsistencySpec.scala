@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CorpusQueries, LlmQueries, RelationalQueries, VectorQueries}
+import graft.queries.{AdvancedQueries, CorpusQueries, LlmQueries, RelationalQueries, TokenizerQueries, VectorQueries, WarehouseQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -183,6 +183,49 @@ class SelfConsistencySpec extends AnyFunSuite {
         s"depth ${r.getInt(0)}: est ${r.getLong(1)} < exact ${r.getLong(2)}")
       assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
     }
+  }
+
+  test("q154 KMV: full-sketch estimates land within the sketch's error envelope") {
+    val rows = WarehouseQueries.q154KmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("events_users", "orders_custs", "union", "intersection"))
+    // KMV standard error is ~1/sqrt(k-2) ≈ 6.3% at k=256; allow 5 sigma.
+    // Sets still below k are exact by construction (the sketch holds all).
+    for (set <- Seq("events_users", "orders_custs", "union")) {
+      val (exact, est) = rows(set)
+      if (exact <= 256) assert(est == exact.toDouble, s"$set: unfilled sketch must be exact")
+      else assert(math.abs(est - exact) / exact < 5.0 / math.sqrt(254.0),
+        s"$set: KMV est $est vs exact $exact outside 5-sigma envelope")
+    }
+    // inclusion-exclusion identity must hold exactly over the 4dp-rounded parts
+    val ie = BigDecimal(rows("events_users")._2) + BigDecimal(rows("orders_custs")._2) -
+      BigDecimal(rows("union")._2)
+    assert((BigDecimal(rows("intersection")._2) - ie).abs <= BigDecimal("0.0001"),
+      s"intersection est ${rows("intersection")._2} != A+B-U $ie")
+  }
+
+  test("q156: covariance diagonal is the variance, corr is 1 there and |corr|<=1 off it") {
+    val rows = VectorQueries.q156EmbeddingCovariance(spark, dir).collect()
+    assert(rows.length == 64 * 65 / 2, s"expected full upper triangle, got ${rows.length}")
+    rows.foreach { r =>
+      val (i, j, cov, corr) = (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      if (i == j) {
+        assert(cov >= 0.0, s"negative variance at dim $i")
+        assert(math.abs(corr - 1.0) <= 1e-9, s"diagonal corr $corr != 1 at dim $i")
+      } else assert(math.abs(corr) <= 1.0 + 1e-9, s"|corr($i,$j)| = $corr > 1")
+    }
+  }
+
+  test("q159: coverage curve is monotone and bounded") {
+    val rows = TokenizerQueries.q159VocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 5)
+    rows.foreach { case (v, cov, oov) =>
+      assert(cov >= 0.0 && cov <= 1.0 && math.abs(cov + oov - 1.0) < 1e-5,
+        s"V=$v: coverage $cov / oov $oov not complementary")
+    }
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+      "coverage must be monotone in vocabulary size")
   }
 
   test("q149 cohesion audit: complete pairsets, min bounds mean") {
