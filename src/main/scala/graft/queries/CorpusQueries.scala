@@ -1702,4 +1702,78 @@ object CorpusQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM((doc_id * rk) % 1000000007) AS BIGINT) AS order_checksum
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161 — Kneser-Ney-smoothed bigram scoring (the production LM filter)
+
+  /** Per-document NLL under an absolute-discount Kneser-Ney bigram
+    * model (Kneser & Ney 1995; the smoothing KenLM defaults to, where
+    * q94's Jelinek-Mercer interpolates raw unigrams): P(b|a) =
+    * (c(ab)−D)/c(a·) + D·N₁₊(a·)/c(a·) · N₁₊(·b)/N₁₊(··), D = 0.75.
+    * The continuation counts N₁₊ — how many distinct contexts a word
+    * completes, not how often — are what distinguish KN: "francisco"
+    * is frequent but follows only "san", so its continuation
+    * probability is tiny.
+    *
+    * Every model table is vocabulary-sized and derived from the ONE
+    * bigram-count aggregate (type counts = COUNT(*) over it, context /
+    * continuation counts = its two marginals): one corpus scan feeds
+    * four small aggregates, then the scoring pass re-joins the bigram
+    * stream — the q94 shape, AQE choosing broadcast while the
+    * vocabulary fits. D = 0.75 is exactly representable in binary, so
+    * c − D and every ratio are identical IEEE doubles cross-engine;
+    * per-doc sums land on the decimal grid. */
+  def q161KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val D = 0.75
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokensOf(col("text")).as("t"))
+    val n = size(col("t"))
+    val bi = toks.filter(n >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), n - 1).as("a"),
+        slice(col("t"), lit(2), n - 1).as("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val biC  = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ctxC = biC.groupBy(col("a"))
+      .agg(Oracle.lsum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_a"))
+    val contC = biC.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
+    val nPairs = biC.agg(count(lit(1)).cast("double").as("n_pairs"))
+    val p = (col("c_ab") - lit(D)) / col("c_a") +
+      (lit(D) * col("n1p_a") / col("c_a")) * (col("n1p_b") / col("n_pairs"))
+    bi.filter(col("doc_id") < 200)
+      .join(biC, Seq("a", "b"))
+      .join(ctxC, "a")
+      .join(contC, "b")
+      .crossJoin(broadcast(nPairs))
+      .select(col("doc_id"), log(p).as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        round(-Oracle.dsum(col("lnp")) / count(lit(1)), 6).as("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q161Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |bi AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+      |        WHERE len(tk) >= 2)
+      |  WHERE tk[i] <> '' AND tk[i + 1] <> ''),
+      |bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+      |cx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a, COUNT(*) AS n1p_a
+      |       FROM bc GROUP BY 1),
+      |ct AS (SELECT b, COUNT(*) AS n1p_b FROM bc GROUP BY 1),
+      |np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_pairs FROM bc),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    ln((c_ab - 0.75) / c_a
+      |       + (0.75 * n1p_a / c_a) * (n1p_b / n_pairs)) AS lnp
+      |  FROM bi JOIN bc USING (a, b) JOIN cx USING (a) JOIN ct USING (b)
+      |    CROSS JOIN np
+      |  WHERE bi.doc_id < 200)
+      |SELECT doc_id, COUNT(*) AS n_bi,
+      |  round(-${Oracle.dsumSql("lnp")} / COUNT(*), 6) AS kn_nll
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

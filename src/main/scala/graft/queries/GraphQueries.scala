@@ -77,6 +77,17 @@ object GraphQueries {
     e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
 
+  /** Symmetrized (src, dst) adjacency over [[bulkEdges]], memoized once
+    * per (session, dir) — q143's frontier expansion and q153's three
+    * LPA rounds each read it 3-4 times, so materializing it saves every
+    * re-derivation of the distinct-pair self-join upstream. */
+  private def symEdges(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "sym_copurchase_edges", "q>30") {
+      val e = bulkEdges(s, dir)
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    }
+
   def q97TriangleCount(s: SparkSession, dir: String): DataFrame = {
     val eo = graft.PlanCache.memo(s, dir, "tri_oriented_edges", "q>30") {
       val e = bulkEdges(s, dir)
@@ -211,9 +222,7 @@ object GraphQueries {
     * re-analyze). The oracle walks the same graph with a recursive CTE
     * (UNION-distinct bounds rows to nodes × hops). */
   def q143BfsHops(s: SparkSession, dir: String): DataFrame = {
-    val e = bulkEdges(s, dir)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val sym = symEdges(s, dir)
     val nodes = sym.select(col("src").as("v")).distinct()
     var dist = nodes.filter(col("v") < 50)
       .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
@@ -266,9 +275,7 @@ object GraphQueries {
     * never leaves the cluster. The oracle replays the identical three
     * rounds as chained CTEs with a ROW_NUMBER argmax. */
   def q153LabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val e = bulkEdges(s, dir)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val sym = symEdges(s, dir)
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
     for (_ <- 1 to 3) {

@@ -1290,6 +1290,60 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q162 — cross-source overlap matrix (who copies from whom)
+
+  /** Pairwise source-overlap matrix over trigram shingles: for every
+    * source pair, how many distinct shingles they share and the
+    * shingle-set Jaccard — the provenance diagnostic that turns q145's
+    * per-source novelty scalar into the full copying structure
+    * (mirror-site detection, license-laundering audits).
+    *
+    * Scale: the pair generation runs on the (source, shingle) DISTINCT
+    * table — postings per shingle are bounded by the SOURCE count (tiny
+    * and fixed), so the self-join emits ≤ C(|sources|, 2) rows per
+    * shingle no matter how big the corpus; the reduce key is the source
+    * pair. A corpus with 10⁵ sources would block the join on a
+    * postings-length cap (the q21 pruning stance); with 20 it is
+    * skew-free by construction. Shingle identity is the 64-bit hash
+    * engine-side and the trigram string in the oracle — the shingleRows
+    * collision stance. */
+  def q162SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcSh = shingleRows(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("hg")).distinct()
+    val ns = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = srcSh.as("x").join(srcSh.as("y"),
+        col("x.hg") === col("y.hg") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(ns.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(ns.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q162Sql: String =
+    s"""WITH sh AS ($shingledSql),
+      |srcsh AS (
+      |  SELECT DISTINCT d.source, x.sg
+      |  FROM (SELECT doc_id, unnest(shingles) AS sg FROM sh) x
+      |  JOIN documents d USING (doc_id)),
+      |ns AS (SELECT source, COUNT(*) AS n FROM srcsh GROUP BY 1),
+      |sp AS (SELECT x.source AS source_a, y.source AS source_b,
+      |         COUNT(*) AS shared
+      |       FROM srcsh x JOIN srcsh y
+      |         ON x.sg = y.sg AND x.source < y.source
+      |       GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared,
+      |  round(CAST(shared AS DOUBLE) / (va.n + vb.n - shared), 6) AS jaccard
+      |FROM sp JOIN ns va ON va.source = sp.source_a
+      |        JOIN ns vb ON vb.source = sp.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q155 — blocklist phrase filtering (dictionary scan, Aho-Corasick shape)
 
   /** Multi-word blocklist filtering: corpora are scrubbed against phrase

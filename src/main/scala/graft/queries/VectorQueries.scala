@@ -1046,6 +1046,91 @@ object VectorQueries {
       |WHERE d2_orig > 0 ORDER BY a_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q163 — k-center coreset selection (Gonzalez greedy farthest-first)
+
+  /** Greedy farthest-first traversal (Gonzalez 1985): pick the point
+    * farthest from the chosen set, k times — the 2-approximation for
+    * k-center and the standard coreset/diversity-selection pass for
+    * training-data subsampling (pick maximally-different exemplars,
+    * then attach everything else to its nearest center).
+    *
+    * Distributed shape: the min-distance vector updates INCREMENTALLY —
+    * round r touches each point once against the ONE new center
+    * (broadcast single row), never against all r centers — so total
+    * work is k linear passes, each localCheckpoint'd (the iterative-
+    * lineage stance). The per-round argmax is a TakeOrdered(1); the k
+    * chosen (id, distance) scalars are algorithm STATE on the driver —
+    * O(k) metadata steering the next plan, the q96-codebook stance —
+    * while the distance vector itself never leaves the cluster.
+    * Distances are per-pair left-fold sums rounded at 6dp (the q27
+    * double-fold discipline), ties broken by vec_id, so the greedy
+    * trajectory is engine-exact and the oracle replays it as k chained
+    * CTEs. */
+  def q163KCenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val d2 = expr(
+      """round(aggregate(zip_with(embedding, c_emb,
+        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |  0D, (acc, v) -> acc + v), 6)""".stripMargin)
+    def centerOf(id: Long) =
+      broadcast(emb.filter(col("vec_id") === id)
+        .select(col("embedding").as("c_emb")))
+    val first = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).head().getLong(0)
+    var chosen = Vector((0, first, 0.0))
+    var cur = emb.crossJoin(centerOf(first))
+      .select(col("vec_id"), col("embedding"), d2.as("md"))
+      .localCheckpoint(true)
+    for (r <- 1 until K) {
+      val top = cur.orderBy(col("md").desc, col("vec_id"))
+        .limit(1).select(col("vec_id"), col("md")).head()
+      chosen :+= ((r, top.getLong(0), top.getDouble(1)))
+      if (r < K - 1)
+        cur = cur.crossJoin(centerOf(top.getLong(0)))
+          .select(col("vec_id"), col("embedding"),
+            least(col("md"), d2).as("md"))
+          .localCheckpoint(true)
+    }
+    import s.implicits._
+    chosen.toDF("rank", "vec_id", "dist2_at_selection")
+      .orderBy(col("rank"))
+  }
+
+  val q163Sql: String = {
+    def dist(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, len($a) + 1),
+         |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |     * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), 6)""".stripMargin
+    val rounds = (1 until 8).map { r =>
+      val prev = s"m${r - 1}"
+      s"""c$r AS (SELECT vec_id, embedding, md FROM $prev
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT p.vec_id, p.embedding,
+         |    LEAST(p.md, ${dist("p.embedding", "c.embedding")}) AS md
+         |  FROM $prev p, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until 8)
+      .map(r => s"SELECT $r AS rank, vec_id, md FROM c$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c0 AS (SELECT vec_id, embedding FROM e
+      |       WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+      |m0 AS (SELECT e.vec_id, e.embedding,
+      |    ${dist("e.embedding", "c.embedding")} AS md
+      |  FROM e, c0 c),
+      |$rounds
+      |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+      |  CAST(dist2 AS DOUBLE) AS dist2_at_selection
+      |FROM (
+      |  SELECT 0 AS rank, vec_id, 0.0 AS dist2 FROM c0
+      |  UNION ALL SELECT rank, vec_id, md FROM (
+      |  $sel))
+      |ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q156 — embedding covariance / correlation structure
 
   /** The full dim×dim covariance and correlation structure of the

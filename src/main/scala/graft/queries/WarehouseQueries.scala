@@ -670,6 +670,146 @@ object WarehouseQueries {
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q164 — association rules (support / confidence / lift)
+
+  /** Directed association rules A→B over order baskets with the three
+    * classic Agrawal-Srikant measures: support c(AB)/N, confidence
+    * c(AB)/c(A), lift N·c(AB)/(c(A)·c(B)) — the rule-mining layer on
+    * top of q125's co-occurrence counts.
+    *
+    * Shape: pair counts come from the same joinless order-local
+    * expansion as q125 (no fact-table self-join anywhere); item
+    * supports and the basket total are two smaller aggregates off the
+    * SAME basket table, joined back vocabulary-sized (AQE broadcasts
+    * while they fit). Every measure is a single division of exact
+    * integers (lift is formed as one N·c_ab/(c_a·c_b) expression, not
+    * confidence/expectation — one correctly-rounded double op each,
+    * then the 6dp grid). Directed rules emit both orientations of each
+    * unordered pair by construction. */
+  def q164AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val nB = baskets.agg(count(lit(1)).cast("double").as("n_baskets"))
+    val item = baskets.select(explode(col("parts")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c_p"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"""
+        .stripMargin)).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    // both rule directions from each unordered pair
+    val directed = pairs.select(col("pa").as("a"), col("pb").as("b"), col("c_ab"))
+      .unionByName(pairs.select(col("pb").as("a"), col("pa").as("b"), col("c_ab")))
+    directed
+      .join(item.select(col("p").as("a"), col("c_p").as("c_a")), "a")
+      .join(item.select(col("p").as("b"), col("c_p").as("c_b")), "b")
+      .crossJoin(broadcast(nB))
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("c_ab"),
+        round(col("c_ab") / col("n_baskets"), 6).as("support"),
+        round(col("c_ab").cast("double") / col("c_a"), 6).as("confidence"),
+        round((col("n_baskets") * col("c_ab")) / (col("c_a") * col("c_b")).cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(30)
+  }
+
+  val q164Sql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM b),
+      |item AS (SELECT p, COUNT(*) AS c_p
+      |         FROM (SELECT unnest(parts) AS p FROM b) GROUP BY 1),
+      |pr AS (
+      |  SELECT pa, pb, COUNT(*) AS c_ab FROM (
+      |    SELECT x.p AS pa, y.p AS pb FROM
+      |      (SELECT l_orderkey, unnest(parts) AS p FROM b) x JOIN
+      |      (SELECT l_orderkey, unnest(parts) AS p FROM b) y
+      |      ON x.l_orderkey = y.l_orderkey AND x.p < y.p)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |d AS (SELECT pa AS a, pb AS b, c_ab FROM pr
+      |      UNION ALL SELECT pb, pa, c_ab FROM pr)
+      |SELECT a AS antecedent, b AS consequent, c_ab,
+      |  round(c_ab / n_baskets, 6) AS support,
+      |  round(CAST(c_ab AS DOUBLE) / ia.c_p, 6) AS confidence,
+      |  round((n_baskets * c_ab) / CAST(ia.c_p * ib.c_p AS DOUBLE), 6) AS lift
+      |FROM d JOIN item ia ON ia.p = d.a JOIN item ib ON ib.p = d.b
+      |CROSS JOIN nb
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q165 — sketch mergeability: per-partition KMV sketches ≡ direct sketch
+
+  /** The property that makes sketches work at 100 TB: build one KMV
+    * sketch PER DAY (the ingest partition), merge the per-day sketches,
+    * and the merged sketch is IDENTICAL to the sketch built over the
+    * whole stream in one pass — because the global k smallest hashes
+    * are each among their own day's k smallest. The report carries both
+    * estimates beside the exact distinct count; merged ≡ direct is the
+    * algebraic claim (SelfConsistencySpec asserts bit-equality), and
+    * it is why a day's sketch can be persisted at ingest time and
+    * unioned at query time without ever rescanning history.
+    *
+    * Shape: per-day top-k is a WindowGroupLimit (rank ≤ k inside each
+    * day partition — no global sort); the merge unions day-sketches
+    * (days × k rows) and takes the global top-k of that tiny set. */
+  def q165KmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L; val K = 256
+    val hd = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        pmod(pmod(col("user_id"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("day")).orderBy(col("h"))
+    val daySketches = hd.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).select(col("h")).distinct()
+    val exact = hd.select(col("h")).distinct().agg(count(lit(1)).as("exact"))
+    def est(h: DataFrame): Column = {
+      // one-row sketch stats → estimate (q154 form)
+      when(col("n_sk") < K, col("n_sk").cast("double"))
+        .otherwise(round(lit((K - 1).toDouble * P) / col("hk"), 4))
+    }
+    def sk(h: DataFrame, name: String): DataFrame =
+      h.orderBy(col("h")).limit(K)
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+        .select(lit(name).as("method"), est(h).as("kmv_est"))
+    sk(hd.select(col("h")).distinct(), "direct")
+      .unionByName(sk(daySketches, "merged"))
+      .crossJoin(broadcast(exact))
+      .select(col("method"), col("exact"), col("kmv_est"),
+        round((col("kmv_est") - col("exact")) / col("exact"), 4).as("rel_err"))
+      .orderBy(col("method"))
+  }
+
+  val q165Sql: String =
+    """WITH hd AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+      |    ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+      |  FROM events),
+      |ds AS (SELECT DISTINCT h FROM (
+      |  SELECT h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+      |  FROM hd) WHERE rn <= 256),
+      |gh AS (SELECT DISTINCT h FROM hd),
+      |ex AS (SELECT COUNT(*) AS exact FROM gh),
+      |sd AS (SELECT COUNT(*) AS n_sk, MAX(h) AS hk
+      |       FROM (SELECT h FROM gh ORDER BY h LIMIT 256)),
+      |sm AS (SELECT COUNT(*) AS n_sk, MAX(h) AS hk
+      |       FROM (SELECT h FROM ds ORDER BY h LIMIT 256)),
+      |r AS (
+      |  SELECT 'direct' AS method, CASE WHEN n_sk < 256
+      |    THEN CAST(n_sk AS DOUBLE)
+      |    ELSE round(255.0 * 2147483647 / hk, 4) END AS kmv_est FROM sd
+      |  UNION ALL
+      |  SELECT 'merged', CASE WHEN n_sk < 256
+      |    THEN CAST(n_sk AS DOUBLE)
+      |    ELSE round(255.0 * 2147483647 / hk, 4) END FROM sm)
+      |SELECT method, ex.exact, kmv_est,
+      |  round((kmv_est - ex.exact) / ex.exact, 4) AS rel_err
+      |FROM r CROSS JOIN ex ORDER BY method""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q160 — weight-of-evidence encoding + information value
 
   /** Weight-of-evidence feature encoding against a binary target

@@ -101,6 +101,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q162: source-overlap pair join is an equi-join on the shingle, no cartesian") {
+    val p = plan(LlmQueries.q162SourceOverlap(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "postings pair expansion must join on the shingle key")
+  }
+
   test("q158: OHLC bars are one hash aggregate — no window sort over events") {
     val p = plan(WarehouseQueries.q158OhlcBars(spark, dir))
     assert(!p.contains("Window"), "order-sensitive first/last must be min_by/max_by, not a window")

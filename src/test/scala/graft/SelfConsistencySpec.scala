@@ -228,6 +228,37 @@ class SelfConsistencySpec extends AnyFunSuite {
       "coverage must be monotone in vocabulary size")
   }
 
+  test("q163 k-center: greedy distances non-increasing from a deterministic seed") {
+    val rows = VectorQueries.q163KCenterCoreset(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 8)
+    assert(rows.head == ((0, 0L, 0.0)), s"seed must be (0, min vec_id, 0): ${rows.head}")
+    // after the seed, each chosen point's distance is the current max-min —
+    // adding centers can only shrink every min-distance, so the sequence
+    // of selection distances is non-increasing
+    val d = rows.sortBy(_._1).map(_._3).drop(1)
+    assert(d.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      s"farthest-first distances must be non-increasing: ${d.mkString(", ")}")
+    assert(rows.map(_._2).distinct.length == 8, "centers must be distinct points")
+  }
+
+  test("q165: merged per-day KMV sketch is bit-identical to the direct sketch") {
+    val rows = WarehouseQueries.q165KmvMerge(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("direct", "merged"))
+    assert(rows("direct") == rows("merged"),
+      s"mergeability violated: direct ${rows("direct")} vs merged ${rows("merged")}")
+  }
+
+  test("q161: Kneser-Ney probabilities are proper (every doc NLL positive)") {
+    val rows = CorpusQueries.q161KneserNey(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0,
+        s"doc ${r.getLong(0)}: NLL ${r.getDouble(2)} <= 0 means some P(b|a) >= 1")
+    }
+  }
+
   test("q149 cohesion audit: complete pairsets, min bounds mean") {
     val rows = VectorQueries.q149ClusterCohesion(spark, dir).collect()
     assert(rows.nonEmpty)
