@@ -1046,6 +1046,204 @@ object VectorQueries {
       |WHERE d2_orig > 0 ORDER BY a_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q166 — MMR diversified reranking (maximal marginal relevance)
+
+  /** Carbonell & Goldstein's MMR: rerank a retrieval candidate set so
+    * each pick balances relevance against redundancy with what is
+    * already picked — score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s),
+    * λ = 0.5 (exact in binary). The retrieval stage is the scale path
+    * (top-50 by cosine to the anchor, TakeOrdered over the full table);
+    * the rerank then runs entirely on that CANDIDATE-SIZED set — 50
+    * rows, 50×49 pair sims, five greedy rounds — which is why MMR is
+    * tractable at 100 TB: the quadratic part never sees the corpus.
+    * The max-sim vector updates incrementally per round against the
+    * one new pick (the q163 stance); all cosines are 6dp-rounded
+    * double-folds, ties broken by id, so the greedy trajectory is
+    * engine-exact and the oracle replays it as chained CTEs. */
+  def q166MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val nv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val anchor = broadcast(nv.filter(col("vec_id") === 0)
+      .select(col("embedding").as("a_emb"), col("nrm").as("a_nrm")))
+    val cand = nv.filter(col("vec_id") =!= 0).crossJoin(anchor)
+      .select(col("vec_id").as("c_id"), col("embedding"), col("nrm"),
+        round(vecDot(col("embedding"), col("a_emb")) /
+          (col("nrm") * col("a_nrm")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("c_id")).limit(50)
+      .localCheckpoint(true)
+    val sims = cand.as("x").join(cand.as("y"), col("x.c_id") =!= col("y.c_id"))
+      .select(col("x.c_id").as("ci"), col("y.c_id").as("cj"),
+        round(vecDot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+      .localCheckpoint(true)
+    var rest = cand.select(col("c_id"), col("rel"), lit(0.0).as("maxsim"))
+    var sel = Vector.empty[(Int, Long, Double, Double)]
+    for (r <- 1 to 5) {
+      val top = rest
+        .select(col("c_id"), col("rel"), col("maxsim"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("c_id")).limit(1).head()
+      val id = top.getLong(0)
+      sel :+= ((r, id, top.getDouble(1), top.getDouble(3)))
+      if (r < 5)
+        rest = rest.filter(col("c_id") =!= id)
+          .join(sims.filter(col("cj") === id)
+            .select(col("ci").as("c_id"), col("sim")), "c_id")
+          .select(col("c_id"), col("rel"),
+            greatest(col("maxsim"), col("sim")).as("maxsim"))
+    }
+    import s.implicits._
+    sel.toDF("rank", "c_id", "rel", "mmr_score").orderBy(col("rank"))
+  }
+
+  val q166Sql: String = {
+    def cos(a: String, an: String, b: String, bn: String): String =
+      s"""round(list_sum(list_transform(range(1, len($a) + 1),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / ($an * $bn), 6)""".stripMargin
+    // pick r comes from state m_{r-1}; state m_r removes pick r and folds
+    // its sims into the running max — so s1..s5 are the five selections
+    val steps = (1 to 5).map { r =>
+      val pick =
+        s"""s$r AS (SELECT c_id, rel, 0.5 * rel - 0.5 * maxsim AS mmr FROM m${r - 1}
+           |  ORDER BY mmr DESC, c_id LIMIT 1)""".stripMargin
+      val state = if (r == 5) "" else
+        s""",
+           |m$r AS (SELECT m.c_id, m.rel, GREATEST(m.maxsim, p.sim) AS maxsim
+           |  FROM m${r - 1} m JOIN sims p
+           |    ON p.ci = m.c_id AND p.cj = (SELECT c_id FROM s$r)
+           |  WHERE m.c_id <> (SELECT c_id FROM s$r))""".stripMargin
+      pick + state
+    }.mkString(",\n")
+    val sel = (1 to 5)
+      .map(r => s"SELECT $r AS rank, c_id, rel, mmr FROM s$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nv AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT embedding AS a_emb, nrm AS a_nrm FROM nv WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id AS c_id, embedding, nrm,
+      |    ${cos("embedding", "nrm", "a_emb", "a_nrm")} AS rel
+      |  FROM nv, a WHERE vec_id <> 0
+      |  ORDER BY rel DESC, c_id LIMIT 50),
+      |sims AS (
+      |  SELECT x.c_id AS ci, y.c_id AS cj,
+      |    ${cos("x.embedding", "x.nrm", "y.embedding", "y.nrm")} AS sim
+      |  FROM cand x JOIN cand y ON x.c_id <> y.c_id),
+      |m0 AS (SELECT c_id, rel, 0.0 AS maxsim FROM cand),
+      |$steps
+      |SELECT CAST(rank AS INTEGER) AS rank, c_id, rel, mmr AS mmr_score FROM (
+      |  $sel)
+      |ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q167 — cross-validated AUC (rank-statistic form, per hash fold)
+
+  /** Per-fold ROC-AUC of a fixed linear scorer against the odd-label
+    * class, computed exactly as the Mann-Whitney rank statistic:
+    * AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋). Folds are the q113
+    * portable multiplicative hash of vec_id (mod 5) — the deterministic
+    * split every eval harness needs for reproducibility.
+    *
+    * Scale: ranks come from `Ranks.withGroupRowNumber` keyed by fold —
+    * 5 groups would be the canonical few-huge-groups window failure,
+    * which the sketch-bucketed rank primitive exists to avoid. Scores
+    * are 6dp-rounded double-folds (the q27 discipline) and the rank
+    * order ties on vec_id, so ranks — hence the AUC, a pure integer
+    * ratio — are engine-exact. */
+  def q167FoldAuc(s: SparkSession, dir: String): DataFrame = {
+    val wv = Array.tabulate(64)(i => (((i * 7919 + 13) % 97 - 48) / 64.0).toFloat)
+    val scored = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        (col("label") % 2).cast("long").as("pos"),
+        round(vecDot(col("embedding"), typedlit(wv)), 6).as("score"),
+        pmod(pmod(col("vec_id") * lit(2654435761L), lit(1000000007L)), lit(5L))
+          .as("fold"))
+    val ranked = graft.operators.Ranks.withGroupRowNumber(
+      scored, col("fold"), "rk", col("score"), col("vec_id"))
+    ranked.groupBy(col("fold"))
+      .agg(graft.Oracle.lsum(col("pos")).as("n_pos"),
+        graft.Oracle.lsum(lit(1L) - col("pos")).as("n_neg"),
+        graft.Oracle.lsum(col("pos") * col("rk")).as("srp"))
+      .select(col("fold"), col("n_pos"), col("n_neg"),
+        round((col("srp") - col("n_pos") * (col("n_pos") + 1) / 2).cast("double") /
+          (col("n_pos") * col("n_neg")), 6).as("auc"))
+      .orderBy(col("fold"))
+  }
+
+  val q167Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, label % 2 AS pos,
+      |    round(list_sum(list_transform(range(0, 64),
+      |      i -> CAST(embedding[i + 1] AS DOUBLE)
+      |         * CAST(CAST(((i * 7919 + 13) % 97 - 48) / 64.0 AS FLOAT) AS DOUBLE))), 6)
+      |      AS score,
+      |    (vec_id * 2654435761) % 1000000007 % 5 AS fold
+      |  FROM embeddings),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY fold ORDER BY score, vec_id) AS rk FROM sc)
+      |SELECT fold, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+      |  round(CAST(SUM(pos * rk) - SUM(pos) * (SUM(pos) + 1) / 2 AS DOUBLE)
+      |    / (SUM(pos) * SUM(1 - pos)), 6) AS auc
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q168 — classifier calibration bins (reliability diagram)
+
+  /** Reliability-diagram bins for a cosine scorer against the
+    * odd-label class: 10 equal-width bins over the score's [−1, 1]
+    * range, each reporting predicted mass (mean score) beside observed
+    * positive rate — the table calibration (Platt/isotonic) fits from,
+    * and the per-bin terms of expected calibration error (ECE).
+    *
+    * One scan, one 10-group aggregate. The bin id derives from the
+    * 6dp-ROUNDED score (floor on an exact decimal — no cross-engine
+    * boundary risk); mean scores ride the decimal grid, rates are
+    * exact-integer divisions. */
+  def q168CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val wv = Array.tabulate(64)(i => (((i * 7919 + 13) % 97 - 48) / 64.0).toFloat)
+    val wn = math.sqrt(wv.map(x => x.toDouble * x.toDouble).sum)
+    val scored = Tables.embeddings(s, dir)
+      .select((col("label") % 2).cast("long").as("pos"),
+        round(vecDot(col("embedding"), typedlit(wv)) /
+          (vecNorm(col("embedding")) * lit(wn)), 6).as("score"))
+    scored
+      .select(col("pos"), col("score"),
+        least(floor((col("score") + 1) * 5), lit(9.0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        graft.Oracle.lsum(col("pos")).as("n_pos"),
+        round(graft.Oracle.dsum(col("score")) / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val q168Sql: String =
+    """WITH w AS (
+      |  SELECT list_transform(range(0, 64),
+      |    i -> CAST(((i * 7919 + 13) % 97 - 48) / 64.0 AS FLOAT)) AS wv),
+      |wn AS (SELECT sqrt(list_sum(list_transform(wv,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS wn FROM w),
+      |sc AS (
+      |  SELECT label % 2 AS pos,
+      |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(wv[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |         * wn), 6) AS score
+      |  FROM embeddings, w, wn)
+      |SELECT CAST(LEAST(floor((score + 1) * 5), 9) AS BIGINT) AS bin,
+      |  COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_score,
+      |  round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q163 — k-center coreset selection (Gonzalez greedy farthest-first)
 
   /** Greedy farthest-first traversal (Gonzalez 1985): pick the point

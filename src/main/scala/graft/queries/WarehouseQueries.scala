@@ -670,6 +670,134 @@ object WarehouseQueries {
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q169 — chi-square independence audit (segment × conversion)
+
+  /** Pearson chi-square contingency terms for market segment ×
+    * purchase conversion — the independence test a feature-selection
+    * pass runs before trusting q160's WOE table (a high IV with a tiny
+    * chi-square is noise). Per segment: observed counts, the
+    * independence-expected count, and the segment's additive χ²
+    * contribution (both cell terms); Σ of the column is the statistic
+    * at |segments|−1 dof.
+    *
+    * Same fact→dimension join and 5-group aggregate as q160 (one scan,
+    * one tiny totals broadcast). Expected counts are formed as
+    * (rowtot·coltot)/n in DOUBLE — exact-integer inputs, one correctly-
+    * rounded op each, identical cross-engine; terms round at 6dp. */
+  def q169ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      (col("event_type") === "purchase").cast("long").as("pos"))
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val per = ev.join(seg, "user_id")
+      .groupBy(col("segment"))
+      .agg(graft.Oracle.lsum(col("pos")).as("n_pos"),
+        graft.Oracle.lsum(lit(1L) - col("pos")).as("n_neg"))
+    val tot = per.agg(graft.Oracle.lsum(col("n_pos")).as("tp"),
+      graft.Oracle.lsum(col("n_neg")).as("tn"))
+    val rt = (col("n_pos") + col("n_neg")).cast("double")
+    val n = (col("tp") + col("tn")).cast("double")
+    val ep = rt * col("tp") / n
+    val en = rt * col("tn") / n
+    per.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_pos"), col("n_neg"),
+        round(ep, 4).as("exp_pos"),
+        round((col("n_pos") - ep) * (col("n_pos") - ep) / ep +
+          (col("n_neg") - en) * (col("n_neg") - en) / en, 6).as("chi2_term"))
+      .orderBy(col("segment"))
+  }
+
+  val q169Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |per AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      |  FROM ev JOIN customer ON user_id = c_custkey
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+      |               CAST(SUM(n_neg) AS BIGINT) AS tn FROM per)
+      |SELECT segment, n_pos, n_neg,
+      |  round(CAST(n_pos + n_neg AS DOUBLE) * tp / (tp + tn), 4) AS exp_pos,
+      |  round((n_pos - CAST(n_pos + n_neg AS DOUBLE) * tp / (tp + tn))
+      |      * (n_pos - CAST(n_pos + n_neg AS DOUBLE) * tp / (tp + tn))
+      |      / (CAST(n_pos + n_neg AS DOUBLE) * tp / (tp + tn))
+      |    + (n_neg - CAST(n_pos + n_neg AS DOUBLE) * tn / (tp + tn))
+      |      * (n_neg - CAST(n_pos + n_neg AS DOUBLE) * tn / (tp + tn))
+      |      / (CAST(n_pos + n_neg AS DOUBLE) * tn / (tp + tn)), 6) AS chi2_term
+      |FROM per CROSS JOIN tot ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q170 — per-source distribution drift (exact Kolmogorov-Smirnov D)
+
+  /** Exact two-sample KS statistic per source against the corpus:
+    * D_s = max_v |F_s(v) − F(v)| over document lengths — the drift
+    * monitor that flags a source whose length profile diverged from
+    * the corpus (truncation bugs, boilerplate injection, crawler
+    * changes), with the length at which the gap peaks.
+    *
+    * Scale: CDFs live on the (source, distinct-value) histogram — the
+    * value DOMAIN (n_chars) is bounded, so the cumulative windows run
+    * over domain-sized aggregates, never over documents (the q152
+    * metadata/data distinction: per-source partitions are domain-sized;
+    * rows never funnel through one task). D compares exact integer
+    * cumulative counts as single divisions; argmax ties break on the
+    * smaller length. */
+  def q170KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val perSrc = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val glob = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cg"))
+    val ns = perSrc.groupBy(col("source")).agg(graft.Oracle.lsum(col("c")).as("n_src"))
+    val nTot = glob.agg(graft.Oracle.lsum(col("cg")).as("n_tot"))
+    // per-source grid: every (source, global value) cell, 0 where absent,
+    // so both CDFs step at every global value
+    val grid = ns.crossJoin(glob.select(col("v"), col("cg")))
+      .join(perSrc, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("v"))
+    val cum = grid
+      .withColumn("cs", sum(col("c")).over(bySrc))
+      .withColumn("cgs", sum(col("cg")).over(bySrc))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("v"), col("n_src"),
+        round(abs(col("cs").cast("double") / col("n_src") -
+          col("cgs").cast("double") / col("n_tot")), 6).as("d"))
+    cum.groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        max_by(struct(col("d"), col("v")), struct(col("d"), -col("v"))).as("m"))
+      .select(col("source"), col("n_docs"),
+        col("m.d").as("ks_d"), col("m.v").as("at_length"))
+      .orderBy(col("source"))
+  }
+
+  val q170Sql: String =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |ps AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |g AS (SELECT v, COUNT(*) AS cg FROM d GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM ps GROUP BY 1),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d),
+      |grid AS (
+      |  SELECT ns.source, g.v, ns.n_src, g.cg, COALESCE(ps.c, 0) AS c
+      |  FROM ns CROSS JOIN g
+      |  LEFT JOIN ps ON ps.source = ns.source AND ps.v = g.v),
+      |cum AS (
+      |  SELECT source, v, n_src,
+      |    round(abs(CAST(SUM(c) OVER w AS DOUBLE) / n_src
+      |            - CAST(SUM(cg) OVER w AS DOUBLE) / nt.n_tot), 6) AS d
+      |  FROM grid CROSS JOIN nt
+      |  WINDOW w AS (PARTITION BY source ORDER BY v)),
+      |rk AS (
+      |  SELECT source, n_src, v, d, ROW_NUMBER() OVER
+      |    (PARTITION BY source ORDER BY d DESC, v) AS rn
+      |  FROM cum)
+      |SELECT source, n_src AS n_docs, d AS ks_d, v AS at_length
+      |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q164 — association rules (support / confidence / lift)
 
   /** Directed association rules A→B over order baskets with the three

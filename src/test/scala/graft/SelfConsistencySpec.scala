@@ -259,6 +259,49 @@ class SelfConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("q166 MMR: first pick is max-relevance, scores non-increasing, picks distinct") {
+    val rows = VectorQueries.q166MmrRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == 5)
+    // rank 1 has no diversity penalty yet: mmr = rel/2 exactly
+    assert(rows.head._4 == 0.5 * rows.head._3,
+      s"first pick must score λ·rel: ${rows.head}")
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      s"greedy MMR scores must be non-increasing: ${rows.map(_._4).mkString(", ")}")
+    assert(rows.map(_._2).distinct.length == 5, "picks must be distinct")
+  }
+
+  test("q167: per-fold AUC is a proper probability and folds partition the table") {
+    val rows = VectorQueries.q167FoldAuc(spark, dir).collect()
+    assert(rows.length == 5)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == Tables.embeddings(spark, dir).count(),
+      "folds must partition the embedding table")
+    rows.foreach { r =>
+      val auc = r.getDouble(3)
+      assert(auc >= 0.0 && auc <= 1.0, s"fold ${r.getLong(0)}: AUC $auc out of [0,1]")
+    }
+  }
+
+  test("q168: calibration bins partition the table, rates and means in range") {
+    val rows = VectorQueries.q168CalibrationBins(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q170: KS statistic is a proper sup-norm (in [0,1], zero only if identical)") {
+    val rows = WarehouseQueries.q170KsDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDouble(2)
+      assert(d >= 0.0 && d <= 1.0, s"source ${r.getString(0)}: D=$d out of [0,1]")
+    }
+  }
+
   test("q149 cohesion audit: complete pairsets, min bounds mean") {
     val rows = VectorQueries.q149ClusterCohesion(spark, dir).collect()
     assert(rows.nonEmpty)
