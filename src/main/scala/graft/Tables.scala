@@ -31,16 +31,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * raw nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong, set in
-    * Verify/Bench/tests). Normalize to a true TimestampType (µs) here so
-    * every query sees the same column DuckDB sees — DuckDB also truncates
-    * ns → µs on read. */
+  /** events.ts arrives in whatever physical shape the driver's generator
+    * last wrote: TIMESTAMP(NANOS) parquet (Spark reads a raw nanos BIGINT
+    * under spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench/tests)
+    * or TIMESTAMP(MICROS) without the UTC-adjusted flag (Spark reads
+    * TIMESTAMP_NTZ). Normalize both to a true TimestampType (µs) here so
+    * every query — unix_millis arithmetic, streaming watermarks — sees the
+    * same column DuckDB sees. All sessions run with UTC session timezone,
+    * so the NTZ→LTZ cast is wall-clock-identical to DuckDB's naive read. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -132,9 +132,13 @@ object StreamPipeline {
     val raw = s.readStream.schema(batchSchema)
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
-    val ev = raw.schema("ts").dataType match { // nanos-as-long parquet (TESTDATA.md)
+    // Normalize ts like Tables.events: nanos-as-long parquet or µs
+    // TIMESTAMP_NTZ (TESTDATA.md) → TimestampType, so watermarks accept it.
+    val ev = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
     (ev, streamDir.toString)
