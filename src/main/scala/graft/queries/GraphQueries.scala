@@ -295,6 +295,58 @@ object GraphQueries {
       .limit(30)
   }
 
+  // ---------------------------------------------------------------------
+  // q186 — k-core decomposition (iterative peeling, fixed rounds)
+
+  /** The 3-core of the bulk co-purchase graph by synchronous peeling:
+    * each round restricts edges to current survivors, recounts degrees,
+    * and drops nodes under k — after enough rounds the survivor set is
+    * the k-core (maximal subgraph of min degree ≥ k). Rounds are a
+    * fixed constant (8) with the fixed point asserted in GraphSpec (one
+    * extra round changes nothing at test scale), mirroring the LPA/CC
+    * bounded-round stance; each round is one semi-join + one aggregate,
+    * localCheckpoint'd so lineage stays flat. Peeling is the
+    * shuffle-bounded distributed form (Montresor et al. 2013);
+    * per-round cost is O(|E|) with no skew amplification — degrees are
+    * per-node counts, never wedges. */
+  def q186KCore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val sym = symEdges(s, dir)
+    var nodes = sym.select(col("src").as("v")).distinct().localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      nodes = sym
+        .join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("v"))
+        .localCheckpoint(true)
+    }
+    sym.join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg_in_core"))
+      .select(col("src").as("node"), col("deg_in_core"))
+      .orderBy(col("node"))
+  }
+
+  val q186Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT sym.src AS v FROM sym
+         |  JOIN $prev x ON sym.src = x.v JOIN $prev y ON sym.dst = y.v
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+    val rounds = (1 to 8).map(i =>
+      round(if (i == 1) "n0" else s"n${i - 1}", s"n$i")).mkString(",\n")
+    s"""WITH $edgesCteSql,
+      |sym AS (SELECT a AS src, b AS dst FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |n0 AS (SELECT DISTINCT src AS v FROM sym),
+      |$rounds
+      |SELECT sym.src AS node, COUNT(*) AS deg_in_core
+      |FROM sym JOIN n8 x ON sym.src = x.v JOIN n8 y ON sym.dst = y.v
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val q153Sql: String = {
     // one LPA round as SQL: neighbor-label counts + ROW_NUMBER argmax
     def round(prev: String, out: String): String =

@@ -431,6 +431,71 @@ object StreamPipeline {
       |  AND pms BETWEEN cms AND cms + 3600000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q187 — stream-stream LEFT OUTER interval join with a REAL
+    * watermark (1 hour): purchases that see no click in the preceding
+    * hour are emitted with nulls once the watermark proves no match
+    * can still arrive. This is the semantics q99 deliberately avoids
+    * (its gate watermark evicts nothing, so outer rows would never
+    * emit) — here the watermark DOES advance, and the oracle models
+    * the engine's eviction rule exactly: an unmatched purchase is
+    * emitted iff p_ts < min(max p_ts, max c_ts) − 1h (the final
+    * event-time watermark after the AvailableNow replay's closing
+    * no-data batch; StreamingSpec pins this boundary against a batch
+    * recompute). Matched pairs emit unconditionally. The replay is a
+    * single file → a single data batch, so no input is ever dropped
+    * as late — the watermark only governs outer-row emission. */
+  def q187StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.Oracle.dsum
+    val (ev, streamDir) = replayEvents(s, dir, "q187")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    runStaged(s, "q187", streamDir, (outDir, ck) =>
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("p_user").as("user_id"), col("value"), col("c_ts"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .start())
+      .groupBy(col("user_id"))
+      .agg(count(col("c_ts")).as("n_pairs_matched"),
+        graft.Oracle.lsum(col("c_ts").isNull.cast("long")).as("n_unmatched"),
+        dsum(when(col("c_ts").isNull, col("value")).otherwise(lit(0.0)))
+          .as("unmatched_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q187Sql: String =
+    s"""WITH p AS (SELECT user_id, epoch_ms(ts) AS pms, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_ms(ts) AS cms FROM events
+      |      WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST((SELECT MAX(pms) FROM p), (SELECT MAX(cms) FROM c))
+      |         - 3600000 AS w),
+      |j AS (
+      |  SELECT p.user_id, p.pms, p.value, c.cms
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.cms BETWEEN p.pms - 3600000 AND p.pms)
+      |SELECT user_id, COUNT(cms) AS n_pairs_matched,
+      |  CAST(SUM(CASE WHEN cms IS NULL AND pms < w THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unmatched,
+      |  ${graft.Oracle.dsumSql(
+           "CASE WHEN cms IS NULL AND pms < w THEN value ELSE 0.0 END")}
+      |    AS unmatched_value
+      |FROM j CROSS JOIN wm
+      |WHERE cms IS NOT NULL OR pms < w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q92Sql: String =
     """WITH d AS (
       |  SELECT user_id, epoch_ms(ts) AS ms,

@@ -165,6 +165,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(1L))
   }
 
+  test("q187 left-outer join equals the batch recompute under the watermark eviction rule") {
+    val got = graft.streaming.StreamPipeline
+      .q187StreamLeftJoin(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("user_id", "event_type", "unix_millis(ts) as ms", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val p = ev.filter(_._2 == "purchase"); val c = ev.filter(_._2 == "click")
+    val wm = math.min(p.map(_._3).max, c.map(_._3).max) - 3600000L
+    val want = p.groupBy(_._1).flatMap { case (u, ps) =>
+      val cs = c.filter(_._1 == u).map(_._3)
+      val matched = ps.map(pp =>
+        cs.count(cm => cm >= pp._3 - 3600000L && cm <= pp._3)).sum
+      val unmatched = ps.count(pp =>
+        !cs.exists(cm => cm >= pp._3 - 3600000L && cm <= pp._3) && pp._3 < wm)
+      if (matched + unmatched > 0) Some(u -> (matched.toLong, unmatched.toLong))
+      else None
+    }
+    assert(got == want.toMap)
+    // the outer path is genuinely exercised
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("flatMapGroupsWithState sessions merge across batches and flush on event-time timeout") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
