@@ -395,8 +395,10 @@ object AnalyticsQueries {
     val byT = durs.groupBy(col("t"))
       .agg(Oracle.lsum(col("e")).as("d_t"),
         (count(lit(1)) - Oracle.lsum(col("e"))).as("c_t"))
-    // suffix sum (risk set) and prefix product via bounded self-joins
-    val risk = byT.as("a").join(byT.as("b"), col("b.t") >= col("a.t"))
+    // suffix sum (risk set) and prefix product via bounded self-joins;
+    // the day table is ≤ observation-days rows at ANY scale, so the
+    // inner side broadcasts (BNLJ on a bounded side, never cartesian)
+    val risk = byT.as("a").join(broadcast(byT.as("b")), col("b.t") >= col("a.t"))
       .groupBy(col("a.t").as("t"), col("a.d_t").as("d_t"))
       .agg(Oracle.lsum(col("b.d_t") + col("b.c_t")).as("n_t"))
     val terms = risk.filter(col("d_t") > 0)
@@ -405,7 +407,7 @@ object AnalyticsQueries {
           log((col("n_t") - col("d_t")).cast("double") / col("n_t")))
           .otherwise(lit(0.0)).as("lnterm"),
         (col("n_t") === col("d_t")).cast("long").as("zero"))
-    terms.as("a").join(terms.as("b"), col("b.t") <= col("a.t"))
+    terms.as("a").join(broadcast(terms.as("b")), col("b.t") <= col("a.t"))
       .groupBy(col("a.t").as("t_days"), col("a.n_t").as("n_risk"),
         col("a.d_t").as("n_events"))
       .agg((max(col("b.zero")) === 0).as("pos"),
@@ -589,7 +591,7 @@ object AnalyticsQueries {
     val means = reps.groupBy(col("b"))
       .agg(round(Oracle.lsum(col("m") * col("yc")).cast("double") /
         Oracle.lsum(col("m")), 6).as("mean_c"))
-    val ranked = means.as("a").join(means.as("b2"),
+    val ranked = means.as("a").join(broadcast(means.as("b2")),
         col("b2.mean_c") < col("a.mean_c") ||
           (col("b2.mean_c") === col("a.mean_c") && col("b2.b") <= col("a.b")))
       .groupBy(col("a.b").as("b"), col("a.mean_c").as("mean_c"))

@@ -369,6 +369,66 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** SinglePartition exchanges whose consumer is NOT a keyless (scalar)
+    * aggregate — a scalar agg's final stage legitimately gathers ONE
+    * pre-reduced row per map partition (bounded by the cluster, not the
+    * data); anything else on a single partition is the 100 TB killer. */
+  private def unboundedSinglePartition(p: String): Seq[String] = {
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .flatMap { case (l, i) =>
+        // consumer is printed ABOVE the exchange, its child below — and
+        // AQE can interleave ShuffleQueryStage/AQEShuffleRead wrappers;
+        // scan a small window both ways for the bounded-aggregate marks
+        val window = lines.slice(math.max(0, i - 2), math.min(lines.size, i + 4))
+        val scalarAgg = window.exists(n => n.contains("Aggregate(keys=[]") ||
+          n.contains("Aggregate(key=[]"))
+        // Ranks' bucket-counts gather: ≤ buckets rows (cluster-sized,
+        // part of the sketch-ranking design), keyed by __b
+        val bucketCounts = window.exists(_.contains("Aggregate(keys=[__b"))
+        if (scalarAgg || bucketCounts) None
+        else Some(window.mkString("\n"))
+      }
+  }
+
+  test("round-6 tiers: no data-sized single-partition exchange, no O(n^2) join shape") {
+    // q180/q190/q197 route global order through Ranks (sketch buckets);
+    // q171's EWMA is a bounded fan-out + hash agg, never a self-range-join;
+    // q196's risk sets are bounded self-joins on the per-day aggregate.
+    for (q <- Seq(
+        TimeSeriesQueries.q171Ewma _,
+        TimeSeriesQueries.q174Cusum _,
+        MlQueries.q178SplitGain _,
+        MlQueries.q180PrCurve _,
+        StatsQueries.q183ZipfTtr _,
+        StatsQueries.q190RfmSegments _,
+        AnalyticsQueries.q191MutualInfo _,
+        AnalyticsQueries.q196KaplanMeier _,
+        AnalyticsQueries.q197Gini _)) {
+      val p = plan(q(spark, dir))
+      assert(unboundedSinglePartition(p).isEmpty,
+        unboundedSinglePartition(p).mkString("\n"))
+      assert(!p.contains("CartesianProduct"), "cartesian in round-6 plan")
+    }
+  }
+
+  test("q177 naive Bayes: model tables broadcast; no cartesian on the token side") {
+    val p = plan(MlQueries.q177NaiveBayes(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(unboundedSinglePartition(p).isEmpty,
+      unboundedSinglePartition(p).mkString("\n"))
+  }
+
+  test("q199 bootstrap: single-partition stages are scalar aggregates only") {
+    // the crossJoin with range(100) is an intentional bounded fan-out
+    // (documented); the means rank join is 100x100 - also bounded
+    val p = plan(AnalyticsQueries.q199Bootstrap(spark, dir))
+    assert(unboundedSinglePartition(p).isEmpty,
+      unboundedSinglePartition(p).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first, then inspect.
