@@ -329,6 +329,55 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  // ---------------------------------------------------------------------
+  // q201 — weighted single-source shortest paths (bounded Bellman–Ford)
+
+  /** Weighted SSSP from the lowest-id node over the co-purchase graph
+    * with a deterministic integer edge weight (1 + (31a+17b) mod 9 —
+    * a synthetic latency; real deployments carry a weight column).
+    * Six synchronous Bellman–Ford relaxation rounds: each round is one
+    * join (frontier ⋈ edges) + one min-aggregate, localCheckpoint'd —
+    * the bounded-round stance of q143/q153/q186, here with WEIGHTED
+    * distances (q143 is unweighted hop counts). Paths longer than six
+    * edges stay at their best-so-far bound, exactly like the oracle's
+    * six unrolled rounds. Integer arithmetic throughout. */
+  def q201WeightedSssp(s: SparkSession, dir: String): DataFrame = {
+    val sym = symEdges(s, dir)
+      .withColumn("w", lit(1) + pmod(col("src") * 31 + col("dst") * 17, lit(9)))
+    val src0 = sym.agg(min(col("src")).as("v"))
+    var dist = src0.select(col("v"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val relaxed = sym
+        .join(dist.select(col("v").as("src"), col("d")), "src")
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+        .unionByName(dist)
+      dist = relaxed.groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("v").as("node"), col("d").as("dist"))
+      .orderBy(col("dist"), col("node")).limit(30)
+  }
+
+  val q201Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT v, MIN(d) AS d FROM (
+         |    SELECT sym.dst AS v, p.d + sym.w AS d
+         |    FROM sym JOIN $prev p ON sym.src = p.v
+         |    UNION ALL SELECT v, d FROM $prev) u
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to 6).map(i =>
+      round(if (i == 1) "d0" else s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH $edgesCteSql,
+      |sym0 AS (SELECT a AS src, b AS dst FROM e
+      |         UNION ALL SELECT b, a FROM e),
+      |sym AS (SELECT src, dst, 1 + (src * 31 + dst * 17) % 9 AS w FROM sym0),
+      |d0 AS (SELECT MIN(src) AS v, CAST(0 AS BIGINT) AS d FROM sym),
+      |$rounds
+      |SELECT v AS node, d AS dist FROM d6
+      |ORDER BY dist, node LIMIT 30""".stripMargin
+  }
+
   val q186Sql: String = {
     def round(prev: String, out: String): String =
       s"""$out AS (

@@ -431,6 +431,105 @@ object StreamPipeline {
       |  AND pms BETWEEN cms AND cms + 3600000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  final case class TopkEvent(event_type: String, user_id: Long,
+    ts: java.sql.Timestamp)
+  final case class TopkState(counts: Map[Long, Long], errs: Map[Long, Long])
+  final case class TopkOut(event_type: String, user_id: Long,
+    cnt: Long, err: Long)
+
+  /** Space-Saving fold for [[q205StreamingTopk]]: bounded-capacity
+    * per-key counting (Metwally et al. 2005). While distinct keys stay
+    * under capacity the counts are EXACT (err = 0 for every entry);
+    * past capacity the evicted minimum's count seeds the newcomer and
+    * is recorded as its error bound — the standard sketch guarantee.
+    * Eviction tie-break (count, user asc) keeps the in-capacity regime
+    * fully deterministic; the over-capacity regime depends on arrival
+    * order and is flagged by err > 0. */
+  private[graft] def topkFold(cap: Int)(key: String,
+      rows: Iterator[TopkEvent], state: GroupState[TopkState]): Iterator[TopkOut] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      st.counts.iterator.map { case (u, c) =>
+        TopkOut(key, u, c, st.errs.getOrElse(u, 0L))
+      }
+    } else {
+      var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+      var errs = state.getOption.map(_.errs).getOrElse(Map.empty[Long, Long])
+      rows.foreach { r =>
+        val u = r.user_id
+        counts.get(u) match {
+          case Some(c) => counts = counts.updated(u, c + 1)
+          case None if counts.size < cap =>
+            counts = counts.updated(u, 1L)
+          case None =>
+            val (mu, mc) = counts.minBy { case (k2, c2) => (c2, k2) }
+            counts = counts - mu + (u -> (mc + 1))
+            errs = errs - mu + (u -> mc)
+        }
+      }
+      state.update(TopkState(counts, errs))
+      // fires in the first batch whose watermark passed this one — with
+      // the 0s-delay watermark that is the closing no-data batch; if the
+      // replay splits into several data batches, each flush emits the
+      // state SO FAR and the batch-side merge re-sums (Space-Saving is
+      // mergeable by count addition while exact)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      Iterator.empty
+    }
+  }
+
+  /** q205 — stateful streaming top-k: per event type, the top-3 users
+    * by event count, maintained in flatMapGroupsWithState as a
+    * capacity-256 Space-Saving summary and flushed on event-time
+    * timeout (the q92 watermark-0s close-out). State is CAPACITY-
+    * bounded, not cardinality-bounded — the point of the sketch at
+    * 100 TB; at the gate scales distinct users ≪ capacity so every
+    * count is exact and the DuckDB oracle is a plain count-rank.
+    * Flush generations merge batch-side by count addition before the
+    * final rank, so a multi-batch replay yields the identical answer. */
+  def q205StreamingTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ev, streamDir) = replayEvents(s, dir, "q205")
+    val staged = runStaged(s, "q205", streamDir, (outDir, ck) =>
+      ev.withWatermark("ts", "0 seconds")
+        .select(col("event_type"), col("user_id"), col("ts")).as[TopkEvent]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState[TopkState, TopkOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          topkFold(256))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .start())
+    val merged = staged.groupBy(col("event_type"), col("user_id"))
+      .agg(graft.Oracle.lsum(col("cnt")).as("cnt"),
+        graft.Oracle.lsum(col("err")).as("err"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("user_id"), col("cnt"),
+        col("err"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val q205Sql: String =
+    """WITH counts AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, user_id, cnt,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY cnt DESC, user_id ASC) AS rk
+      |  FROM counts)
+      |SELECT event_type, rk, user_id, cnt, CAST(0 AS BIGINT) AS err
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY event_type, rk""".stripMargin
+
   /** q187 — stream-stream LEFT OUTER interval join with a REAL
     * watermark (1 hour): purchases that see no click in the preceding
     * hour are emitted with nulls once the watermark proves no match

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{AppliedQueries, GraphQueries}
+
+/** Round-6 applied tier (q201–q208). */
+class AppliedSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("q201 distances match a local 6-round Bellman-Ford replay") {
+    val got = GraphQueries.q201WeightedSssp(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = e.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+      .map { case (s0, d0) => (s0, d0, 1 + java.lang.Math.floorMod(s0 * 31 + d0 * 17, 9L)) }
+    val src = sym.map(_._1).min
+    var dist = Map(src -> 0L)
+    (1 to 6).foreach { _ =>
+      val relaxed = sym.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w))
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val want = dist.toSeq.sortBy(t => (t._2, t._1)).take(30).toMap
+    assert(got == want)
+  }
+
+  test("q202 attribution conserves value under both models") {
+    val rows = AppliedQueries.q202Attribution(spark, dir).collect()
+    val lin = rows.map(_.getDouble(2)).sum
+    val posv = rows.map(_.getDouble(3)).sum
+    // both models split each attributed purchase's full value
+    assert(math.abs(lin - posv) < 0.1, s"$lin vs $posv")
+    // and the total equals the sum of attributed purchases' values
+    val ev = Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_millis(ts) as ms", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val clicks = ev.filter(_._3 == "click")
+    val want = ev.filter(_._3 == "purchase").filter { p =>
+      clicks.exists(c => c._2 == p._2 && c._4 >= p._4 - 3600000L && c._4 <= p._4)
+    }.map(_._5).sum
+    assert(math.abs(lin - want) < 0.1, s"$lin vs $want")
+  }
+
+  test("q203 stage percentiles are ordered p25 <= p50 <= p75") {
+    val rows = AppliedQueries.q203FunnelDurations(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4), s"$r")
+    }
+  }
+
+  test("q204 CSV round-trip is byte-faithful at spec scale") {
+    val r = AppliedQueries.q204CsvRoundtrip(spark, dir).collect().head
+    assert(r.getLong(0) == r.getLong(1)) // written == read
+    assert(r.getLong(2) == 0, "CSV round-trip mismatches")
+  }
+
+  test("q205 streaming top-k equals the batch rank with zero sketch error") {
+    val got = graft.streaming.StreamPipeline.q205StreamingTopk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    got.foreach(t => assert(t._5 == 0, s"sketch error at spec scale: $t"))
+    val want = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (t, i + 1, r._2, r._3, 0L) }
+      }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("q206 rank columns are permutations of 1..N over the scored docs") {
+    val rows = AppliedQueries.q206RankFusion(spark, dir).collect()
+    assert(rows.length == 20)
+    // top-20 RRF ranks are distinct and >= 1
+    val ras = rows.map(_.getLong(1)); val rbs = rows.map(_.getLong(2))
+    assert(ras.distinct.length == 20 && rbs.distinct.length == 20)
+    assert(ras.forall(_ >= 1) && rbs.forall(_ >= 1))
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q207 closed-form backlog equals the sequential Lindley recursion") {
+    val got = AppliedQueries.q207LindleyBacklog(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    val hourly = Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_millis(ts) div 3600000 as h")
+      .groupBy("event_type", "h").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, rows) =>
+      val ser = rows.sortBy(_._2)
+      val n = ser.length; val s = ser.map(_._3).sum
+      var w = 0L; var best = (0L, 0L)
+      ser.foreach { case (_, h, c) =>
+        w = math.max(0L, w + n * c - s) // drift scaled by n, like the query
+        if (w > best._1) best = (w, h)
+      }
+      val (gPeak, gHour) = got(t)
+      assert(math.abs(gPeak - best._1.toDouble / n) < 1e-4, s"$t")
+      assert(gHour == best._2, s"$t hour")
+    }
+  }
+
+  test("q208 draws exactly the allocated count per stratum, budget ~500") {
+    val rows = AppliedQueries.q208NeymanSample(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4), s"allocated != sampled: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"allocation exceeds stratum: $r")
+    }
+    // capped allocations can undershoot on tiny strata; never overshoot
+    val total = rows.map(_.getLong(3)).sum
+    assert(total <= 503, s"budget overshoot: $total")
+  }
+}
