@@ -215,6 +215,65 @@ object Ranks {
         col("__n"))
   }
 
+  /** Exact per-group WEIGHTED lower quantiles (type-1): the smallest
+    * value whose cumulative weight reaches (num/den)·W — e.g. the
+    * weighted median at (1, 2) — computed WITHOUT data-sized window
+    * partitions. The missing piece over [[exactGroupQuantiles]] is the
+    * cumulative-WEIGHT prefix, which a plain per-group window would
+    * serialize into one task per group; here it decomposes exactly like
+    * the ranks do: global sketch cutpoints bucket the value axis, each
+    * (group, bucket) cell's weight aggregates cluster-sized, per-group
+    * bucket offsets prefix-sum over ≤ B rows, and the within-cell
+    * prefix runs in a bucket-bounded window. cum(row) = offset + local
+    * prefix is exact, so the target test den·cum ≥ num·W is pure
+    * integer arithmetic — no FP in the selection at all.
+    *
+    * Returns long-form (`__grp`, `__target`, `__q`, `__W`). Targets are
+    * exact fractions (name, num, den). Weights must be nonnegative
+    * integers (cast to long). */
+  def weightedGroupQuantiles(df: DataFrame, group: Column, value: Column,
+      weight: Column, tiebreak: Column,
+      targets: Seq[(String, Int, Int)]): DataFrame = {
+    val s = df.sparkSession
+    val base = df.select(group.as("__grp"), value.as("__v"),
+      weight.cast("long").as("__w"), tiebreak.as("__t"))
+    val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val buckets = 2 * parts
+    val ps = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val cutRows = base.select(
+      percentile_approx(col("__v"), array(ps: _*), lit(2000)).as("c")).collect()
+    val cuts: Seq[Double] =
+      if (cutRows.isEmpty || cutRows(0).isNullAt(0)) Seq.empty
+      else cutRows(0).getSeq[Any](0).map(toD)
+    val distinctCuts = cuts.distinct.sorted.toIndexedSeq
+    val bucketed = base.withColumn("__b", bucketOf(col("__v"), distinctCuts))
+    val cellW = bucketed.groupBy(col("__grp"), col("__b"))
+      .agg(sum(col("__w")).as("__cw"))
+    val offs = cellW
+      .withColumn("__off", sum(col("__cw"))
+        .over(Window.partitionBy(col("__grp")).orderBy(col("__b"))) - col("__cw"))
+      .select(col("__grp"), col("__b"), col("__off"))
+    val totals = cellW.groupBy(col("__grp")).agg(sum(col("__cw")).as("__wtot"))
+    val wb = Window.partitionBy(col("__grp"), col("__b"))
+      .orderBy(col("__v").asc, col("__t").asc)
+    val cum = bucketed
+      .join(broadcast(offs), Seq("__grp", "__b"))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(wb))
+    val tg = targets.map { case (nm, num, den) =>
+      struct(lit(nm).as("t"), lit(num.toLong).as("num"), lit(den.toLong).as("den"))
+    }
+    val needs = totals.select(col("__grp"), col("__wtot"),
+        explode(array(tg: _*)).as("tp"))
+      .select(col("__grp"), col("__wtot"), col("tp.t").as("__target"),
+        col("tp.num").as("__num"), col("tp.den").as("__den"))
+    cum.join(broadcast(needs), "__grp")
+      .filter(col("__cum") * col("__den") >= col("__num") * col("__wtot"))
+      .groupBy(col("__grp"), col("__target"))
+      .agg(min(struct(col("__v"), col("__t"))).as("__m"),
+        first(col("__wtot")).as("__wtot"))
+      .select(col("__grp"), col("__target"), col("__m.__v").as("__q"), col("__wtot"))
+  }
+
   /** Bucket id (1-based) of `v` against ascending `cuts` — bucket i is
     * (cuts(i-2), cuts(i-1)]. Built as a BALANCED when/otherwise tree:
     * each row evaluates only its ⌈log₂ B⌉-deep path (a linear

@@ -337,6 +337,132 @@ object AppliedQueries {
       |FROM wv WHERE rk = 1 ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q209 — Markov chain entropy rate (stationary distribution in-plan)
+
+  /** Entropy rate of q124's user-journey Markov chain: transition
+    * probabilities from exact pair counts, the stationary distribution
+    * π by five power steps (π·P, each a 25-row join + aggregate on the
+    * q181/q194 1e-9 decimal grid), and H = Σᵢ πᵢ·(−Σⱼ pᵢⱼ ln pᵢⱼ).
+    * The chain is states×states — broadcast-sized at ANY data scale;
+    * the only data-sized work is the one pair-counting aggregate. */
+  def q209MarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(byTime))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy(col("src")).agg(Oracle.lsum(col("c")).as("rt"))
+    val p = pairs.join(broadcast(rowTot), "src")
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / col("rt")).as("p"))
+      .localCheckpoint(true)
+    val nStates = rowTot.count().toInt
+    var pi: DataFrame = rowTot.select(col("src").as("state"),
+      (lit(1.0) / nStates).as("x"))
+    for (_ <- 1 to 5) {
+      pi = p.join(broadcast(pi), col("src") === col("state"))
+        .groupBy(col("dst"))
+        .agg(round(Oracle.dsum(col("p") * col("x")), 9).as("x"))
+        .select(col("dst").as("state"), col("x"))
+    }
+    val rowH = p.groupBy(col("src").as("state"))
+      .agg(round(-Oracle.dsum(col("p") * log(col("p"))), 6).as("row_entropy"))
+    val joined = pi.join(broadcast(rowH), "state")
+    val rate = joined.agg(round(Oracle.dsum(col("x") * col("row_entropy")), 6)
+      .as("entropy_rate"))
+    joined.crossJoin(broadcast(rate))
+      .select(col("state"), round(col("x"), 6).as("pi"),
+        col("row_entropy"), col("entropy_rate"))
+      .orderBy(col("state"))
+  }
+
+  val q209Sql: String = {
+    def step(k: Int): String = {
+      val prev = if (k == 1) "pi0" else s"pi${k - 1}"
+      s"""pi$k AS (
+        |  SELECT p.dst AS state,
+        |    ROUND(${Oracle.dsumSql("p.p * v.x")}, 9) AS x
+        |  FROM p JOIN $prev v ON p.src = v.state GROUP BY 1)""".stripMargin
+    }
+    s"""WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS dst
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, dst, COUNT(*) AS c FROM seq WHERE dst IS NOT NULL
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rt FROM pairs GROUP BY 1),
+      |p AS (
+      |  SELECT pairs.src, pairs.dst, CAST(pairs.c AS DOUBLE) / rt.rt AS p
+      |  FROM pairs JOIN rt ON pairs.src = rt.src),
+      |ns AS (SELECT COUNT(*) AS n FROM rt),
+      |pi0 AS (SELECT src AS state, 1.0 / ns.n AS x FROM rt CROSS JOIN ns),
+      |${(1 to 5).map(step).mkString(",\n")},
+      |rowh AS (
+      |  SELECT src AS state,
+      |    ROUND(-${Oracle.dsumSql("p * ln(p)")}, 6) AS row_entropy
+      |  FROM p GROUP BY 1),
+      |j AS (
+      |  SELECT pi5.state, pi5.x, rowh.row_entropy
+      |  FROM pi5 JOIN rowh ON pi5.state = rowh.state),
+      |rate AS (
+      |  SELECT ROUND(${Oracle.dsumSql("x * row_entropy")}, 6) AS entropy_rate
+      |  FROM j)
+      |SELECT state, ROUND(x, 6) AS pi, row_entropy, rate.entropy_rate
+      |FROM j CROSS JOIN rate ORDER BY state""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q210 — distributed weighted quantiles (weighted median / p90)
+
+  /** Quantity-weighted price quantiles per order priority — "half the
+    * SHIPPED UNITS cost at most X" — via the new
+    * operators/Ranks.weightedGroupQuantiles: cumulative weights
+    * decompose over sketch buckets exactly like ranks do, so no
+    * data-sized window partition exists anywhere, and the quantile
+    * selection (den·cum ≥ num·W) is pure integer arithmetic. Targets:
+    * the weighted median (1/2) and weighted p90 (9/10), type-1 (lower)
+    * semantics mirrored by the oracle's cumulative filter. */
+  def q210WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("vc"),
+        col("l_quantity").cast("long").as("w"),
+        (col("l_orderkey") * 16 + col("l_linenumber")).as("tb"))
+    graft.operators.Ranks.weightedGroupQuantiles(
+        li, col("priority"), col("vc"), col("w"), col("tb"),
+        Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
+      .groupBy(col("__grp").as("priority"))
+      .agg(max(col("__wtot")).as("total_units"),
+        min(when(col("__target") === "wmedian", col("__q"))).as("wmedian_cents"),
+        min(when(col("__target") === "wp90", col("__q"))).as("wp90_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val q210Sql: String =
+    """WITH li AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc,
+      |    CAST(l_quantity AS BIGINT) AS w,
+      |    l_orderkey * 16 + l_linenumber AS tb
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |cum AS (
+      |  SELECT priority, vc, w,
+      |    SUM(w) OVER (PARTITION BY priority ORDER BY vc, tb) AS cw
+      |  FROM li),
+      |tot AS (SELECT priority, CAST(SUM(w) AS BIGINT) AS W FROM li GROUP BY 1)
+      |SELECT c.priority, MAX(t.W) AS total_units,
+      |  MIN(CASE WHEN 2 * c.cw >= t.W THEN c.vc END) AS wmedian_cents,
+      |  MIN(CASE WHEN 10 * c.cw >= 9 * t.W THEN c.vc END) AS wp90_cents
+      |FROM cum c JOIN tot t ON c.priority = t.priority
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q208 — Neyman-allocated stratified sampling
 
   /** Optimal (Neyman) allocation of a 500-row sample budget across

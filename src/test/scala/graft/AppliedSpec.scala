@@ -113,6 +113,45 @@ class AppliedSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 pi is a probability vector and the rate is a pi-mix of row entropies") {
+    val rows = AppliedQueries.q209MarkovEntropy(spark, dir).collect()
+    assert(rows.length == 5)
+    // five grid-rounded power steps + 6dp output rounding drift the sum
+    // by a few 1e-6 — the grid is the point (cross-engine identity), not
+    // exact stochasticity
+    val piSum = rows.map(_.getDouble(1)).sum
+    assert(math.abs(piSum - 1.0) < 1e-4, s"pi sums to $piSum")
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0)
+      // row entropy of a 5-state chain is within [0, ln 5]
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= math.log(5.0) + 1e-9)
+    }
+    val mix = rows.map(r => r.getDouble(1) * r.getDouble(2)).sum
+    assert(math.abs(rows.head.getDouble(3) - mix) < 1e-4)
+  }
+
+  test("q210 weighted quantiles equal a local cumulative-weight sweep") {
+    val got = AppliedQueries.q210WeightedQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority", "CAST(ROUND(l_extendedprice*100) AS BIGINT) vc",
+        "CAST(l_quantity AS BIGINT) w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (pr, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val wTot = sorted.map(_._3).sum
+      def pick(num: Long, den: Long): Long = {
+        var cum = 0L
+        sorted.find { r => cum += r._3; cum * den >= num * wTot }.get._2
+      }
+      val (gw, gmed, gp90) = got(pr)
+      assert(gw == wTot)
+      assert(gmed == pick(1, 2), s"$pr median")
+      assert(gp90 == pick(9, 10), s"$pr p90")
+    }
+  }
+
   test("q208 draws exactly the allocated count per stratum, budget ~500") {
     val rows = AppliedQueries.q208NeymanSample(spark, dir).collect()
     assert(rows.length == 5)
