@@ -405,7 +405,11 @@ class PlanSpec extends AnyFunSuite {
         StatsQueries.q190RfmSegments _,
         AnalyticsQueries.q191MutualInfo _,
         AnalyticsQueries.q196KaplanMeier _,
-        AnalyticsQueries.q197Gini _)) {
+        AnalyticsQueries.q197Gini _,
+        AppliedQueries.q202Attribution _,
+        AppliedQueries.q206RankFusion _,
+        AppliedQueries.q208NeymanSample _,
+        AppliedQueries.q210WeightedQuantiles _)) {
       val p = plan(q(spark, dir))
       assert(unboundedSinglePartition(p).isEmpty,
         unboundedSinglePartition(p).mkString("\n"))
