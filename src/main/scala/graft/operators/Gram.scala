@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Gram / second-moment matrix A = Σ x·xᵀ over a vector
+  * column — the kernel under PCA, whitening, and ridge solves.
+  *
+  * The declarative form (double `posexplode` → groupBy(i, j) → decimal
+  * sum) is correct and map-side-combining, but materializes n·d(d+1)/2
+  * expression evaluations through non-vectorized decimal casts —
+  * measured 48 s at 200k×64 (10× stress). This kernel computes the
+  * SAME result — bit-identical, not approximately — by accumulating
+  * per-partition partials in a primitive long array on the exact 1e-6
+  * grid that `Oracle.dsum` defines:
+  *
+  *   dsum(xy) = Σ HALF_UP(xy, 6dp)  ≡  (Σ round₆(xy)·10⁶) / 10⁶
+  *
+  * Per element it rounds x_i·x_j half-up at 1e-6 into a long (exact
+  * while |Σ| ≤ 2⁵³/10⁶ ≈ 9e9 — embeddings are unit-scale, so the bound
+  * holds to ~10¹⁰ rows), adds into a d(d+1)/2 triangle accumulator,
+  * and emits ONE row per partition per cell; a final tiny aggregate
+  * merges partitions. Grid-then-add is associative and commutative in
+  * exact integers, so the result is independent of partition count,
+  * row order, and merge order — the whole point of the grid.
+  *
+  * `mapPartitions` is justified here by the repo's own preference
+  * order: no built-in expresses "d² running sums per partition"
+  * without materializing the d² row blowup.
+  */
+object Gram {
+
+  /** Half-up decimal rounding of v at 1e-6, as the scaled long —
+    * exactly BigDecimal.setScale(6, HALF_UP) for EVERY finite double.
+    * The fast path rounds the scaled double to the nearest integer,
+    * which is only unsafe when v·10⁶ sits within the double-rounding
+    * error of a .5 boundary (the scaled product can cross the boundary
+    * the exact decimal expansion is on the other side of); a 1e-3
+    * guard band — 10⁷× wider than the ≤1e-10 scaling error — routes
+    * those rare elements through the exact BigDecimal path, so the
+    * hybrid is bit-identical to dsum's decimal cast at ~primitive
+    * speed. */
+  private[graft] def grid6(v: Double): Long = {
+    val s = v * 1e6
+    val f = s - Math.floor(s)
+    if (Math.abs(f - 0.5) < 1e-3)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(6).longValueExact()
+    else Math.rint(s).toLong // no .5 tie can reach this branch
+  }
+
+  /** Upper-triangle second-moment matrix of `vecCol` (array<float>,
+    * fixed dimension d): returns (i, j, a) with i ≤ j and
+    * a = dsum-grid Σ x_i·x_j as DOUBLE — drop-in equal to the
+    * posexplode²+dsum form. */
+  def secondMoment(s: SparkSession, vecs: DataFrame, vecCol: String,
+      d: Int): DataFrame = {
+    import s.implicits._
+    val cells = d * (d + 1) / 2
+    val partials = vecs.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](cells)
+        var any = false
+        it.foreach { v =>
+          any = true
+          val x = new Array[Double](d)
+          var i = 0
+          while (i < d) { x(i) = v(i).toDouble; i += 1 }
+          var k = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              acc(k) += grid6(x(i) * x(j))
+              k += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.single(acc.toSeq)
+      }
+      .toDF("acc")
+    // exact (k -> i, j) triangle lookup, driver-built (d²/2 rows — model
+    // geometry, not data) and broadcast into the final cell merge
+    val idx = for { i <- 0 until d; j <- i until d }
+      yield (i * d - i * (i - 1) / 2 + (j - i), i, j)
+    val idxDf = idx.toDF("k", "i", "j")
+    partials.select(posexplode(col("acc")).as(Seq("k", "p")))
+      .groupBy(col("k")).agg(sum(col("p")).as("g"))
+      .join(broadcast(idxDf), "k")
+      .select(col("i"), col("j"), (col("g").cast("double") / 1e6).as("a"))
+  }
+}

@@ -235,13 +235,12 @@ object AnalyticsQueries {
     * both engines walk identical doubles. Output: the eigenvalue
     * (‖A·v₅‖) and all d loadings. */
   def q194PowerIteration(s: SparkSession, dir: String): DataFrame = {
-    val half = Tables.embeddings(s, dir)
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("i"), col("x"), posexplode(col("embedding")).as(Seq("j", "y")))
-      .filter(col("i") <= col("j"))
-      .select(col("i"), col("j"),
-        (col("x").cast("double") * col("y").cast("double")).as("xy"))
-      .groupBy(col("i"), col("j")).agg(Oracle.dsum(col("xy")).as("a"))
+    // Gram kernel: bit-identical to the posexplode²+dsum form (GramSpec
+    // proves it), but one primitive-long pass instead of an n·d²/2-row
+    // decimal pipeline — 48 s → ~5 s at the 10× stress scale
+    val half = graft.operators.Gram.secondMoment(
+      s, Tables.embeddings(s, dir), "embedding", 64)
+      .select(col("i"), col("j"), col("a"))
     val aFull = half.unionByName(
         half.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("a")))

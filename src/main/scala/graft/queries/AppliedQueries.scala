@@ -476,11 +476,16 @@ object AppliedQueries {
     val cust = Tables.customer(s, dir)
       .select(col("c_mktsegment").as("segment"), col("c_custkey"),
         expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal"))
+    // variance moment in DECIMAL(38,0): n·Σb² − (Σb)² overflows LONG once
+    // a stratum's cent-sum passes ~3e9 (measured at the 10× stress run);
+    // DuckDB's HUGEINT sums never overflow, so only this side needs it
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val st = cust.groupBy(col("segment"))
       .agg(count(lit(1)).as("nh"), Oracle.lsum(col("bal")).as("sb"),
-        Oracle.lsum(col("bal") * col("bal")).as("ssb"))
+        sum((col("bal") * col("bal")).cast(d38)).as("ssb"))
       .withColumn("sigma",
-        sqrt((col("nh") * col("ssb") - col("sb") * col("sb")).cast("double")) /
+        sqrt((col("nh").cast(d38) * col("ssb") -
+          col("sb").cast(d38) * col("sb").cast(d38)).cast("double")) /
           col("nh"))
       .withColumn("nsig", col("nh") * col("sigma"))
     val tot = st.agg(Oracle.dsum(col("nsig")).as("tot"))
