@@ -659,6 +659,241 @@ object AnalyticsQueries {
       |FROM point CROSS JOIN ci CROSS JOIN se""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q211 — isotonic calibration (exact min-max PAVA closed form)
+
+  /** Monotone (isotonic) calibration of q168's classifier score bins:
+    * the least-squares monotone fit has the closed form
+    * ŷ_t = max_{i≤t} min_{j≥t} weightedAvg(pos, i..j) — computable as
+    * bounded joins over the BIN table (≤10 rows at any data scale; the
+    * data-sized work is the one binning aggregate). Interval averages
+    * are exact integer fractions; double comparison of them is exact
+    * because distinct fractions with denominators ≤ Σn can't be closer
+    * than 1/(Σn)² ≫ double ulp. Complements q168 (raw reliability
+    * diagram) with the production calibrator. */
+  def q211IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val wv = Array.tabulate(64)(i => (((i * 7919 + 13) % 97 - 48) / 64.0).toFloat)
+    val wn = math.sqrt(wv.map(x => x.toDouble * x.toDouble).sum)
+    import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
+    val bins = Tables.embeddings(s, dir)
+      .select((col("label") % 2).cast("long").as("pos"),
+        round(vecDot(col("embedding"), typedlit(wv)) /
+          (vecNorm(col("embedding")) * lit(wn)), 6).as("score"))
+      .select(col("pos"),
+        least(floor((col("score") + 1) * 5), lit(9.0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), Oracle.lsum(col("pos")).as("np"))
+      .localCheckpoint(true)
+    // interval averages A(i,j) for i<=j over the <=10-row bin table
+    // (bounded-side broadcasts: these non-equi joins are model-sized)
+    val a = bins.select(col("bin").as("i"))
+      .join(broadcast(bins.select(col("bin").as("j"))), col("i") <= col("j"))
+      .join(broadcast(bins.select(col("bin").as("b"), col("n"), col("np"))),
+        col("b") >= col("i") && col("b") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(Oracle.lsum(col("np")).as("num"), Oracle.lsum(col("n")).as("den"))
+      .withColumn("avg", col("num").cast("double") / col("den"))
+    // fitted(t) = max_i<=t min_j>=t avg(i,j): expand t in [i..j]
+    val inner = a.withColumn("t", explode(sequence(col("i"), col("j"))))
+      .groupBy(col("t"), col("i")).agg(min(col("avg")).as("mn"))
+      .groupBy(col("t")).agg(max(col("mn")).as("iso"))
+    bins.join(inner, col("bin") === col("t"))
+      .select(col("bin"), col("n"),
+        round(col("np").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("isotonic_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val q211Sql: String =
+    """WITH w AS (
+      |  SELECT list_transform(range(0, 64),
+      |    i -> CAST(((i * 7919 + 13) % 97 - 48) / 64.0 AS FLOAT)) AS wv),
+      |wn AS (SELECT sqrt(list_sum(list_transform(wv,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS wn FROM w),
+      |sc AS (
+      |  SELECT label % 2 AS pos,
+      |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(wv[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |         * wn), 6) AS score
+      |  FROM embeddings CROSS JOIN w CROSS JOIN wn),
+      |bins AS (
+      |  SELECT LEAST(FLOOR((score + 1) * 5), 9)::BIGINT AS bin,
+      |    COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      |  FROM sc GROUP BY 1),
+      |a AS (
+      |  SELECT i.bin AS i, j.bin AS j,
+      |    CAST(SUM(b.np) AS BIGINT) AS num, CAST(SUM(b.n) AS BIGINT) AS den
+      |  FROM bins i JOIN bins j ON i.bin <= j.bin
+      |  JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
+      |  GROUP BY 1, 2),
+      |expanded AS (
+      |  SELECT a.i, a.j, CAST(a.num AS DOUBLE) / a.den AS avg,
+      |    unnest(range(a.i, a.j + 1)) AS t
+      |  FROM a),
+      |inner_min AS (
+      |  SELECT t, i, MIN(avg) AS mn FROM expanded GROUP BY 1, 2),
+      |iso AS (SELECT t, MAX(mn) AS iso FROM inner_min GROUP BY 1)
+      |SELECT bins.bin, bins.n,
+      |  ROUND(CAST(bins.np AS DOUBLE) / bins.n, 6) AS raw_rate,
+      |  ROUND(iso.iso, 6) AS isotonic_rate
+      |FROM bins JOIN iso ON bins.bin = iso.t
+      |ORDER BY bins.bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q212 — split-conformal prediction intervals
+
+  /** Distribution-free 90% prediction intervals for q182's ridge model
+    * by split conformal: calibration = odd order keys, test = even; the
+    * conformal radius is the ⌈(n_cal+1)·0.9⌉-th smallest absolute
+    * calibration residual (exact rank via the sketch-bucketed global
+    * row number — no sort task), and the reported test coverage is the
+    * fraction of even-key residuals inside it. Residuals are fixed IEEE
+    * trees on the 6dp-rounded betas, so the rank selection and coverage
+    * comparisons are engine-stable. */
+  def q212ConformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val betas = q182RidgeRegressionBetas(s, dir)
+    val feat = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        Oracle.lsum(col("l_quantity").cast("long")).as("x2"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("key"), col("x1"), col("x2"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("yd"))
+      .crossJoin(broadcast(betas))
+      .withColumn("absres", abs(col("yd").cast("double") - (col("beta0")
+        + col("beta1") * col("x1").cast("double")
+        + col("beta2") * col("x2").cast("double"))))
+    val cal = feat.filter(pmod(col("key"), lit(2)) === 1)
+    val tst = feat.filter(pmod(col("key"), lit(2)) === 0)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val ranked = graft.operators.Ranks.withGlobalRowNumber(
+      cal.select(col("key"), col("absres")), "rk", col("absres"), col("key"))
+    val q90 = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rk") === ceil((col("n_cal") + 1) * 0.9).cast("long"))
+      .select(col("absres").as("q90"), col("n_cal"))
+    tst.crossJoin(broadcast(q90))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        round(max(col("q90")), 4).as("q90_resid"),
+        round(Oracle.lsum((col("absres") <= col("q90")).cast("long"))
+          .cast("double") / count(lit(1)), 6).as("coverage"))
+  }
+
+  /** q182's Cramer solve, shared with q212 (betas only, 1 row). */
+  private[queries] def q182RidgeRegressionBetas(
+      s: SparkSession, dir: String): DataFrame =
+    MlQueries.q182RidgeRegression(s, dir)
+      .select(col("beta0"), col("beta1"), col("beta2"))
+
+  val q212Sql: String = {
+    // inline the q182 beta solve (identical expressions), then the
+    // conformal split/rank/coverage
+    s"""WITH feat AS (
+      |  SELECT l_orderkey AS key, CAST(COUNT(*) AS HUGEINT) AS x1,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS x2,
+      |    CAST(MAX(yd) AS HUGEINT) AS yd
+      |  FROM lineitem
+      |  JOIN (SELECT o_orderkey, CAST(ROUND(o_totalprice) AS BIGINT) AS yd
+      |        FROM orders) o ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x1) AS s1, SUM(x2) AS s2,
+      |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+      |    SUM(yd) AS sy, SUM(x1*yd) AS s1y, SUM(x2*yd) AS s2y
+      |  FROM feat),
+      |mm AS (
+      |  SELECT *, n AS a, s1 AS b, s2 AS c,
+      |    s11 + 100 AS d, s12 AS e, s22 + 100 AS f
+      |  FROM m),
+      |solved AS (
+      |  SELECT
+      |    ROUND(CAST(sy*(d*f - e*e) - b*(s1y*f - s2y*e) + c*(s1y*e - s2y*d)
+      |      AS DOUBLE) /
+      |      CAST(a*(d*f - e*e) - b*(b*f - c*e) + c*(b*e - c*d) AS DOUBLE), 6)
+      |      AS beta0,
+      |    ROUND(CAST(a*(s1y*f - s2y*e) - sy*(b*f - c*e) + c*(b*s2y - c*s1y)
+      |      AS DOUBLE) /
+      |      CAST(a*(d*f - e*e) - b*(b*f - c*e) + c*(b*e - c*d) AS DOUBLE), 6)
+      |      AS beta1,
+      |    ROUND(CAST(a*(d*s2y - e*s1y) - b*(b*s2y - c*s1y) + sy*(b*e - c*d)
+      |      AS DOUBLE) /
+      |      CAST(a*(d*f - e*e) - b*(b*f - c*e) + c*(b*e - c*d) AS DOUBLE), 6)
+      |      AS beta2
+      |  FROM mm),
+      |res AS (
+      |  SELECT f.key,
+      |    ABS(CAST(f.yd AS DOUBLE) - (s.beta0 + s.beta1 * CAST(f.x1 AS DOUBLE)
+      |      + s.beta2 * CAST(f.x2 AS DOUBLE))) AS absres
+      |  FROM feat f CROSS JOIN solved s),
+      |cal AS (SELECT * FROM res WHERE key % 2 = 1),
+      |tst AS (SELECT * FROM res WHERE key % 2 = 0),
+      |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+      |ranked AS (
+      |  SELECT absres, row_number() OVER (ORDER BY absres, key) AS rk
+      |  FROM cal),
+      |q90 AS (
+      |  SELECT r.absres AS q90, nc.n_cal
+      |  FROM ranked r CROSS JOIN nc
+      |  WHERE r.rk = CAST(CEIL((nc.n_cal + 1) * 0.9) AS BIGINT))
+      |SELECT MAX(q90.n_cal) AS n_cal, COUNT(*) AS n_test,
+      |  ROUND(MAX(q90.q90), 4) AS q90_resid,
+      |  ROUND(CAST(SUM(CASE WHEN t.absres <= q90.q90 THEN 1 ELSE 0 END)
+      |    AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+      |FROM tst t CROSS JOIN q90""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q213 — per-document KL novelty (surprise vs the corpus)
+
+  /** KL(doc ‖ corpus) over unigram distributions for the first 200
+    * docs — the "how unlike the corpus is this document" score used
+    * for novelty-aware sampling (dual of q87's per-token NLL: this
+    * compares DISTRIBUTIONS, so verbatim-but-rare-word docs rank
+    * high). Doc terms are a subset of corpus terms, so no smoothing is
+    * needed and every term of the sum is finite; exact counts, one ln
+    * per (doc, term) on the decimal grid. */
+  def q213KlNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokensOf(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("cw"))
+    val nTot = toks.agg(count(lit(1)).as("nn"))
+    val dc = toks.filter(col("doc_id") < 200)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val dl = dc.groupBy(col("doc_id")).agg(Oracle.lsum(col("c")).as("len"))
+    dc.join(broadcast(corpus), "term").join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(nTot))
+      .withColumn("term_kl", (col("c").cast("double") / col("len")) *
+        log(col("c").cast("double") * col("nn") /
+          (col("len").cast("double") * col("cw"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("n_tokens"),
+        round(Oracle.dsum(col("term_kl")), 6).as("kl_novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q213Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |toks AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |corpus AS (SELECT term, COUNT(*) AS cw FROM toks GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS nn FROM toks),
+      |dc AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM toks WHERE doc_id < 200
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM dc GROUP BY 1)
+      |SELECT dc.doc_id, MAX(dl.len) AS n_tokens,
+      |  ROUND(${Oracle.dsumSql(
+           """(dc.c * 1.0 / dl.len) *
+             | ln(dc.c * 1.0 * nt.nn / (dl.len * 1.0 * corpus.cw))"""
+             .stripMargin.replace("\n", " "))}, 6) AS kl_novelty
+      |FROM dc JOIN corpus USING (term) JOIN dl USING (doc_id) CROSS JOIN nt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q200 — lexical diversity indices
 
   /** Per-source vocabulary diversity: Shannon entropy (nats, via the

@@ -150,6 +150,69 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.getDouble(3) > 0)
   }
 
+  test("q211 isotonic fit is monotone, mean-preserving, and equals sequential PAVA") {
+    val rows = AnalyticsQueries.q211IsotonicCalibration(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    val iso = rows.map(_.getDouble(3))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-9 }, "not monotone")
+    // PAVA preserves the weighted mean
+    val wSum = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val posSum = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(wSum - posSum) < 0.05, s"$wSum vs $posSum")
+    // sequential pool-adjacent-violators recompute
+    case class Block(var num: Double, var den: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { r =>
+      blocks += Block(r.getDouble(2) * r.getLong(1), r.getLong(1))
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.num / a.den >= b.num / b.den
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.num += b.num; blocks.last.den += b.den
+      }
+    }
+    val pava = blocks.flatMap(b => Seq.fill(b.den.toInt)(b.num / b.den))
+    // expand per-bin (den counts are row weights) — map back per bin
+    var idx = 0
+    rows.foreach { r =>
+      val fit = pava(idx); idx += r.getLong(1).toInt
+      assert(math.abs(r.getDouble(3) - fit) < 2e-6,
+        s"bin ${r.getLong(0)}: ${r.getDouble(3)} vs $fit")
+    }
+  }
+
+  test("q212 conformal interval has near-nominal coverage on the test split") {
+    val r = AnalyticsQueries.q212ConformalInterval(spark, dir).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2) > 0)
+    // split-conformal guarantees coverage >= 0.9 in expectation; allow
+    // sampling noise at spec scale
+    val cov = r.getDouble(3)
+    assert(cov > 0.85 && cov <= 1.0, s"coverage $cov")
+  }
+
+  test("q213 KL novelty is nonnegative (Gibbs) and matches a local recompute") {
+    val got = AnalyticsQueries.q213KlNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.values.foreach(kl => assert(kl >= -1e-6))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    val nTot = toks.length.toDouble
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    toks.filter(_._1 < 200).groupBy(_._1).foreach { case (doc, ts) =>
+      val len = ts.length.toDouble
+      val kl = ts.groupBy(_._2).map { case (t, os) =>
+        val c = os.length
+        d6((c / len) * math.log(c * nTot / (len * corpus(t))))
+      }.sum.toDouble
+      assert(math.abs(got(doc) - kl) < 1e-5, s"doc $doc: ${got(doc)} vs $kl")
+    }
+  }
+
   test("q200 obeys the Hill-number ordering: inv-Simpson <= eff-vocab <= types") {
     val rows = AnalyticsQueries.q200Diversity(spark, dir).collect()
     assert(rows.nonEmpty)
