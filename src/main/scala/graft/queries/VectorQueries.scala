@@ -1420,4 +1420,139 @@ object VectorQueries {
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
+
+  // ---------------------------------------------------------------------
+  // q214 — LSH bucket-occupancy audit (the oracled half of q28)
+
+  /** Deterministic audit of q28's hyperplane-LSH index geometry: the
+    * same sin-derived planes, but signature dots go through the
+    * Oracle.dsum grid (q28's production path keeps the raw codegen'd
+    * sum — an ulp-level sign flip is irrelevant to ANN recall but
+    * would break a hash gate), so every (table, key) bucket occupancy
+    * is engine-exact and the DuckDB twin can replay it. This is the
+    * round-4 verdict's "partial oracle for the rows-only ANN" —
+    * the index-building machinery itself under the hash gate; skew in
+    * this histogram is exactly what degrades q28's candidate bound. */
+  def q214LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = 12; val b = 6
+    val planesDF = broadcast(
+      (for { j <- 0 until L * b; d <- 0 until 64 }
+        yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
+    val keys = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(planesDF, "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(graft.Oracle.dsum(col("x").cast("double") * col("w")).as("dot"))
+      .groupBy(col("vec_id"), (col("j") / b).cast("int").as("tbl"))
+      .agg(sum(when(col("dot") >= 0, expr(s"shiftleft(1L, CAST(j % $b AS INT))"))
+        .otherwise(0L)).as("key"))
+    keys.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("n_vectors").desc, col("tbl"), col("key"))
+      .limit(40)
+  }
+
+  val q214Sql: String =
+    """WITH planes AS (
+      |  SELECT j.j AS j, d.d AS d, sin(j.j * 131 + d.d * 7) AS w
+      |  FROM range(0, 72) j(j) CROSS JOIN range(0, 64) d(d)),
+      |xs AS (
+      |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |dots AS (
+      |  SELECT xs.vec_id, planes.j,
+      |    CAST(SUM(CAST(xs.x * planes.w AS DECIMAL(30,6))) AS DOUBLE) AS dot
+      |  FROM xs JOIN planes ON xs.d = planes.d
+      |  GROUP BY 1, 2),
+      |keys AS (
+      |  SELECT vec_id, j // 6 AS tbl,
+      |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << (j % 6))
+      |      ELSE 0 END) AS BIGINT) AS key
+      |  FROM dots GROUP BY 1, 2)
+      |SELECT tbl, key, COUNT(*) AS n_vectors
+      |FROM keys GROUP BY 1, 2
+      |ORDER BY n_vectors DESC, tbl, key LIMIT 40""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q215 — IVF training state audit (the oracled half of q56/q139)
+
+  /** The trained IVF index itself under the hash gate: cell sizes and
+    * centroid checksums after the exact two-round Lloyd training that
+    * q56/q139 share (first-16 seeding, sequential-fold cosines,
+    * decimal-exact means — every step deterministic). The oracle
+    * replays BOTH Lloyd rounds as unrolled SQL; float casting absorbs
+    * the sub-1e-14 representational gap between Spark's DECIMAL(24,14)
+    * mean and the oracle's exact-sum double division. Closes the last
+    * "engine-internal, trust the spec" gap around the ANN family:
+    * the INDEX is now oracle-checked, only the approximate QUERY
+    * answers remain rows-only (as they must be). */
+  def q215IvfTraining(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir)
+    val cents = ivfCentroids(s, dir)
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val sums = cents
+      .select(col("cent_id").as("cell"),
+        posexplode(col("c_emb")).as(Seq("d", "x")))
+      .groupBy(col("cell"))
+      .agg(round(graft.Oracle.dsum(col("x").cast("double")), 4)
+        .as("centroid_checksum"))
+    sizes.join(sums, "cell")
+      .select(col("cell"), col("n_vectors"), col("centroid_checksum"))
+      .orderBy(col("cell"))
+  }
+
+  val q215Sql: String = {
+    // one Lloyd step: assign every vector to its max-cosine centroid
+    // (ties to the lowest cent_id, mirroring max_by(struct(cos, -id))),
+    // then per-cell exact means recast to FLOAT
+    def assign(cents: String, out: String): String =
+      s"""${out}_cos AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(c.c_emb) + 1),
+        |           i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN $cents c),
+        |$out AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cent_id ASC) AS rn
+        |    FROM ${out}_cos) WHERE rn = 1)""".stripMargin
+    def means(assigned: String, out: String): String =
+      s"""${out}_m AS (
+        |  SELECT cell, d, CAST(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+        |    / COUNT(*) AS FLOAT) AS m
+        |  FROM (SELECT cell, i - 1 AS d, embedding[i] AS x
+        |        FROM (SELECT cell, embedding,
+        |                unnest(range(1, len(embedding) + 1)) AS i
+        |              FROM $assigned)) xs
+        |  GROUP BY 1, 2),
+        |$out AS (
+        |  SELECT cell AS cent_id,
+        |    CAST(list(m ORDER BY d) AS FLOAT[]) AS c_emb
+        |  FROM ${out}_m GROUP BY 1)""".stripMargin
+    s"""WITH c0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id < 16),
+      |${assign("c0", "a1")},
+      |${means("a1", "c1")},
+      |${assign("c1", "a2")},
+      |${means("a2", "c2")},
+      |${assign("c2", "a3")}
+      |SELECT a3.cell, COUNT(*) AS n_vectors,
+      |  MAX(cs.checksum) AS centroid_checksum
+      |FROM a3 JOIN (
+      |  SELECT cent_id AS cell,
+      |    ROUND(CAST(SUM(CAST(CAST(c_emb[i] AS DOUBLE) AS DECIMAL(30,6)))
+      |      AS DOUBLE), 4) AS checksum
+      |  FROM (SELECT cent_id, c_emb, unnest(range(1, len(c_emb) + 1)) AS i
+      |        FROM c2) q
+      |  GROUP BY 1) cs ON a3.cell = cs.cell
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

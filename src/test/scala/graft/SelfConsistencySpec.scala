@@ -412,4 +412,17 @@ class SelfConsistencySpec extends AnyFunSuite {
     info(s"q22 pairs=${simhashPairs.size} tight-exact=${tight.size} missed=${missed.size}")
     assert(missed.isEmpty, s"SimHash missed tight near-dup pairs: $missed")
   }
+
+  test("q215: IVF cells partition the corpus; q214: bucket occupancies bound by n") {
+    val n = Tables.embeddings(spark, dir).count()
+    val cells = graft.queries.VectorQueries.q215IvfTraining(spark, dir).collect()
+    assert(cells.map(_.getLong(1)).sum == n, "cells must partition all vectors")
+    assert(cells.map(_.getLong(0)).distinct.length == cells.length)
+    val buckets = graft.queries.VectorQueries.q214LshBuckets(spark, dir).collect()
+    assert(buckets.nonEmpty)
+    buckets.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= n)
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 12)
+    }
+  }
 }
