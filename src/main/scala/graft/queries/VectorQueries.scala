@@ -1436,17 +1436,35 @@ object VectorQueries {
   def q214LshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val L = 12; val b = 6
-    val planesDF = broadcast(
-      (for { j <- 0 until L * b; d <- 0 until 64 }
-        yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
+    // signature kernel on the Gram long-grid: dot(vec, j) =
+    // Σ_d grid6(x_d·w_jd) — exactly the dsum pipeline's value (sum of
+    // per-element 6dp roundings, order-free in exact longs), but one
+    // primitive pass instead of an n·72·64-row decimal join (the q194
+    // lesson applied; measured 10.2 s → sub-second at sf0.1)
+    val planes = Array.tabulate(L * b, 64)((j, d) => math.sin(j * 131 + d * 7))
     val keys = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .join(planesDF, "d")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(graft.Oracle.dsum(col("x").cast("double") * col("w")).as("dot"))
-      .groupBy(col("vec_id"), (col("j") / b).cast("int").as("tbl"))
-      .agg(sum(when(col("dot") >= 0, expr(s"shiftleft(1L, CAST(j % $b AS INT))"))
-        .otherwise(0L)).as("key"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val x = emb.toArray
+          (0 until L).map { tbl =>
+            var key = 0L
+            var bit = 0
+            while (bit < b) {
+              val j = tbl * b + bit
+              var acc = 0L
+              var d = 0
+              while (d < 64) {
+                acc += graft.operators.Gram.grid6(x(d).toDouble * planes(j)(d))
+                d += 1
+              }
+              if (acc >= 0) key |= (1L << bit)
+              bit += 1
+            }
+            (id, tbl, key)
+          }
+        }
+      }.toDF("vec_id", "tbl", "key")
     keys.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("n_vectors").desc, col("tbl"), col("key"))
       .limit(40)
