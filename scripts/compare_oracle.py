@@ -7,7 +7,7 @@ names, and cell values (after sorting columns by name, like the driver).
 
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, struct, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -20,7 +20,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Bit-exact: the driver's hash distinguishes -0.0 from +0.0 (and
+        # every ulp); Python's == does not, so compare the IEEE bytes.
+        return struct.pack("<d", v)
     return v
 
 

@@ -72,6 +72,31 @@ object IndexRange {
   }
 }
 
+/** EP5 (`index-list`, src/main.rs:55 + 111-114): index the blocks named
+  * in a CSV list. The reference declares the command but `unreachable!`s
+  * it (src/main.rs:431-433) — this main finishes it: S2 header-sniffed
+  * flatten of every CSV cell → dedup → the same synthetic fetch and
+  * per-table fan-out as IndexRange. No range watermark applies (a list
+  * is not an interval); completed-list bookkeeping is the sink commit
+  * itself. */
+object IndexList {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.IndexList <listCsv> <outDir>")
+      sys.exit(2)
+    }
+    val (listPath, outDir) = (args(0), args(1))
+    val owned = !org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
+    val spark = GraftCli.session("graft-index-list")
+    val ids = BlockSources.blockListCsv(spark, listPath).distinct()
+    val blocks = BlockSources.blocksFromIds(ids)
+    FanOutWriter.jsonl(outDir, GraftCli.tables).publishBlocks(blocks)
+    println(s"[graft] indexed list $listPath into $outDir")
+    if (owned) spark.stop()
+  }
+}
+
 /** EP3a (`save-range`, src/main.rs:434-453): extract a block range and
   * save the raw extraction to a directory — the reference's fixture
   * bootstrap. Output is one parquet dataset of the nested blocks. */

@@ -51,4 +51,81 @@ object Oracle {
   def davg(c: Column): Column = round(avg(c), 4)
 
   def davgSql(x: String): String = s"ROUND(AVG($x), 4)"
+
+  /** Signed-zero-normalized round. DuckDB's round() preserves the IEEE
+    * sign bit (a tiny negative rounds to -0.0); Spark's Round goes through
+    * java.math.BigDecimal, which has no signed zero, and emits +0.0. The
+    * driver's hash distinguishes the two. Adding +0.0 collapses -0.0 to
+    * +0.0 (IEEE 754: -0.0 + 0.0 = +0.0) and is exact for every other
+    * double, so appending it on BOTH engines makes the grids identical.
+    * Required for any rounded output that is not provably nonnegative
+    * (covariances, correlations, slopes, log-ratios...).
+    * SQL twin: ROUND(x, n) + 0.0 */
+  def zround(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
+  /** SQL twin for zround. */
+  def zroundSql(x: String, scale: Int): String = s"(ROUND($x, $scale) + 0.0)"
+
+  /** Rewrites an oracle SQL text so every ROUND(...) call is wrapped as
+    * (ROUND(...) + 0.0), collapsing DuckDB's -0.0 to +0.0 to match Spark's
+    * BigDecimal-based Round (which never emits a signed zero). Applied to
+    * EVERY oracle twin at the SparkEntry.oracleSql boundary, so the -0.0
+    * hazard class is closed structurally rather than query by query:
+    * whichever tiny-negative value the regenerated testdata lands on a
+    * rounding boundary, both engines now agree on +0.0.
+    *
+    * Safety: all twins round DOUBLE expressions (double + 0.0 = double, so
+    * output schemas are unchanged); for intermediates the rewrite IMPROVES
+    * parity, because Spark's round already yields +0.0 mid-plan and IEEE
+    * sign propagation (e.g. -0.0 * x) would otherwise diverge. Idempotent:
+    * a round already followed by `+ 0.0` is left alone. Word-boundary
+    * matched, case-insensitive, balanced-paren aware (nested rounds are
+    * normalized inside-out). */
+  def znormSql(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def isWord(ch: Char) = ch.isLetterOrDigit || ch == '_'
+    while (i < n) {
+      val isRound = i + 6 <= n && sql.regionMatches(true, i, "round(", 0, 6) &&
+        (i == 0 || !isWord(sql.charAt(i - 1)))
+      if (isRound) {
+        // find the matching close paren of this round(
+        var depth = 0
+        var j = i + 5 // points at '('
+        var k = j
+        var inStr = false
+        var done = -1
+        while (k < n && done < 0) {
+          val c = sql.charAt(k)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) done = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (done < 0) { sb.append(sql.charAt(i)); i += 1 } // unbalanced: bail char-wise
+        else {
+          val inner = sql.substring(j + 1, done)
+          val callee = sql.substring(i, j) // 'round' in original case
+          // idempotence: skip wrapping if already followed by `+ 0.0`
+          var t = done + 1
+          while (t < n && sql.charAt(t) == ' ') t += 1
+          val already = t < n && sql.charAt(t) == '+' && {
+            var u = t + 1
+            while (u < n && sql.charAt(u) == ' ') u += 1
+            sql.regionMatches(false, u, "0.0", 0, 3) &&
+              (u + 3 >= n || !sql.charAt(u + 3).isDigit)
+          }
+          val norm = s"$callee(${znormSql(inner)})"
+          if (already) sb.append(norm) else sb.append(s"($norm + 0.0)")
+          i = done + 1
+        }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 }

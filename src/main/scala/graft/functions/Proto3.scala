@@ -26,6 +26,25 @@ package graft.functions
   */
 object Proto3 {
 
+  /** The TxRecord descriptor, parsed from the checked-in .proto — the
+    * wire tags below and the record's Spark schema derive from it
+    * (see [[ProtoDescriptor]]; mirrors the reference's build-time
+    * codegen, `src/example_config/build_proto.rs:216-322`). */
+  val descriptor: ProtoDescriptor.Message =
+    ProtoDescriptor.load("/graft/tx_record.proto")("TxRecord")
+
+  /** Spark schema of a TxRecord, derived from the descriptor. */
+  def sparkSchema: org.apache.spark.sql.types.StructType = descriptor.sparkSchema
+
+  // descriptor-derived tag bytes (fail at class-load if the .proto
+  // drifts from what the encoder can write)
+  private val TagBn: Byte = descriptor.field("block_number").tagByte
+  private val TagTxi: Byte = descriptor.field("tx_index").tagByte
+  private val TagFee: Byte = descriptor.field("fee").tagByte
+  private val TagHash: Byte = descriptor.field("tx_hash").tagByte
+  require(descriptor.field("fee").zigzag,
+    "fee must be sint64 — the encoder zigzags it")
+
   /** Bytes a varint needs for unsigned v (1..10). */
   def varintLen(v: Long): Int = {
     var x = v
@@ -68,11 +87,11 @@ object Proto3 {
   def encodeTx(bn: Long, txi: Long, fee: Long, hash: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](encodedLen(bn, txi, fee, hash.length))
     var i = 0
-    if (bn != 0L) { out(i) = 0x08; i = writeVarint(out, i + 1, bn) }
-    if (txi != 0L) { out(i) = 0x10; i = writeVarint(out, i + 1, txi) }
-    if (fee != 0L) { out(i) = 0x18; i = writeVarint(out, i + 1, zigzag(fee)) }
+    if (bn != 0L) { out(i) = TagBn; i = writeVarint(out, i + 1, bn) }
+    if (txi != 0L) { out(i) = TagTxi; i = writeVarint(out, i + 1, txi) }
+    if (fee != 0L) { out(i) = TagFee; i = writeVarint(out, i + 1, zigzag(fee)) }
     if (hash.length != 0) {
-      out(i) = 0x22
+      out(i) = TagHash
       i = writeVarint(out, i + 1, hash.length.toLong)
       System.arraycopy(hash, 0, out, i, hash.length)
     }
@@ -97,15 +116,18 @@ object Proto3 {
       }
       v
     }
+    val (fBn, fTxi, fFee, fHash) = (descriptor.field("block_number").tag,
+      descriptor.field("tx_index").tag, descriptor.field("fee").tag,
+      descriptor.field("tx_hash").tag)
     while (i < bytes.length) {
       val tag = readVarint()
       val field = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       (field, wire) match {
-        case (1, 0) => bn = readVarint()
-        case (2, 0) => txi = readVarint()
-        case (3, 0) => fee = unzigzag(readVarint())
-        case (4, 2) =>
+        case (`fBn`, 0) => bn = readVarint()
+        case (`fTxi`, 0) => txi = readVarint()
+        case (`fFee`, 0) => fee = unzigzag(readVarint())
+        case (`fHash`, 2) =>
           val len = readVarint().toInt
           hash = new String(bytes, i, len, java.nio.charset.StandardCharsets.UTF_8)
           i += len

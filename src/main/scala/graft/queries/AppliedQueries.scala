@@ -261,7 +261,7 @@ object AppliedQueries {
       |    ROUND(${Oracle.dsumSql("tf.tf * ln(CAST(nn.nd AS DOUBLE) / dfq.df)")}, 6)
       |      AS tfidf,
       |    ROUND(${Oracle.dsumSql(
-           """ln(CAST(nn.nd AS DOUBLE) / dfq.df) * (tf.tf * 2.2) /
+           """ln(CAST(nn.nd AS DOUBLE) / dfq.df) * (CAST(tf.tf AS DOUBLE) * 2.2) /
              | (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / avgdl.avgdl))""".stripMargin.replace("\n", " "))}, 6)
       |      AS bm25
       |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
@@ -478,7 +478,7 @@ object AppliedQueries {
         expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal"))
     // variance moment in DECIMAL(38,0): n·Σb² − (Σb)² overflows LONG once
     // a stratum's cent-sum passes ~3e9 (measured at the 10× stress run);
-    // DuckDB's HUGEINT sums never overflow, so only this side needs it
+    // the SQL twin keeps the moment in HUGEINT for the same headroom
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val st = cust.groupBy(col("segment"))
       .agg(count(lit(1)).as("nh"), Oracle.lsum(col("bal")).as("sb"),
@@ -517,8 +517,9 @@ object AppliedQueries {
       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
       |  FROM customer),
       |st AS (
-      |  SELECT segment, COUNT(*) AS nh, CAST(SUM(bal) AS BIGINT) AS sb,
-      |    CAST(SUM(bal*bal) AS BIGINT) AS ssb
+      |  -- sums stay HUGEINT: nh*ssb - sb*sb in int64 overflows at the
+      |  -- sf1 stress scale (sb² ≈ 2.2e20), matching Spark's DECIMAL(38,0)
+      |  SELECT segment, COUNT(*) AS nh, SUM(bal) AS sb, SUM(bal*bal) AS ssb
       |  FROM cust GROUP BY 1),
       |sg AS (
       |  SELECT segment, nh,

@@ -396,6 +396,56 @@ object GraphQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q217 — HITS hubs & authorities (unnormalized integer iterations)
+
+  /** Kleinberg's HITS over the ORIENTED co-purchase graph (every edge
+    * a→b with a<b — acyclic, so hub and authority roles are distinct):
+    * h⁰=1, aᵏ = Σ_{u→v} hᵏ⁻¹(u), hᵏ = Σ_{v: u→v} aᵏ(v), two rounds.
+    * The textbook algorithm L2-normalizes each round; normalization
+    * only rescales the ranking, so the engine keeps the iterates as
+    * EXACT BIGINT sums — no floating point anywhere, which is what
+    * makes a 2-round fixed-point hash-comparable across engines
+    * (growth is bounded by deg²ᵏ: ≪ 2⁶³ at any plausible degree).
+    *
+    * Scale shape: each half-round is one equi-join edge⋈score + one
+    * hash aggregate — the q77 PageRank template minus the dangling-mass
+    * redistribution. Nothing node-sized is broadcast; scores live in
+    * (node, value) tables sharing the edge partitioning. */
+  def q217Hits(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir) // directed a -> b (a < b) by construction
+    // round 1: every hub weight is 1 -> authority = in-degree
+    // (score column named "sc", NOT "a" — the edge table owns "a")
+    val a1 = e.groupBy(col("b").as("v")).agg(count(lit(1)).as("sc"))
+    val h1 = e.join(a1.select(col("v").as("b"), col("sc")), "b")
+      .groupBy(col("a").as("u")).agg(graft.Oracle.lsum(col("sc")).as("h"))
+    // round 2 on the round-1 iterates
+    val a2 = e.join(h1.select(col("u").as("a"), col("h")), "a")
+      .groupBy(col("b").as("v")).agg(graft.Oracle.lsum(col("h")).as("auth"))
+    val h2 = e.join(a2.select(col("v").as("b"), col("auth")), "b")
+      .groupBy(col("a").as("v")).agg(graft.Oracle.lsum(col("auth")).as("hub"))
+    a2.join(h2, Seq("v"), "full_outer")
+      .select(col("v").as("node"),
+        coalesce(col("auth"), lit(0L)).as("authority"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+      .orderBy(col("authority").desc, col("hub").desc, col("node"))
+      .limit(30)
+  }
+
+  val q217Sql: String =
+    s"""WITH $edgesCteSql,
+      |a1 AS (SELECT b AS v, COUNT(*) AS a FROM e GROUP BY 1),
+      |h1 AS (SELECT e.a AS u, CAST(SUM(a1.a) AS BIGINT) AS h
+      |       FROM e JOIN a1 ON e.b = a1.v GROUP BY 1),
+      |a2 AS (SELECT e.b AS v, CAST(SUM(h1.h) AS BIGINT) AS auth
+      |       FROM e JOIN h1 ON e.a = h1.u GROUP BY 1),
+      |h2 AS (SELECT e.a AS v, CAST(SUM(a2.auth) AS BIGINT) AS hub
+      |       FROM e JOIN a2 ON e.b = a2.v GROUP BY 1)
+      |SELECT COALESCE(a2.v, h2.v) AS node,
+      |  COALESCE(a2.auth, 0) AS authority, COALESCE(h2.hub, 0) AS hub
+      |FROM a2 FULL OUTER JOIN h2 ON a2.v = h2.v
+      |ORDER BY authority DESC, hub DESC, node LIMIT 30""".stripMargin
+
   val q153Sql: String = {
     // one LPA round as SQL: neighbor-label counts + ROW_NUMBER argmax
     def round(prev: String, out: String): String =

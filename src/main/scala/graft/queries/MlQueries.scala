@@ -538,4 +538,78 @@ object MlQueries {
       |    CAST(f.yd AS DOUBLE) - (s.beta0 + s.beta1 * CAST(f.x1 AS DOUBLE)
       |      + s.beta2 * CAST(f.x2 AS DOUBLE)) AS r
       |  FROM feat f CROSS JOIN solved s) q""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q219 — inter-rater agreement (Cohen's kappa)
+
+  /** Cohen's kappa between two deterministic document "raters" — the
+    * agreement statistic a labeling pipeline reports when two weak
+    * labelers (or a model vs a heuristic) grade the same corpus. Rater
+    * A bands by raw length (n_chars div 128, capped at 3); rater B by
+    * token count (tokens div 24, capped at 3) — correlated but not
+    * identical, so kappa is informative. Per language:
+    * κ = (p_o − p_e)/(1 − p_e) with p_o = Σ_k n_kk / N and
+    * p_e = Σ_k rowA_k·colB_k / N² — every moment an exact BIGINT from
+    * one contingency aggregate, then a single IEEE expression tree.
+    *
+    * Scale: tokenize is scan-local; the contingency table is one hash
+    * aggregate keyed (lang, bandA, bandB) — at most 16 cells per
+    * language — and kappa assembles on the lang-sized rollup. */
+  def q219CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(filter(graft.functions.TextFunctions.tokensOf(col("text")),
+          t => t =!= "")).as("n_tok"))
+      .select(col("lang"),
+        least(expr("n_chars div 128"), lit(3)).cast("int").as("ba"),
+        least(expr("n_tok div 24"), lit(3)).cast("int").as("bb"))
+    val cells = banded.groupBy(col("lang"), col("ba"), col("bb"))
+      .agg(count(lit(1)).as("c"))
+    val moments = cells.groupBy(col("lang"))
+      .agg(Oracle.lsum(col("c")).as("n"),
+        Oracle.lsum(when(col("ba") === col("bb"), col("c")).otherwise(0L))
+          .as("agree"))
+    val margins = cells.groupBy(col("lang"), col("ba"))
+      .agg(Oracle.lsum(col("c")).as("ra"))
+      .join(cells.groupBy(col("lang"), col("bb"))
+        .agg(Oracle.lsum(col("c")).as("cb"))
+        .withColumnRenamed("bb", "ba"), Seq("lang", "ba"), "full_outer")
+      .groupBy(col("lang"))
+      .agg(Oracle.lsum(coalesce(col("ra"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+        .as("pe_num"))
+    moments.join(margins, "lang")
+      .select(col("lang"), col("n").as("n_docs"),
+        round((col("agree").cast("double") / col("n") -
+          col("pe_num").cast("double") / (col("n") * col("n"))) /
+          (lit(1.0) - col("pe_num").cast("double") / (col("n") * col("n"))),
+          4).as("kappa"))
+      .orderBy(col("lang"))
+  }
+
+  val q219Sql: String =
+    """WITH banded AS (
+      |  SELECT lang, LEAST(n_chars // 128, 3) AS ba,
+      |    LEAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+      |      // 24, 3) AS bb
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang, ba, bb, COUNT(*) AS c FROM banded GROUP BY 1, 2, 3),
+      |moments AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN ba = bb THEN c ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cells GROUP BY 1),
+      |ra AS (SELECT lang, ba, CAST(SUM(c) AS BIGINT) AS ra
+      |       FROM cells GROUP BY 1, 2),
+      |cb AS (SELECT lang, bb AS ba, CAST(SUM(c) AS BIGINT) AS cb
+      |       FROM cells GROUP BY 1, 2),
+      |margins AS (
+      |  SELECT COALESCE(ra.lang, cb.lang) AS lang,
+      |    CAST(SUM(COALESCE(ra.ra, 0) * COALESCE(cb.cb, 0)) AS BIGINT) AS pe_num
+      |  FROM ra FULL OUTER JOIN cb ON ra.lang = cb.lang AND ra.ba = cb.ba
+      |  GROUP BY 1)
+      |SELECT m.lang, m.n AS n_docs,
+      |  ROUND((CAST(agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n))
+      |    / (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 4) AS kappa
+      |FROM moments m JOIN margins USING (lang)
+      |ORDER BY m.lang""".stripMargin
 }

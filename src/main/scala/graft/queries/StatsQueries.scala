@@ -384,4 +384,55 @@ object StatsQueries {
       |  ROUND(CAST(SUM(mon) AS BIGINT) / 100.0 / COUNT(*), 2) AS avg_monetary
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q218 — character-entropy garbage filter
+
+  /** Per-document character-distribution Shannon entropy — the cheap
+    * first-line garbage detector every crawl pipeline runs (binary
+    * blobs, base64 runs, and repeated-char padding all crater H while
+    * looking fine to token-level filters). H = log2-entropy over the
+    * character histogram, computed as ln(n) − (Σ c·ln c)/n, all from
+    * exact integer counts: each c·ln(c) is one IEEE tree on an integer,
+    * summed on Oracle.dsum's decimal grid, so the hash survives
+    * combine-order differences. Flag threshold 3.5 bits ≈ natural-text
+    * floor (English runs ~4.0-4.3).
+    *
+    * Scale: explode(chars) is scan-local; the histogram is one hash
+    * aggregate keyed (doc_id, char) — alphabet-bounded per doc — and
+    * the per-doc rollup is a second, doc-sized aggregate. No joins, no
+    * windows, no driver state. */
+  def q218CharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1) // guard trailing-empty split artifacts
+    val hist = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    hist.groupBy(col("doc_id"))
+      .agg(Oracle.lsum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        Oracle.dsum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("s"))
+      .select(col("doc_id"), col("n").as("n_chars_counted"), col("distinct_chars"),
+        round((log(col("n").cast("double")) - col("s") / col("n")) / log(lit(2.0)),
+          4).as("entropy_bits"))
+      .withColumn("is_garbage", col("entropy_bits") < 3.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val q218Sql: String =
+    s"""WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |hist AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c FROM chars
+      |  WHERE length(ch) = 1 GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    COUNT(*) AS distinct_chars,
+      |    ${Oracle.dsumSql("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS s
+      |  FROM hist GROUP BY 1)
+      |SELECT doc_id, n AS n_chars_counted, distinct_chars,
+      |  ROUND((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0), 4) AS entropy_bits,
+      |  ROUND((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0), 4) < 3.5 AS is_garbage
+      |FROM ent ORDER BY doc_id""".stripMargin
 }

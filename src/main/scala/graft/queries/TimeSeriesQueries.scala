@@ -360,7 +360,11 @@ object TimeSeriesQueries {
     val ranked = pairs.withColumn("rn", row_number().over(byT))
     val cnt = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
     ranked.join(cnt, "event_type")
-      .filter(col("rn") === (col("m") + 1) / 2 || col("rn") === col("m") / 2 + 1)
+      // integer rank targets (Spark `/` on longs is DOUBLE division: for
+      // even m, (m+1)/2 = x.5 matches no rank and the median would
+      // silently degrade to the upper-middle slope — mirror SQL's `//`)
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("m div 2 + 1"))
       .groupBy(col("event_type"))
       .agg(max(col("m")).as("n_pairs"),
         round(graft.Oracle.dsum(col("slope")).cast("double") / count(lit(1)), 6)
@@ -385,4 +389,49 @@ object TimeSeriesQueries {
       |FROM ranked
       |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q220 — seasonal-naive forecast error (MASE)
+
+  /** Forecast-quality audit per event type: score the weekly
+    * seasonal-naive forecast ŷ_t = y_{t−7} with MASE (Hyndman &
+    * Koehler 2006) — mean absolute error scaled by the mean absolute
+    * one-step naive error, the standard scale-free way to report
+    * whether seasonality explains a series. Both numerator and scale
+    * are exact integer-cents sums over lag windows; MASE reduces to
+    * ONE double division of exact BIGINT products
+    * (Σ|e₇|·n₁) / (Σ|e₁|·n₇), so the hash gate holds with no decimal
+    * grid at all. MASE < 1 ⇒ the weekly pattern beats naive drift.
+    *
+    * Scale: the daily rollup is the one data-sized aggregate; lags are
+    * per-type windows over ~30-row series. The window partitioning is
+    * the same event_type key the aggregate already shuffled on. */
+  def q220SeasonalMase(s: SparkSession, dir: String): DataFrame = {
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val lagged = daily(s, dir)
+      .withColumn("y1", lag(col("yc"), 1).over(byT))
+      .withColumn("y7", lag(col("yc"), 7).over(byT))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.Oracle.lsum(abs(col("yc") - col("y7"))).as("se7"),
+        count(col("y7")).as("n7"),
+        graft.Oracle.lsum(abs(col("yc") - col("y1"))).as("se1"),
+        count(col("y1")).as("n1"))
+      .select(col("event_type"), col("n_days"),
+        round((col("se7") * col("n1")).cast("double") /
+          (col("se1") * col("n7")), 6).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  val q220Sql: String =
+    s"""WITH $dailySql,
+      |lagged AS (
+      |  SELECT event_type, yc,
+      |    lag(yc, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+      |    lag(yc, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7
+      |  FROM daily)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  ROUND(CAST(CAST(SUM(ABS(yc - y7)) AS BIGINT) * COUNT(y1) AS DOUBLE)
+      |    / (CAST(SUM(ABS(yc - y1)) AS BIGINT) * COUNT(y7)), 6) AS mase
+      |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -618,30 +618,58 @@ object VectorQueries {
     * Each `aN`/`cN` CTE pair is one Lloyd step: assignment by
     * row_number over (score, cid) — DuckDB's spelling of Spark's
     * min_by struct tie-break — then the integer mean formula verbatim. */
+  // --- shared DuckDB PQ-replay fragments (q96Sql, q216Sql) ---
+
+  /** Σ aᵢ·bᵢ as a left-associated chain — matches vec_dot's fold order. */
+  private def pqDot8Sql(a: String, b: String): String =
+    (1 to 8).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+      .mkString(" + ")
+
+  private def pqScoreSql(s: String, c: String): String =
+    s"(${pqDot8Sql(c, c)}) - 2 * (${pqDot8Sql(s, c)})"
+
+  // per-dimension fixed-point mean -> FLOAT, same ops as pqCodebooks
+  private def pqSumsSql: String = ((1 to 8).map(i =>
+    s"SUM(CAST(round(CAST(svec[$i] AS DOUBLE) * 1e10) AS BIGINT)) AS s$i") :+
+    "COUNT(*) AS n").mkString(", ")
+
+  private def pqMeanSql(i: Int): String =
+    s"""CAST((CASE WHEN s$i >= 0 THEN (2*s$i*10000 + n) // (2*n)
+       |  ELSE -((2*(-s$i)*10000 + n) // (2*n)) END) / 1e14 AS FLOAT)""".stripMargin
+
+  private def pqMeansSql: String = (1 to 8).map(pqMeanSql).mkString("[", ", ", "]")
+
+  private def pqAssignSql(from: String, cents: String): String =
+    s"""SELECT vec_id, sub, svec, cid FROM (
+       |  SELECT v.vec_id, v.sub, v.svec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |      ORDER BY ${pqScoreSql("v.svec", "c.cvec")}, c.cid) AS rn
+       |  FROM $from v JOIN $cents c USING (sub)) WHERE rn = 1""".stripMargin
+
+  private def pqReestimateSql(from: String): String =
+    s"""SELECT sub, cid, $pqMeansSql AS cvec FROM (
+       |  SELECT sub, cid, $pqSumsSql FROM $from GROUP BY sub, cid)""".stripMargin
+
+  /** The WITH-body that replays PQ codebook training in DuckDB:
+    * sub-vector split `{p}sv`, first-256 seed `{p}c0`, two Lloyd rounds
+    * ending at codebooks `{p}c2`. CTE names are prefixed so q216 can
+    * compose this beside the (name-colliding) IVF replay of q215. */
+  private def pqTrainCtes(p: String): String =
+    s"""${p}sv AS (
+       |  SELECT vec_id, s.sub,
+       |    embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS svec
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+       |${p}c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, svec AS cvec
+       |       FROM ${p}sv WHERE vec_id < 256),
+       |${p}a1 AS (${pqAssignSql(s"${p}sv", s"${p}c0")}),
+       |${p}c1 AS (${pqReestimateSql(s"${p}a1")}),
+       |${p}a2 AS (${pqAssignSql(s"${p}sv", s"${p}c1")}),
+       |${p}c2 AS (${pqReestimateSql(s"${p}a2")})""".stripMargin
+
   val q96Sql: String = {
-    // Σ aᵢ·bᵢ as a left-associated chain — matches vec_dot's fold order
-    def dot8(a: String, b: String): String =
-      (1 to 8).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
-        .mkString(" + ")
-    def score(s: String, c: String): String =
-      s"(${dot8(c, c)}) - 2 * (${dot8(s, c)})"
-    // per-dimension fixed-point mean -> FLOAT, same ops as pqCodebooks
-    def sums: String = ((1 to 8).map(i =>
-      s"SUM(CAST(round(CAST(svec[$i] AS DOUBLE) * 1e10) AS BIGINT)) AS s$i") :+
-      "COUNT(*) AS n").mkString(", ")
-    def m(i: Int): String =
-      s"""CAST((CASE WHEN s$i >= 0 THEN (2*s$i*10000 + n) // (2*n)
-         |  ELSE -((2*(-s$i)*10000 + n) // (2*n)) END) / 1e14 AS FLOAT)""".stripMargin
-    def means: String = (1 to 8).map(m).mkString("[", ", ", "]")
-    def assign(from: String, cents: String): String =
-      s"""SELECT vec_id, sub, svec, cid FROM (
-         |  SELECT v.vec_id, v.sub, v.svec, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-         |      ORDER BY ${score("v.svec", "c.cvec")}, c.cid) AS rn
-         |  FROM $from v JOIN $cents c USING (sub)) WHERE rn = 1""".stripMargin
-    def reestimate(from: String): String =
-      s"""SELECT sub, cid, $means AS cvec FROM (
-         |  SELECT sub, cid, $sums FROM $from GROUP BY sub, cid)""".stripMargin
+    def dot8(a: String, b: String): String = pqDot8Sql(a, b)
+    def assign(from: String, cents: String): String = pqAssignSql(from, cents)
+    def reestimate(from: String): String = pqReestimateSql(from)
     // wrap the unsigned code accumulation to Spark's signed-64 shiftleft
     val pow = (0 to 7).map(s => s"WHEN $s THEN ${BigInt(2).pow(8 * s)}::HUGEINT")
       .mkString("CASE sub ", " ", " END")
@@ -1375,8 +1403,8 @@ object VectorQueries {
     cov
       .join(broadcast(diag.select(col("d").as("i"), col("var_d").as("vi"))), "i")
       .join(broadcast(diag.select(col("d").as("j"), col("var_d").as("vj"))), "j")
-      .select(col("i"), col("j"), round(col("cov_raw"), 6).as("cov"),
-        round(col("cov_raw") / sqrt(col("vi") * col("vj")), 4).as("corr"))
+      .select(col("i"), col("j"), graft.Oracle.zround(col("cov_raw"), 6).as("cov"),
+        graft.Oracle.zround(col("cov_raw") / sqrt(col("vi") * col("vj")), 4).as("corr"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -1397,8 +1425,8 @@ object VectorQueries {
       |       FROM sp JOIN m mi USING (i) JOIN m mj ON mj.i = sp.j
       |       CROSS JOIN n),
       |dg AS (SELECT i AS d, cov_raw AS var_d FROM cv WHERE i = j)
-      |SELECT cv.i, cv.j, round(cov_raw, 6) AS cov,
-      |  round(cov_raw / sqrt(vi.var_d * vj.var_d), 4) AS corr
+      |SELECT cv.i, cv.j, round(cov_raw, 6) + 0.0 AS cov,
+      |  round(cov_raw / sqrt(vi.var_d * vj.var_d), 4) + 0.0 AS corr
       |FROM cv JOIN dg vi ON vi.d = cv.i JOIN dg vj ON vj.d = cv.j
       |ORDER BY cv.i, cv.j""".stripMargin
   }
@@ -1521,11 +1549,13 @@ object VectorQueries {
       .orderBy(col("cell"))
   }
 
-  val q215Sql: String = {
-    // one Lloyd step: assign every vector to its max-cosine centroid
-    // (ties to the lowest cent_id, mirroring max_by(struct(cos, -id))),
-    // then per-cell exact means recast to FLOAT
-    def assign(cents: String, out: String): String =
+  // --- shared DuckDB IVF-replay fragments (q215Sql, q216Sql) ---
+
+  /** One Lloyd assignment step: every vector to its max-cosine centroid
+    * (ties to the lowest cent_id, mirroring max_by(struct(cos, -id))).
+    * Exposes BOTH `{out}_cos` (the full query×centroid cosine table —
+    * q216 ranks probes from it) and `{out}` (the rn=1 assignment). */
+  private def ivfAssignCtes(cents: String, out: String): String =
       s"""${out}_cos AS (
         |  SELECT e.vec_id, e.embedding, c.cent_id,
         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1541,7 +1571,10 @@ object VectorQueries {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cos DESC, cent_id ASC) AS rn
         |    FROM ${out}_cos) WHERE rn = 1)""".stripMargin
-    def means(assigned: String, out: String): String =
+
+  /** Per-cell exact means recast to FLOAT — the re-estimation half of a
+    * Lloyd step. */
+  private def ivfMeansCtes(assigned: String, out: String): String =
       s"""${out}_m AS (
         |  SELECT cell, d, CAST(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
         |    / COUNT(*) AS FLOAT) AS m
@@ -1554,14 +1587,21 @@ object VectorQueries {
         |  SELECT cell AS cent_id,
         |    CAST(list(m ORDER BY d) AS FLOAT[]) AS c_emb
         |  FROM ${out}_m GROUP BY 1)""".stripMargin
-    s"""WITH c0 AS (
+
+  /** The WITH-body that replays IVF training: first-16 seed `c0`, two
+    * Lloyd rounds to `c2`, final assignment `a3` (+ `a3_cos`). */
+  private val ivfTrainCtes: String =
+    s"""c0 AS (
       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
       |  WHERE vec_id < 16),
-      |${assign("c0", "a1")},
-      |${means("a1", "c1")},
-      |${assign("c1", "a2")},
-      |${means("a2", "c2")},
-      |${assign("c2", "a3")}
+      |${ivfAssignCtes("c0", "a1")},
+      |${ivfMeansCtes("a1", "c1")},
+      |${ivfAssignCtes("c1", "a2")},
+      |${ivfMeansCtes("a2", "c2")},
+      |${ivfAssignCtes("c2", "a3")}""".stripMargin
+
+  val q215Sql: String = {
+    s"""WITH $ivfTrainCtes
       |SELECT a3.cell, COUNT(*) AS n_vectors,
       |  MAX(cs.checksum) AS centroid_checksum
       |FROM a3 JOIN (
@@ -1572,5 +1612,85 @@ object VectorQueries {
       |        FROM c2) q
       |  GROUP BY 1) cs ON a3.cell = cs.cell
       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q216 — IVF-PQ ADC machinery audit (the oracled half of q139)
+
+  /** q139's two exact pre-search artifacts under the hash gate (round-6
+    * verdict item 3, completing the q214/q215 program): per query
+    * (vec_id < 50),
+    *   (a) the nprobe=4 probed IVF cells in probe order (cell1..cell4)
+    *       plus the total candidate count those cells hold — the
+    *       EXACT candidate-bounding decision of the IVF side, and
+    *   (b) the 8 per-subspace checksums of the 8×256 ADC lookup table
+    *       (lut0..lut7) — Oracle.dsum of all 256 sub-dot products per
+    *       subspace, pinning every pdot the ADC scoring would read.
+    * Both are deterministic relational artifacts (trained index + exact
+    * IEEE dots); only the final approximate ranking of q139 stays
+    * rows-only. The DuckDB twin replays IVF training (q215's CTEs),
+    * probe ranking from the same a3_cos table, PQ codebook training
+    * (q96's CTEs, prefixed to avoid name collision) and the LUT fold.
+    *
+    * Scale: probes are |Q|×16 → broadcast; LUT is |Q|×2048 → broadcast;
+    * cell sizes aggregate the corpus-sized inverted file once. Nothing
+    * corpus-sized crosses an all-pairs boundary. */
+  def q216AdcMachinery(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 4
+    val cents = ivfCentroids(s, dir)
+    val assigned = ivfAssigned(s, dir)
+    val probes = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cc",
+        vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("pr"), col("cent_id").as("cell"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val probeAggs = (1 to nprobe).map(p =>
+      min(when(col("pr") === p, col("cell"))).as(s"cell$p")) :+
+      graft.Oracle.lsum(col("sz")).as("n_cand")
+    val probeCells = probes.join(broadcast(sizes), "cell")
+      .groupBy(col("q_id"))
+      .agg(probeAggs.head, probeAggs.tail: _*)
+    val lut = pqSubvecs(s, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qsub"))
+      .join(broadcast(pqCodebooks(s, dir)), "sub")
+      .select(col("q_id"), col("sub"), vecDot(col("qsub"), col("cvec")).as("pdot"))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(round(graft.Oracle.dsum(col("pdot")), 6).as("lc"))
+      .groupBy(col("q_id"))
+      .agg(min(when(col("sub") === 0, col("lc"))).as("lut0"),
+        (1 to 7).map(i =>
+          min(when(col("sub") === i, col("lc"))).as(s"lut$i")): _*)
+    probeCells.join(lut, "q_id").orderBy(col("q_id"))
+  }
+
+  val q216Sql: String = {
+    val cellCols = (1 to 4).map(p =>
+      s"MIN(CASE WHEN pr = $p THEN cell END) AS cell$p").mkString(", ")
+    val lutCols = (0 to 7).map(i =>
+      s"MIN(CASE WHEN sub = $i THEN lc END) AS lut$i").mkString(", ")
+    s"""WITH $ivfTrainCtes,
+      |probes AS (
+      |  SELECT vec_id AS q_id, cent_id AS cell, rn AS pr FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cent_id ASC) AS rn
+      |    FROM a3_cos WHERE vec_id < 50) WHERE rn <= 4),
+      |sizes AS (SELECT cell, COUNT(*) AS sz FROM a3 GROUP BY 1),
+      |pcells AS (
+      |  SELECT q_id, $cellCols, CAST(SUM(sz) AS BIGINT) AS n_cand
+      |  FROM probes JOIN sizes USING (cell) GROUP BY 1),
+      |${pqTrainCtes("p")},
+      |lutsums AS (
+      |  SELECT q.vec_id AS q_id, q.sub,
+      |    round(${graft.Oracle.dsumSql(s"(${pqDot8Sql("q.svec", "c.cvec")})")}, 6) AS lc
+      |  FROM psv q JOIN pc2 c USING (sub)
+      |  WHERE q.vec_id < 50 GROUP BY 1, 2),
+      |lut AS (SELECT q_id, $lutCols FROM lutsums GROUP BY 1)
+      |SELECT * FROM pcells JOIN lut USING (q_id) ORDER BY q_id""".stripMargin
   }
 }

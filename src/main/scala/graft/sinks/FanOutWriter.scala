@@ -40,4 +40,29 @@ object FanOutWriter {
   def jsonl(outDir: String, tableNames: Seq[String]): FanOutWriter =
     new FanOutWriter(tableNames.map(t =>
       t -> ((df: DataFrame) => FileSinks.writeJsonl(df, outDir, t))).toMap)
+
+  /** SINGLE_PUBLISHER mode (etl-rust
+    * `src/output/single_stream_publisher.rs:12-31`, env `QUEUE_NAME`):
+    * every table multiplexed into ONE stream. A single queue needs a
+    * routing key beside an opaque payload, so each record is enveloped as
+    * `{"table": t, "payload": "<record json>"}` — consumers demux by tag
+    * and parse the payload with the table's own schema ([[demux]]).
+    * Deprecated in the reference but kept for parity; the per-table
+    * [[jsonl]] layout is the production path. */
+  def jsonlSingle(outDir: String, queueName: String, tableNames: Seq[String]): FanOutWriter =
+    new FanOutWriter(tableNames.map(t =>
+      t -> ((df: DataFrame) =>
+        FileSinks.writeJsonlMerged(df, outDir, queueName, t))).toMap)
+
+  /** Read one table back out of a merged stream: filter the envelope by
+    * tag, then parse the payloads with their own (inferred) schema — the
+    * consumer side of SINGLE_PUBLISHER. */
+  def demux(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      queueName: String, table: String): DataFrame = {
+    import spark.implicits._
+    val payloads = spark.read.json(s"$outDir/$queueName")
+      .filter(org.apache.spark.sql.functions.col("table") === table)
+      .select("payload").as[String]
+    spark.read.json(payloads)
+  }
 }

@@ -24,6 +24,16 @@ object FileSinks {
   def writeJsonl(df: DataFrame, outDir: String, subdir: String): Unit =
     if (!df.isEmpty) df.write.mode("append").json(s"$outDir/$subdir")
 
+  /** SINGLE_PUBLISHER envelope write (`single_stream_publisher.rs:12-31`):
+    * records of ALL tables append into one queue dir, each wrapped as
+    * `{table, payload}` with the record serialized opaquely — the shape a
+    * single multiplexed queue forces (routing key + payload bytes). */
+  def writeJsonlMerged(df: DataFrame, outDir: String, queue: String, table: String): Unit =
+    if (!df.isEmpty)
+      df.select(lit(table).as("table"),
+          to_json(struct(df.columns.map(col).toSeq: _*)).as("payload"))
+        .write.mode("append").json(s"$outDir/$queue")
+
   /** K7: time-partitioned write with the reference's exact bucket scheme:
     * date / hour / half-hour-flag (minute < 30 → 0, else 30;
     * gcs.rs:96-115). Partition values become directories, so reads prune

@@ -34,7 +34,19 @@ object BlockSources {
     require(!(reverse && start == 0 && end == 0), "cannot index backwards from genesis")
     val ids = spark.range(start, end).toDF("block_number")
     val ordered = if (reverse) ids.orderBy(col("block_number").desc) else ids
-    ordered
+    synthesize(ordered)
+  }
+
+  /** S1 generator over an ARBITRARY id set — what IndexList feeds after
+    * flattening its CSV (the reference declares index-list but
+    * `unreachable!`s it, src/main.rs:431-433; this finishes the dangling
+    * command against the same synthetic fetch). Deterministic per
+    * block_number, so list-driven and range-driven extraction of the
+    * same block are identical records. */
+  def blocksFromIds(ids: DataFrame): DataFrame = synthesize(ids)
+
+  private def synthesize(ids: DataFrame): DataFrame = {
+    ids
       .withColumn("block_time", timestamp_millis(lit(1700000000000L) + col("block_number") * 400))
       .withColumn("n_tx", (col("block_number") * 2654435761L) % 97 % 7)
       // NB sequence(1, 0) is DESCENDING [1, 0] in Spark — an unguarded

@@ -81,6 +81,21 @@ class AppliedSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("q205 exactness precondition holds at the gate scale (sf0.01)") {
+    // The DuckDB oracle hardcodes err=0 and exact count ranking, valid
+    // only while distinct users per event_type stays under the
+    // Space-Saving capacity (256). Pin that against the GATE fixture so
+    // a testdata regeneration that breaks the precondition fails loudly
+    // here instead of silently flipping the hash gate.
+    val maxDistinct = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(max(col("u"))).collect().head.getLong(0)
+    assert(maxDistinct < 256,
+      s"sf0.01 has an event_type with $maxDistinct distinct users >= " +
+        "Space-Saving capacity 256 — q205's exact oracle no longer holds")
+  }
+
   test("q206 rank columns are permutations of 1..N over the scored docs") {
     val rows = AppliedQueries.q206RankFusion(spark, dir).collect()
     assert(rows.length == 20)

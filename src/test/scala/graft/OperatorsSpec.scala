@@ -215,6 +215,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(outDir, "indexed_blocks", "0_40")))
   }
 
+  test("EP5 IndexList CLI: list-driven extraction equals the range extraction") {
+    val outDir = Files.createTempDirectory("index_list").toString
+    val csv = Files.createTempFile("blocks", ".csv")
+    // header + multi-cell rows + a duplicate — the S2 flatten/sniff path
+    Files.writeString(csv, "ids,more\n3,7\n11,3\n")
+    graft.IndexList.main(Array(csv.toString, outDir))
+    val blocks = spark.read.json(s"$outDir/blocks")
+    assert(blocks.select("block_number").collect().map(_.getLong(0)).sorted
+      === Array(3L, 7L, 11L))
+    // identical records to a range extraction of the same ids
+    val want = graft.operators.FanOut
+      .tables(graft.sources.BlockSources.blockRange(spark, 0, 12)
+        .filter(org.apache.spark.sql.functions.col("block_number")
+          .isin(3, 7, 11))).asMap
+    val gotTx = spark.read.json(s"$outDir/transactions")
+    assert(gotTx.count() === want("transactions").count())
+  }
+
   // ---- Multimodal plumbing ------------------------------------------
 
   test("multimodal: batched feature extraction is deterministic and schema-bound") {

@@ -10,6 +10,59 @@ class Proto3Spec extends AnyFunSuite {
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
+  test("schema and tags derive from the checked-in .proto descriptor") {
+    import org.apache.spark.sql.types._
+    val d = Proto3.descriptor
+    assert(d.name == "TxRecord")
+    assert(d.fields.map(f => (f.name, f.ptype, f.tag)) == Seq(
+      ("block_number", "uint64", 1), ("tx_index", "uint64", 2),
+      ("fee", "sint64", 3), ("tx_hash", "string", 4)))
+    // derived tag bytes equal the proto3 golden values the wire vectors pin
+    assert(d.field("block_number").tagByte == 0x08.toByte)
+    assert(d.field("tx_index").tagByte == 0x10.toByte)
+    assert(d.field("fee").tagByte == 0x18.toByte)
+    assert(d.field("tx_hash").tagByte == 0x22.toByte)
+    assert(d.field("fee").zigzag && !d.field("tx_index").zigzag)
+    // StructType derived from the descriptor, not hand-maintained
+    assert(Proto3.sparkSchema == StructType(Seq(
+      StructField("block_number", LongType, nullable = false),
+      StructField("tx_index", LongType, nullable = false),
+      StructField("fee", LongType, nullable = false),
+      StructField("tx_hash", StringType, nullable = false))))
+  }
+
+  test("descriptor parser handles the supported proto3 subset and rejects the rest") {
+    import graft.functions.ProtoDescriptor
+    val m = ProtoDescriptor.parse(
+      """syntax = "proto3"; // header comment
+        |package x; /* block
+        |   comment */
+        |message Evt {
+        |  repeated uint32 ids = 1;
+        |  bytes payload = 2;
+        |  double score = 3;
+        |  fixed32 crc = 4;
+        |}""".stripMargin)("Evt")
+    assert(m.field("ids").repeated && m.field("ids").wireType == 0)
+    assert(m.field("payload").wireType == 2)
+    assert(m.field("score").wireType == 1)
+    assert(m.field("crc").wireType == 5)
+    import org.apache.spark.sql.types._
+    assert(m.sparkSchema("ids").dataType == ArrayType(IntegerType, containsNull = false))
+    assert(m.sparkSchema("payload").dataType == BinaryType)
+    intercept[IllegalArgumentException] {
+      ProtoDescriptor.parse("syntax = \"proto2\";")
+    }
+    intercept[IllegalArgumentException] {
+      ProtoDescriptor.parse(
+        "syntax = \"proto3\";\nmessage A { map<string, int32> m = 1; }")
+    }
+    intercept[IllegalArgumentException] { // duplicate tags
+      ProtoDescriptor.parse(
+        "syntax = \"proto3\";\nmessage A { uint64 a = 1; uint64 b = 1; }")
+    }
+  }
+
   test("golden wire vectors (protobuf spec examples)") {
     // field 1 (uint64) = 1 → tag 0x08, varint 01
     assert(hex(Proto3.encodeTx(1L, 0L, 0L, Array.empty)) === "0801")

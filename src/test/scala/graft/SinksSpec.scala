@@ -122,6 +122,35 @@ class SinksSpec extends AnyFunSuite {
     assert(txs.count() === blocks.select(sum(col("tx_count"))).head().getLong(0))
   }
 
+  test("K8 SINGLE_PUBLISHER merged stream demuxes back to exact per-table sets") {
+    val out = Files.createTempDirectory("single").toString
+    val names = Seq("blocks", "transactions", "account_refs")
+    val writer = FanOutWriter.jsonlSingle(out, "all", names)
+    val nested = BlockSources.blockRange(spark, 0, 25)
+    writer.publishBlocks(nested)
+    // ONE queue dir, no per-table dirs
+    assert(Files.exists(Paths.get(out, "all")))
+    assert(names.forall(t => !Files.exists(Paths.get(out, t))))
+    // every envelope row carries a known tag
+    val env = spark.read.json(s"$out/all")
+    assert(env.columns.sorted.toSeq == Seq("payload", "table"))
+    // the payload byte-stream per tag equals the direct fan-out's records
+    val direct = graft.operators.FanOut.tables(nested).asMap
+    names.foreach { t =>
+      val want = direct(t)
+      val wantJson = want.select(to_json(struct(want.columns.map(col).toSeq: _*)))
+        .collect().map(_.getString(0)).sorted.toSeq
+      val gotPayloads = env.filter(col("table") === t)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(gotPayloads == wantJson, s"$t: merged payloads differ from direct records")
+      // and the demux helper parses them back into a typed frame
+      val got = FanOutWriter.demux(spark, out, "all", t)
+      assert(got.count() === want.count(), s"$t: demux row count")
+      assert(want.columns.toSet.subsetOf(got.columns.toSet),
+        s"$t: demux lost columns (${got.columns.toSeq} vs ${want.columns.toSeq})")
+    }
+  }
+
   test("K8 fails fast on a table with no configured sink") {
     val writer = new FanOutWriter(Map.empty)
     val df = BlockSources.blockRange(spark, 0, 1)

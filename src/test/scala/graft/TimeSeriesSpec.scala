@@ -125,4 +125,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(math.abs(gs - med) < 1e-6, s"$t: got $gs want $med")
     }
   }
+
+  test("q176 even pair count averages BOTH middle slopes (ADVICE r6)") {
+    // 4 days -> m = 6 pairs (even). Slopes sorted: [0,50,100,200,250,500];
+    // the median must average ranks 3 and 4 -> 150. The pre-fix double
+    // division `rn === (m+1)/2` matched neither x.5 rank and kept only the
+    // upper middle (200) — this pins the `div` semantics with a fixture
+    // whose pair count is even regardless of what the driver regenerates.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ts176").toString
+    Seq((1L, "2024-01-01 00:00:00", 1L, "buy", 0.0, "{}"),
+        (2L, "2024-01-02 00:00:00", 1L, "buy", 1.0, "{}"),
+        (3L, "2024-01-03 00:00:00", 1L, "buy", 1.0, "{}"),
+        (4L, "2024-01-04 00:00:00", 1L, "buy", 6.0, "{}"))
+      .toDF("event_id", "raw_ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("raw_ts"))).drop("raw_ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = TimeSeriesQueries.q176TheilSen(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 6L)
+    assert(math.abs(r.head.getDouble(2) - 150.0) < 1e-9,
+      s"even-m median broken: got ${r.head.getDouble(2)}, want 150.0")
+  }
 }
