@@ -435,4 +435,83 @@ object StatsQueries {
       |  ROUND((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0), 4) AS entropy_bits,
       |  ROUND((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0), 4) < 3.5 AS is_garbage
       |FROM ent ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q221 — TextRank keyword extraction
+
+  /** TextRank (Mihalcea & Tarau 2004): PageRank over the word-adjacency
+    * graph — the graph-centrality counterpart to q185's RAKE scoring,
+    * and the standard unsupervised keyworder when degree heuristics
+    * aren't enough. Graph: stopword-filtered token sequences, an
+    * undirected edge between CONSECUTIVE surviving tokens (window 2 on
+    * the filtered sequence), deduplicated corpus-wide; ranks from the
+    * shared [[graft.operators.PageRank]] operator (3 iterations,
+    * d=0.85, DECIMAL(15,14) contribution grid — the same
+    * combine-order-exact iteration q77 proved; the oracle unrolls it
+    * over the word graph).
+    *
+    * Scale: pair extraction is scan-local (one transform over each
+    * doc's token list — no window, no join); the edge set is
+    * vocabulary², bounded far below corpus size; iterations inherit
+    * PageRank's zero-exchange layout. */
+  def q221TextRank(s: SparkSession, dir: String): DataFrame = {
+    val stops = rakeStopwords
+    val lst = Tables.documents(s, dir)
+      .select(filter(graft.functions.TextFunctions.tokensOf(col("text")),
+        t => t =!= "" && !t.isInCollection(stops)).as("lst"))
+      .filter(size(col("lst")) >= 2)
+    val und = lst
+      .select(explode(expr(
+        """transform(sequence(1, size(lst) - 1),
+          |  i -> struct(element_at(lst, i) AS x, element_at(lst, i + 1) AS y))"""
+          .stripMargin)).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val pr = graft.operators.PageRank.ranks(edges, iters = 3)
+    val out = pr.ranks
+      .select(col("node").as("term"), round(col("r") * lit(1000.0), 9).as("rank_x1000"))
+      .orderBy(col("rank_x1000").desc, col("term"))
+      .limit(30)
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    pr.release()
+    s.createDataFrame(rows, schema)
+  }
+
+  val q221Sql: String = {
+    val stopList = rakeStopwords.map(w => s"'$w'").mkString(", ")
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(prev: String, next: String) =
+      s"""$next AS (
+        |  SELECT e.dst AS node,
+        |    (CAST(1 AS DOUBLE) - $d) / n.n + $d * CAST(SUM(
+        |      CAST($prev.r / deg.od AS DECIMAL(15,14))) AS DOUBLE) AS r
+        |  FROM e JOIN $prev ON e.src = $prev.node
+        |    JOIN deg ON e.src = deg.src CROSS JOIN n
+        |  GROUP BY e.dst, n.n)""".stripMargin
+    s"""WITH ls AS (
+      |  SELECT list_filter(string_split(lower(text), ' '),
+      |    t -> t <> '' AND t NOT IN ($stopList)) AS lst
+      |  FROM documents),
+      |und AS (
+      |  SELECT DISTINCT LEAST(lst[i], lst[i+1]) AS a,
+      |    GREATEST(lst[i], lst[i+1]) AS b
+      |  FROM ls CROSS JOIN unnest(range(1, len(lst))) AS t(i)
+      |  WHERE len(lst) >= 2 AND lst[i] <> lst[i+1]),
+      |e AS (SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b AS src, a AS dst FROM und),
+      |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+      |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS r
+      |       FROM deg CROSS JOIN n),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |SELECT node AS term, round(r * CAST(1000 AS DOUBLE), 9) AS rank_x1000
+      |FROM r3 ORDER BY rank_x1000 DESC, term LIMIT 30""".stripMargin
+  }
 }

@@ -617,4 +617,81 @@ object StreamPipeline {
       |FROM sess CROSS JOIN mx
       |WHERE session_end_ms + 1800000 < max_ms
       |ORDER BY user_id, session_start_ms""".stripMargin
+
+  /** q222 — streaming CDC apply: a MULTI-batch replay (events split
+    * into 4 staged files, `maxFilesPerTrigger = 1` → 4 micro-batches)
+    * maintained as a keyed latest-state table through `foreachBatch`:
+    * each batch unions the incoming rows with the previous state and
+    * recomputes latest-per-key (max by (ts, event_id)) into a NEW
+    * versioned parquet dir — the idempotent merge loop a warehouse
+    * runs against an at-least-once queue when MERGE INTO isn't
+    * available. Latest-wins is associative and commutative over
+    * (ts, event_id), so the final state is independent of batch
+    * boundaries AND of replayed batches (exactly-once effect from
+    * at-least-once delivery) — which is why the DuckDB oracle is the
+    * plain batch CDC query (q78's), restricted the same way.
+    *
+    * Scale: each merge is a distributed union + one keyed window;
+    * state stays columnar on disk between batches, nothing on the
+    * driver but the current version path. At warehouse scale the
+    * per-batch rewrite becomes partition-scoped (overwrite only the
+    * key ranges a batch touches) — the loop shape is unchanged. */
+  def q222StreamCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("q222_src").toString
+    val ck = Files.createTempDirectory("q222_ck").toString
+    val stateRoot = Files.createTempDirectory("q222_state").toString
+    try {
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+        .repartition(4).write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      @volatile var cur: Option[String] = None
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val merged = cur match {
+            case Some(p) => s.read.parquet(p).unionByName(batch)
+            case None => batch
+          }
+          val next = s"$stateRoot/v$batchId"
+          merged.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite").parquet(next)
+          cur = Some(next)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      val fin = cur.getOrElse(
+        throw new IllegalStateException("q222: no batch ran"))
+      val out = s.read.parquet(fin)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+      graft.Staging.deferDelete(out, stateRoot, "q222")
+    } finally {
+      graft.Staging.deleteRecursively(srcDir)
+      graft.Staging.deleteRecursively(ck)
+    }
+  }
+
+  /** Batch-equivalence oracle: the final streamed state must equal the
+    * one-shot batch CDC upsert (q78's SQL, same restriction) no matter
+    * how the replay batched. */
+  val q222Sql: String =
+    """SELECT user_id, event_type AS last_type, value AS last_value,
+      |  ts AS last_ts
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND user_id < 200 ORDER BY user_id""".stripMargin
 }

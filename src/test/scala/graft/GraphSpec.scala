@@ -36,4 +36,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == nodes)
     nodes.foreach(v => assert(got(v) == adj(v).toLong, s"node $v"))
   }
+
+  test("q217 HITS equals a local 2-round integer power iteration") {
+    val got = GraphQueries.q217Hits(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local recompute from the same bulk edge definition
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      auth = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }
+      hub = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }
+    }
+    val want = (auth.keySet ++ hub.keySet).toSeq
+      .map(v => (v, auth.getOrElse(v, 0L), hub.getOrElse(v, 0L)))
+      .sortBy(t => (-t._2, -t._3, t._1)).take(30)
+    assert(got.toSeq == want)
+  }
 }

@@ -156,4 +156,23 @@ class MlSpec extends AnyFunSuite {
     val r2 = out.getDouble(4)
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
   }
+
+  test("q219 kappa: 1 on engineered perfect agreement; bounded on the fixture") {
+    import spark.implicits._
+    // 24 tokens of 5 chars + 23 spaces = 143 chars -> band A = 1 = band B;
+    // plus a short doc in band 0 on both raters (two agreeing classes so
+    // pe < 1 and kappa is defined)
+    val tmp = java.nio.file.Files.createTempDirectory("kappa219").toString
+    (0 until 8).map(i => (i.toLong,
+        if (i % 2 == 0) Seq.fill(24)("token").mkString(" ") else "tiny doc",
+        "en", "s", 0L))
+      .map { case (id, t, l, s0, _) => (id, t, l, s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val perfect = graft.queries.MlQueries.q219CohensKappa(spark, tmp).collect()
+    assert(perfect.length == 1 && perfect.head.getDouble(2) == 1.0)
+    val fix = graft.queries.MlQueries.q219CohensKappa(spark, dir).collect()
+    assert(fix.nonEmpty)
+    fix.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
 }

@@ -113,4 +113,33 @@ class StatsSpec extends AnyFunSuite {
       assert(rows.map(sc(_, i)).toSet == Set(1L, 2L, 3L, 4L, 5L), s"dim $i")
     }
   }
+
+  test("q218 entropy: zero for constant text, exactly log2(k) for uniform") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ent218").toString
+    Seq((0L, "a" * 64, "en", "s", 64L), // constant -> H = 0, garbage
+        (1L, "abcdefghijklmnop" * 4, "en", "s", 64L)) // 16 uniform -> H = 4
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.StatsQueries.q218CharEntropy(spark, tmp)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(0L) == ((64L, 1L, 0.0, true)))
+    assert(r(1L) == ((64L, 16L, 4.0, false)))
+    // fixture sanity: natural-ish synthetic text clears the garbage bar
+    val fix = graft.queries.StatsQueries.q218CharEntropy(spark, dir).collect()
+    assert(fix.nonEmpty && fix.forall(x => !x.getBoolean(4)))
+  }
+
+  test("q221 TextRank: stopword-free descending ranks over the word graph") {
+    val rows = graft.queries.StatsQueries.q221TextRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val stops = graft.queries.StatsQueries.rakeStopwords.toSet
+    rows.foreach { r =>
+      assert(!stops.contains(r.getString(0)) && r.getString(0).nonEmpty)
+      assert(r.getDouble(1) > 0.0)
+    }
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
 }

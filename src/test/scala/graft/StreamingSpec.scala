@@ -256,6 +256,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q222 multi-batch CDC merge equals the one-shot batch upsert") {
+    val got = StreamPipeline.q222StreamCdcMerge(spark, TestSpark.sfDir)
+    // the returned scan reads the LAST versioned state dir: v3 proves the
+    // replay really ran as 4 micro-batches (maxFilesPerTrigger honored)
+    assert(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains("/v3/")),
+      s"expected state v3, got ${got.inputFiles.take(1).mkString}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+      .orderBy(org.apache.spark.sql.functions.col("ts").desc,
+        org.apache.spark.sql.functions.col("event_id").desc)
+    import org.apache.spark.sql.functions._
+    val want = Tables.events(spark, TestSpark.sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("user_id") < 200)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed CDC state diverges from the batch upsert")
+  }
+
   test("mapGroupsWithState keeps a per-source high watermark across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

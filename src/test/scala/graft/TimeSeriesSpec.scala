@@ -148,4 +148,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(r.head.getDouble(2) - 150.0) < 1e-9,
       s"even-m median broken: got ${r.head.getDouble(2)}, want 150.0")
   }
+
+  test("q220 MASE: exactly 0 for a weekly-periodic series; finite on fixture") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mase220").toString
+    // 14 daily points with exact period 7 -> every seasonal error is 0
+    (0 until 14).map(d => (d.toLong, s"2024-01-${"%02d".format(d + 1)} 12:00:00",
+        1L, "buy", 1.0 + (d % 7), "{}"))
+      .toDF("event_id", "raw_ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("raw_ts"))).drop("raw_ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val p = TimeSeriesQueries.q220SeasonalMase(spark, tmp).collect()
+    assert(p.length == 1 && p.head.getLong(1) == 14L && p.head.getDouble(2) == 0.0)
+    val fix = TimeSeriesQueries.q220SeasonalMase(spark, dir).collect()
+    assert(fix.nonEmpty)
+    fix.foreach(r => assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN))
+  }
 }
