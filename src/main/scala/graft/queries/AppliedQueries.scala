@@ -192,6 +192,59 @@ object AppliedQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q223 — XML round-trip (Spark 4's built-in XML datasource)
+
+  /** XML interchange audit, completing the format matrix (Avro q69,
+    * ORC q74, zstd-parquet q82, JSONL sinks, CSV q204): per-nation
+    * order aggregates are written as XML rows (one <order> element
+    * each), read back with an explicit schema, and re-aggregated from
+    * the ROUND-TRIPPED values — markup-sensitive strings (an embedded
+    * "<tag>&amp;" prefix forces entity escaping both ways) are length-
+    * and equality-audited. The oracle computes the same aggregates from
+    * the base tables, so the hash gate proves the XML path preserved
+    * every value and byte without DuckDB reading XML.
+    *
+    * Scale: the staged write/read is one distributed columnar pass each
+    * way (rowTag elements split per task); aggregation is one hash agg
+    * on nation. */
+  def q223XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"),
+        concat(lit("<tag>&"), col("o_orderpriority")).as("markup"))
+    val tmp = java.nio.file.Files.createTempDirectory("q223_xml").toString
+    base.write.mode("overwrite")
+      .option("rowTag", "order").option("rootTag", "orders")
+      .format("xml").save(tmp)
+    val back = s.read
+      .option("rowTag", "order").schema(base.schema)
+      .format("xml").load(tmp)
+    val joined = base.as("a")
+      .join(back.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+    val out = joined.groupBy(col("a.nation").as("nation"))
+      .agg(count(col("a.o_orderkey")).as("n_written"),
+        count(col("b.o_orderkey")).as("n_read"),
+        Oracle.lsum(col("b.cents")).as("sum_cents"),
+        Oracle.lsum((col("a.markup").isNull || col("b.markup").isNull ||
+          col("a.markup") =!= col("b.markup")).cast("long")).as("n_mismatch"),
+        Oracle.lsum(length(col("b.markup"))).as("sum_markup_len"))
+      .orderBy(col("nation"))
+    graft.Staging.deferDelete(out, tmp, "q223")
+  }
+
+  val q223Sql: String =
+    """SELECT c_nationkey AS nation, COUNT(*) AS n_written,
+      |  COUNT(*) AS n_read,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(length('<tag>&' || o_orderpriority)) AS BIGINT)
+      |    AS sum_markup_len
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q206 — reciprocal-rank fusion of two retrieval scorers
 
   /** Fuse a TF-IDF ranking and a BM25 ranking (k1=1.2, b=0.75) of the

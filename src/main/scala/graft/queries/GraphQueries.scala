@@ -359,8 +359,10 @@ object GraphQueries {
   }
 
   val q201Sql: String = {
+    // AS MATERIALIZED: each relaxation references the previous front
+    // twice (join + union) — see q186Sql's exponential-inlining note
     def round(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT v, MIN(d) AS d FROM (
          |    SELECT sym.dst AS v, p.d + sym.w AS d
          |    FROM sym JOIN $prev p ON sym.src = p.v
@@ -371,7 +373,7 @@ object GraphQueries {
     s"""WITH $edgesCteSql,
       |sym0 AS (SELECT a AS src, b AS dst FROM e
       |         UNION ALL SELECT b, a FROM e),
-      |sym AS (SELECT src, dst, 1 + (src * 31 + dst * 17) % 9 AS w FROM sym0),
+      |sym AS MATERIALIZED (SELECT src, dst, 1 + (src * 31 + dst * 17) % 9 AS w FROM sym0),
       |d0 AS (SELECT MIN(src) AS v, CAST(0 AS BIGINT) AS d FROM sym),
       |$rounds
       |SELECT v AS node, d AS dist FROM d6
@@ -379,17 +381,21 @@ object GraphQueries {
   }
 
   val q186Sql: String = {
+    // AS MATERIALIZED: each round references the previous one TWICE;
+    // inlined CTEs would re-evaluate the whole chain per reference —
+    // 2^8 expansions of the base join (measured: the r7 sf0.1 sweep
+    // spilled ~80 GB of DuckDB temp before materialization hints)
     def round(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT sym.src AS v FROM sym
          |  JOIN $prev x ON sym.src = x.v JOIN $prev y ON sym.dst = y.v
          |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
     val rounds = (1 to 8).map(i =>
       round(if (i == 1) "n0" else s"n${i - 1}", s"n$i")).mkString(",\n")
     s"""WITH $edgesCteSql,
-      |sym AS (SELECT a AS src, b AS dst FROM e
+      |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
       |        UNION ALL SELECT b, a FROM e),
-      |n0 AS (SELECT DISTINCT src AS v FROM sym),
+      |n0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
       |$rounds
       |SELECT sym.src AS node, COUNT(*) AS deg_in_core
       |FROM sym JOIN n8 x ON sym.src = x.v JOIN n8 y ON sym.dst = y.v

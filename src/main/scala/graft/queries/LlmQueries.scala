@@ -1422,4 +1422,49 @@ object LlmQueries {
       |FROM hits JOIN mass USING (phrase)
       |GROUP BY phrase
       |ORDER BY list_count DESC, phrase""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q225 — k-anonymity audit over quasi-identifiers
+
+  /** Re-identification risk report — the governance pass a dataset goes
+    * through beside PII scrubbing (q75) before release: group documents
+    * by their quasi-identifier tuple (lang, source, 64-char length
+    * band) and report, per equivalence-class size bucket, how many
+    * classes and documents sit there, plus each bucket's share of the
+    * corpus. k-anonymity = the smallest class size; documents in
+    * classes of size < 5 are the k<5 disclosure-risk mass reviewers
+    * act on. All exact integers; the one ratio is a single divide.
+    *
+    * Scale: one hash aggregate on the quasi tuple, one on class size —
+    * both alphabet-bounded; nothing else moves. */
+  def q225KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 64").as("len_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_docs_in_bucket"),
+        round((col("class_size") * col("n_classes")).cast("double") /
+          col("n_docs"), 6).as("corpus_share"),
+        (col("class_size") < 5).as("below_k5"))
+      .orderBy(col("class_size"))
+  }
+
+  val q225Sql: String =
+    """WITH classes AS (
+      |  SELECT lang, source, n_chars // 64 AS len_band, COUNT(*) AS class_size
+      |  FROM documents GROUP BY 1, 2, 3),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT class_size, COUNT(*) AS n_classes,
+      |  class_size * COUNT(*) AS n_docs_in_bucket,
+      |  ROUND(CAST(class_size * COUNT(*) AS DOUBLE) / n.n_docs, 6)
+      |    AS corpus_share,
+      |  class_size < 5 AS below_k5
+      |FROM classes CROSS JOIN n
+      |GROUP BY class_size, n.n_docs
+      |ORDER BY class_size""".stripMargin
 }

@@ -189,10 +189,17 @@ object TimeSeriesQueries {
   /** Day-of-week seasonal indices per event type by the classical
     * ratio-to-moving-average method: ratio_t = y_t / MA7_t with a
     * centered 7-day window (only where the window is complete), then
-    * the per-(type, dow) mean ratio. y·7 and the window sum are exact
-    * BIGINTs ≪ 2^53, so each ratio is one exact-rounded IEEE divide;
-    * ratios are fixed to the 1e-6 grid before the decimal-exact mean
-    * (the repo's Oracle.dsum discipline — no order-dependent FP sum).
+    * the per-(type, dow) mean ratio. ALL arithmetic is integer until
+    * the final /1e6 scaling: each ratio quantizes to 1e-6 units by
+    * half-away integer division ((2·7y·10⁶ + ws) div 2ws — nonneg by
+    * the ws>0 guard), the per-(type,dow) mean of those units is the
+    * same half-away integer formula, and the output is one exact-
+    * rounded double scaling. The earlier form rounded an IEEE divide
+    * with round(x,6), which diverged between Spark's BigDecimal
+    * (shortest-repr digits) and DuckDB's std::round(x·10⁶) on a ratio
+    * within an ulp of a .5 grid boundary — found by the sf0.1 sweep
+    * (1 cell of 1.3k); the integer grid removes the FP round entirely
+    * (the pqCodebooks fixed-point-mean idiom).
     * dow is computed arithmetically ((d+4) mod 7, 0 = Sunday) to dodge
     * engine-specific weekday conventions. */
   def q173SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
@@ -201,13 +208,13 @@ object TimeSeriesQueries {
     val ma = daily(s, dir)
       .withColumn("ws", sum(col("yc")).over(byT))
       .withColumn("wn", count(lit(1)).over(byT))
-      .filter(col("wn") === 7)
-      .withColumn("ratio",
-        round((col("yc") * 7).cast("double") / col("ws").cast("double"), 6))
+      .filter(col("wn") === 7 && col("ws") > 0)
+      .withColumn("r6", expr("(2 * yc * 7 * 1000000 + ws) div (2 * ws)"))
     ma.withColumn("dow", pmod(col("d") + 4, lit(7)))
       .groupBy(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("n_days"),
-        round(graft.Oracle.dsum(col("ratio")) / count(lit(1)), 6)
+      .agg(count(lit(1)).as("n_days"), graft.Oracle.lsum(col("r6")).as("sr6"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (expr("(2 * sr6 + n_days) div (2 * n_days)").cast("double") / 1e6)
           .as("seasonal_index"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -222,10 +229,11 @@ object TimeSeriesQueries {
       |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |ratio AS (
       |  SELECT event_type, (d + 4) % 7 AS dow,
-      |    ROUND(CAST(yc * 7 AS DOUBLE) / CAST(ws AS DOUBLE), 6) AS r
-      |  FROM ma WHERE wn = 7)
+      |    (2 * yc * 7 * 1000000 + ws) // (2 * ws) AS r6
+      |  FROM ma WHERE wn = 7 AND ws > 0)
       |SELECT event_type, dow, COUNT(*) AS n_days,
-      |  ROUND(${graft.Oracle.dsumSql("r")} / COUNT(*), 6) AS seasonal_index
+      |  CAST((2 * CAST(SUM(r6) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+      |    AS DOUBLE) / 1e6 AS seasonal_index
       |FROM ratio GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------

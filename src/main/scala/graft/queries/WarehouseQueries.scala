@@ -1012,4 +1012,68 @@ object WarehouseQueries {
       |  MAX(COALESCE(k_old, k_new)) AS max_key
       |FROM snap_old FULL OUTER JOIN snap_new ON k_old = k_new
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q224 — sequential pattern mining (supported event k-grams)
+
+  /** Frequent behavioral patterns: the consecutive event-type bigrams
+    * and trigrams whose SUPPORT (distinct users exhibiting the pattern,
+    * GSP-style — not occurrence count, which one hyperactive user can
+    * saturate; that distinction is q124 vs this query) reaches 10% of
+    * the user base. The threshold compares exact integers
+    * (support·10 ≥ n_users — no ratio FP), support and occurrence
+    * counts are exact, and pattern strings are canonical `a>b>c` keys.
+    *
+    * Scale: sequence construction is ONE window over the per-user
+    * timeline (the q124 shuffle, reused shape); patterns aggregate by
+    * (k, pattern) — alphabet-bounded cardinality — and the user total
+    * broadcasts as one row. No self-joins, no pattern explosion beyond
+    * k ≤ 3 consecutive grams. */
+  def q224SequencePatterns(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val seq = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("e2", lead(col("e1"), 1).over(byTime))
+      .withColumn("e3", lead(col("e1"), 2).over(byTime))
+    val grams = seq.filter(col("e2").isNotNull)
+      .select(col("user_id"), lit(2).as("k"),
+        concat_ws(">", col("e1"), col("e2")).as("pattern"))
+      .unionByName(seq.filter(col("e3").isNotNull)
+        .select(col("user_id"), lit(3).as("k"),
+          concat_ws(">", col("e1"), col("e2"), col("e3")).as("pattern")))
+    val users = Tables.events(s, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    grams.groupBy(col("k"), col("pattern"))
+      .agg(countDistinct(col("user_id")).as("support_users"),
+        count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(users))
+      .filter(col("support_users") * 10 >= col("n_users"))
+      .select(col("k"), col("pattern"), col("support_users"),
+        col("n_occurrences"))
+      .orderBy(col("k"), col("support_users").desc,
+        col("n_occurrences").desc, col("pattern"))
+  }
+
+  val q224Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |grams AS (
+      |  SELECT user_id, 2 AS k, e1 || '>' || e2 AS pattern FROM seq
+      |  WHERE e2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3 AS k, e1 || '>' || e2 || '>' || e3 AS pattern
+      |  FROM seq WHERE e3 IS NOT NULL),
+      |n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+      |SELECT k, pattern, COUNT(DISTINCT user_id) AS support_users,
+      |  COUNT(*) AS n_occurrences
+      |FROM grams CROSS JOIN n
+      |GROUP BY 1, 2, n.n_users
+      |HAVING COUNT(DISTINCT user_id) * 10 >= n.n_users
+      |ORDER BY k, support_users DESC, n_occurrences DESC, pattern""".stripMargin
 }

@@ -484,8 +484,12 @@ object StreamPipeline {
     * capacity-256 Space-Saving summary and flushed on event-time
     * timeout (the q92 watermark-0s close-out). State is CAPACITY-
     * bounded, not cardinality-bounded — the point of the sketch at
-    * 100 TB; at the gate scales distinct users ≪ capacity so every
-    * count is exact and the DuckDB oracle is a plain count-rank.
+    * 100 TB. Exactness regime: the DuckDB count-rank oracle holds
+    * while distinct users per type < 256 — true at the sf0.01 gate
+    * (150, pinned by AppliedSpec) and deliberately FALSE at sf0.1
+    * (1500): the r7 cross-SF sweep records q205 as expected-divergent
+    * there, which is the sketch approximating as designed, with the
+    * error bound still surfaced in the err column.
     * Flush generations merge batch-side by count addition before the
     * final rank, so a multi-batch replay yields the identical answer. */
   def q205StreamingTopk(s: SparkSession, dir: String): DataFrame = {
