@@ -499,4 +499,60 @@ object AdvancedQueries {
       |  MAX(rep_key) AS max_rep
       |FROM l JOIN d ON l.jk = d.jk
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q226 — bucketed co-located join (zero-exchange big-big join)
+
+  /** The §4 write-time answer to repeated big-big joins, under the hash
+    * gate: both sides are written `bucketBy(16, key)` + `sortBy` into a
+    * temp-located database, and the join then plans as a sort-merge
+    * over co-located buckets with ZERO shuffle of either side — the
+    * decisive layout at 100 TB, where re-shuffling a fact table per
+    * join is the dominant cost (broadcast is forced off to prove the
+    * big-big shape; BucketedJoinPlan exposes the plan and PlanSpec
+    * asserts no hash-partitioning Exchange). The aggregate over the
+    * joined rows is what the oracle replays from the raw tables, so
+    * the gate also proves bucketed write+read loses nothing.
+    *
+    * Same-session re-runs overwrite the bucketed tables in place; the
+    * write cost is the point (pay once, join forever). */
+  def q226BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("q226_wh").toString
+    s.sql(s"CREATE DATABASE IF NOT EXISTS q226 LOCATION '$loc'")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .write.mode("overwrite").bucketBy(16, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("q226.li_b")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").bucketBy(16, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("q226.ord_b")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.table("q226.li_b")
+        .join(s.table("q226.ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.Oracle.lsum(col("l_quantity").cast("long")).as("sum_qty"),
+          graft.Oracle.lsum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The joined (pre-aggregate) bucketed plan, for PlanSpec's
+    * zero-Exchange assertion. Caller must have run [[q226BucketedJoin]]
+    * (or call this after it) so the bucketed tables exist. */
+  def q226JoinPlan(s: SparkSession): DataFrame =
+    s.table("q226.li_b")
+      .join(s.table("q226.ord_b"), col("l_orderkey") === col("o_orderkey"))
+
+  val q226Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

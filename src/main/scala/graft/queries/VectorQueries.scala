@@ -1555,7 +1555,8 @@ object VectorQueries {
     * (ties to the lowest cent_id, mirroring max_by(struct(cos, -id))).
     * Exposes BOTH `{out}_cos` (the full query×centroid cosine table —
     * q216 ranks probes from it) and `{out}` (the rn=1 assignment). */
-  private def ivfAssignCtes(cents: String, out: String): String =
+  private def ivfAssignCtes(cents: String, out: String,
+      from: String = "embeddings"): String =
       s"""${out}_cos AS (
         |  SELECT e.vec_id, e.embedding, c.cent_id,
         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1565,7 +1566,7 @@ object VectorQueries {
         |         * sqrt(list_sum(list_transform(range(1, len(c.c_emb) + 1),
         |           i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))
         |      AS cos
-        |  FROM embeddings e CROSS JOIN $cents c),
+        |  FROM $from e CROSS JOIN $cents c),
         |$out AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1692,5 +1693,87 @@ object VectorQueries {
       |  WHERE q.vec_id < 50 GROUP BY 1, 2),
       |lut AS (SELECT q_id, $lutCols FROM lutsums GROUP BY 1)
       |SELECT * FROM pcells JOIN lut USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q227 — incremental IVF maintenance (assign-only ingest)
+
+  /** The production lifecycle step the train-once queries (q56/q139/
+    * q215) imply but never exercise: new vectors arrive AFTER the index
+    * is trained and are folded in by ASSIGNMENT ONLY — no retraining.
+    * The corpus splits deterministically (vec_id % 5: 80% "old" train
+    * the index — first-16-of-old seeding, two Lloyd rounds, the exact
+    * q215 arithmetic — and 20% "new" are routed into the trained
+    * cells). Output per cell: resident counts of old and new vectors
+    * plus the trained-centroid checksum, so the gate pins BOTH halves:
+    * the index state and the incremental routing decisions. Skew
+    * between n_old and n_new per cell is the drift signal that tells
+    * an operator when retraining is due.
+    *
+    * Scale: training touches 80% once per build; each ingest batch is
+    * one broadcast-16-centroids assign over ONLY the new rows — the
+    * whole point: ingest cost is |batch|, not |corpus|. */
+  def q227IvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val spine = ivfSpine(s, dir)
+    val olds = spine.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val news = spine.filter(pmod(col("vec_id"), lit(5)) === 0)
+    var cents = olds.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to 2) {
+      cents = ivfAssign(olds, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("c_emb"))
+        .withColumn("c_nrm", vecNorm(col("c_emb")))
+    }
+    val oldCells = ivfAssign(olds, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))
+    val newCells = ivfAssign(news, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    val sums = cents
+      .select(col("cent_id").as("cell"), posexplode(col("c_emb")).as(Seq("d", "x")))
+      .groupBy(col("cell"))
+      .agg(round(graft.Oracle.dsum(col("x").cast("double")), 4)
+        .as("centroid_checksum"))
+    oldCells.join(newCells, Seq("cell"), "full_outer")
+      .join(sums, "cell")
+      .select(col("cell"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("centroid_checksum"))
+      .orderBy(col("cell"))
+  }
+
+  val q227Sql: String = {
+    s"""WITH olds AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |news AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+      |       FROM olds ORDER BY vec_id LIMIT 16),
+      |${ivfAssignCtes("c0", "a1", "olds")},
+      |${ivfMeansCtes("a1", "c1")},
+      |${ivfAssignCtes("c1", "a2", "olds")},
+      |${ivfMeansCtes("a2", "c2")},
+      |${ivfAssignCtes("c2", "a3", "olds")},
+      |${ivfAssignCtes("c2", "b3", "news")},
+      |oc AS (SELECT cell, COUNT(*) AS n_old FROM a3 GROUP BY 1),
+      |nc AS (SELECT cell, COUNT(*) AS n_new FROM b3 GROUP BY 1),
+      |cs AS (
+      |  SELECT cent_id AS cell,
+      |    ROUND(CAST(SUM(CAST(CAST(c_emb[i] AS DOUBLE) AS DECIMAL(30,6)))
+      |      AS DOUBLE), 4) AS checksum
+      |  FROM (SELECT cent_id, c_emb, unnest(range(1, len(c_emb) + 1)) AS i
+      |        FROM c2) q
+      |  GROUP BY 1)
+      |SELECT COALESCE(oc.cell, nc.cell) AS cell,
+      |  COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+      |  cs.checksum AS centroid_checksum
+      |FROM oc FULL OUTER JOIN nc ON oc.cell = nc.cell
+      |JOIN cs ON COALESCE(oc.cell, nc.cell) = cs.cell
+      |ORDER BY cell""".stripMargin
   }
 }

@@ -1032,17 +1032,22 @@ object WarehouseQueries {
   def q224SequencePatterns(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
-    val seq = Tables.events(s, dir)
+    // both grams from ONE window pass + ONE explode — a union of two
+    // filtered projections of the windowed frame would re-scan and
+    // re-sort it per branch (no subplan reuse across union arms)
+    val grams = Tables.events(s, dir)
       .select(col("user_id"), col("event_type").as("e1"),
         unix_millis(col("ts")).as("ms"), col("event_id"))
       .withColumn("e2", lead(col("e1"), 1).over(byTime))
       .withColumn("e3", lead(col("e1"), 2).over(byTime))
-    val grams = seq.filter(col("e2").isNotNull)
-      .select(col("user_id"), lit(2).as("k"),
-        concat_ws(">", col("e1"), col("e2")).as("pattern"))
-      .unionByName(seq.filter(col("e3").isNotNull)
-        .select(col("user_id"), lit(3).as("k"),
-          concat_ws(">", col("e1"), col("e2"), col("e3")).as("pattern")))
+      .select(col("user_id"), explode(array(
+        when(col("e2").isNotNull, struct(lit(2).as("k"),
+          concat_ws(">", col("e1"), col("e2")).as("pattern"))),
+        when(col("e3").isNotNull, struct(lit(3).as("k"),
+          concat_ws(">", col("e1"), col("e2"), col("e3")).as("pattern")))))
+        .as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("user_id"), col("g.k").as("k"), col("g.pattern").as("pattern"))
     val users = Tables.events(s, dir)
       .agg(countDistinct(col("user_id")).as("n_users"))
     grams.groupBy(col("k"), col("pattern"))

@@ -48,6 +48,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q226: bucketed join is a sort-merge with zero hash-partitioning Exchange") {
+    AdvancedQueries.q226BucketedJoin(spark, dir).collect() // writes bucketed tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = AdvancedQueries.q226JoinPlan(spark)
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed sides re-shuffled — co-location lost")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q16: global top-k is TakeOrderedAndProject, not a full sort") {
     val p = plan(RelationalQueries.q16SortLimit(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
