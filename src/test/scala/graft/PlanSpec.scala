@@ -447,6 +447,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 tiers: no data-sized single-partition exchange, no O(n^2) join shape") {
+    // q217 HITS = edge⋈score equi-joins; q218 entropy = two hash aggs;
+    // q219 kappa / q225 k-anonymity aggregate to alphabet-sized tables
+    // then broadcast/1-row cross; q220 MASE / q224 grams ride the
+    // per-user window shuffle; q221 TextRank inherits PageRank's layout.
+    for (q <- Seq(
+        GraphQueries.q217Hits _,
+        StatsQueries.q218CharEntropy _,
+        MlQueries.q219CohensKappa _,
+        TimeSeriesQueries.q220SeasonalMase _,
+        StatsQueries.q221TextRank _,
+        WarehouseQueries.q224SequencePatterns _,
+        LlmQueries.q225KAnonymity _,
+        VectorQueries.q227IvfIncremental _)) {
+      val p = plan(q(spark, dir))
+      assert(unboundedSinglePartition(p).isEmpty,
+        unboundedSinglePartition(p).mkString("\n"))
+      assert(!p.contains("CartesianProduct"), "cartesian in round-7 plan")
+    }
+  }
+
   test("q177 naive Bayes: model tables broadcast; no cartesian on the token side") {
     val p = plan(MlQueries.q177NaiveBayes(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
