@@ -452,6 +452,62 @@ object GraphQueries {
       |FROM a2 FULL OUTER JOIN h2 ON a2.v = h2.v
       |ORDER BY authority DESC, hub DESC, node LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q229 — degree assortativity (Newman's r)
+
+  /** Degree-mixing coefficient of the co-purchase graph: Pearson
+    * correlation of endpoint degrees over every directed edge
+    * orientation (Newman 2002) — positive r = hubs link hubs
+    * (social-style), negative = hub-and-spoke (infrastructure-style);
+    * the one-number structure summary that decides whether degree-based
+    * sampling or hub-removal strategies are safe on this graph. All
+    * moments are exact integer sums; products go through DECIMAL(38,0)
+    * on the Spark side (M·Σxy overflows int64 once m·deg² passes ~1e18
+    * — the q208 lesson applied up front) and DuckDB's native HUGEINT on
+    * the oracle side; one IEEE tree at the end.
+    *
+    * Scale: one degree aggregate + two node-keyed joins onto the edge
+    * list + one scalar aggregate — no windows, nothing all-pairs. */
+  def q229Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("u"), col("d").as("x")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("y")), "v")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    xy.agg(count(lit(1)).as("m2"),
+        graft.Oracle.lsum(col("x")).as("sx"), graft.Oracle.lsum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("m2"),
+        round(((col("m2").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy").cast(d38)).cast("double")) /
+          (sqrt((col("m2").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+           sqrt((col("m2").cast(d38) * col("syy") - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))),
+          6).as("assortativity"))
+  }
+
+  val q229Sql: String =
+    s"""WITH $edgesCteSql,
+      |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+      |xy AS (
+      |  SELECT dx.d AS x, dy.d AS y FROM sym
+      |  JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u),
+      |mo AS (
+      |  -- HUGEINT moments (Spark side uses DECIMAL(38,0)): m2*sxy
+      |  -- overflows int64 at large m*deg^2
+      |  SELECT COUNT(*) AS m2, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM xy)
+      |SELECT CAST(m2 AS BIGINT) AS m2,
+      |  ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+      |    (SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
+      |     SQRT(CAST(m2 * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+      |FROM mo""".stripMargin
+
   val q153Sql: String = {
     // one LPA round as SQL: neighbor-label counts + ROW_NUMBER argmax
     def round(prev: String, out: String): String =

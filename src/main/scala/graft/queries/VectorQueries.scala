@@ -1696,6 +1696,105 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q228 — DBSCAN density clustering over the embedding ε-graph
+
+  /** Density-based semantic clustering (DBSCAN, Ester et al. 1996) —
+    * the principled upgrade over q110's plain transitive closure: a
+    * point is CORE iff it has ≥ minPts−1 = 3 ε-neighbors (cosine ≥ 0.4,
+    * the q46 exact pair graph), clusters are connected components of
+    * the CORE-CORE subgraph, non-core points with a core neighbor
+    * attach as BORDER (to their smallest core cluster id — the
+    * deterministic stand-in for DBSCAN's arrival-order tie), and the
+    * rest is NOISE. Density gating is what stops the q149-documented
+    * transitive-chaining failure: a sparse bridge point can't merge two
+    * dense regions unless it is itself core.
+    *
+    * Scale: the ε-graph comes from the blocked exact pair join (never
+    * all-pairs on one node); degree/core/border are node-keyed hash
+    * aggregates and joins; components run the same large-star/
+    * small-star iteration as q70/q110. Oracle: brute-force pairs +
+    * recursive-CTE closure over the core subgraph. */
+  def q228DbscanClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cosinePairs(s, dir).select(col("id_a"), col("id_b"))
+    val sym = pairs.select(col("id_a").as("v"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("nb")))
+    val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 3).select(col("v"))
+    val coreEdges = pairs
+      .join(core.select(col("v").as("id_a")), "id_a")
+      .join(core.select(col("v").as("id_b")), "id_b")
+    val cc = graft.operators.ConnectedComponents.run(coreEdges)
+    // a core point all of whose neighbors are border forms its own cluster
+    val coreCl = core
+      .join(cc.select(col("node").as("v"), col("component")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("component"), col("v")).as("cluster_id"))
+    val borderCl = sym
+      .join(coreCl.select(col("v").as("nb"), col("cluster_id")), "nb")
+      .groupBy(col("v")).agg(min(col("cluster_id")).as("bcl"))
+      .join(coreCl.select(col("v")), Seq("v"), "left_anti")
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(coreCl.select(col("v").as("vec_id"), col("cluster_id").as("ccl")),
+        Seq("vec_id"), "left")
+      .join(borderCl.select(col("v").as("vec_id"), col("bcl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("ccl").isNotNull, "core")
+          .when(col("bcl").isNotNull, "border").otherwise("noise").as("role"),
+        coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q228Sql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * b.nrm), 6) AS cos_sim
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  WHERE cos_sim >= 0.4),
+      |sym AS MATERIALIZED (
+      |  SELECT id_a AS v, id_b AS nb FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |core AS MATERIALIZED (
+      |  SELECT v FROM (SELECT v, COUNT(*) AS deg FROM sym GROUP BY 1)
+      |  WHERE deg >= 3),
+      |ce AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  JOIN core c1 ON pairs.id_a = c1.v JOIN core c2 ON pairs.id_b = c2.v),
+      |edges AS MATERIALIZED (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+      |reach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |memb AS (
+      |  SELECT node, CAST(least(node, min(r)) AS BIGINT) AS cluster
+      |  FROM reach GROUP BY node),
+      |corecl AS MATERIALIZED (
+      |  SELECT core.v, COALESCE(memb.cluster, core.v) AS cluster_id
+      |  FROM core LEFT JOIN memb ON core.v = memb.node),
+      |borders AS (
+      |  SELECT sym.v, MIN(corecl.cluster_id) AS bcl
+      |  FROM sym JOIN corecl ON sym.nb = corecl.v
+      |  WHERE sym.v NOT IN (SELECT v FROM core)
+      |  GROUP BY 1)
+      |SELECT e.vec_id,
+      |  CASE WHEN corecl.v IS NOT NULL THEN 'core'
+      |       WHEN borders.v IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CAST(COALESCE(corecl.cluster_id, borders.bcl, -1) AS BIGINT)
+      |    AS cluster_id
+      |FROM embeddings e
+      |LEFT JOIN corecl ON e.vec_id = corecl.v
+      |LEFT JOIN borders ON e.vec_id = borders.v
+      |ORDER BY e.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q227 — incremental IVF maintenance (assign-only ingest)
 
   /** The production lifecycle step the train-once queries (q56/q139/

@@ -425,4 +425,53 @@ class SelfConsistencySpec extends AnyFunSuite {
       assert(r.getInt(0) >= 0 && r.getInt(0) < 12)
     }
   }
+
+  test("q228 DBSCAN invariants: roles partition, density gate, cluster sanity") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val rows = graft.queries.VectorQueries.q228DbscanClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    // exact neighbor sets from brute force at spec scale
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // mirror the engine's grid exactly: Spark round = BigDecimal HALF_UP
+    def grid6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nbrs = embs.map { case (id, v) =>
+      id -> embs.filter { case (j, w) =>
+        j != id && grid6(cos(v, w)) >= 0.4 }.map(_._1).toSet
+    }.toMap
+    rows.foreach { case (id, role, cl) =>
+      role match {
+        case "core" =>
+          assert(nbrs(id).size >= 3, s"core $id has ${nbrs(id).size} neighbors")
+          assert(cl >= 0 && cl <= id, s"core $id cluster $cl not a min-id label")
+        case "border" =>
+          assert(nbrs(id).size < 3)
+          assert(nbrs(id).exists(n => byId(n)._2 == "core"),
+            s"border $id has no core neighbor")
+          assert(cl >= 0)
+        case "noise" =>
+          assert(nbrs(id).size < 3)
+          assert(!nbrs(id).exists(n => byId(n)._2 == "core"),
+            s"noise $id touches a core point")
+          assert(cl == -1L)
+      }
+    }
+    // every non-singleton cluster id is itself a member of the cluster
+    rows.filter(_._3 >= 0).groupBy(_._3).foreach { case (cl, members) =>
+      assert(byId(cl)._3 == cl, s"cluster label $cl is not in its own cluster")
+    }
+  }
 }
