@@ -508,6 +508,103 @@ object GraphQueries {
       |     SQRT(CAST(m2 * syy - sy * sy AS DOUBLE))), 6) AS assortativity
       |FROM mo""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q230 — hub-removal robustness (giant component before/after attack)
+
+  /** Targeted-attack resilience audit (Albert/Jeong/Barabási 2000): the
+    * size of the largest connected component before and after deleting
+    * the top-20 highest-degree hubs — the one-number answer to "does
+    * this graph's connectivity live in its hubs?". Components come from
+    * a FIXED 12-round min-label propagation (the Pregel pattern; both
+    * engines compute the identical bounded iteration, so the hash gate
+    * is exact regardless of diameter; GraphSpec proves 12 rounds reach
+    * the true fixpoint at spec scale — the q205-style regime pin). The
+    * post-attack giant is measured over the remaining edge-bearing
+    * subgraph (isolated survivors are reported in their own column, not
+    * silently merged).
+    *
+    * Scale: each propagation round is one edge⋈label join + one keyed
+    * min — the q77/q201 iteration shape, localCheckpoint'd; the hub set
+    * is a broadcast-20 anti-join. */
+  def q230HubRobustness(s: SparkSession, dir: String): DataFrame = {
+    val e = bulkEdges(s, dir)
+    def symOf(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(ed.select(col("b").as("u"), col("a").as("v")))
+    def giant(ed: DataFrame): (Long, Long) = { // (n_nodes, giant_size)
+      val sym = symOf(ed)
+      var lab = sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint(true)
+      val n = lab.count()
+      for (_ <- 1 to 12) {
+        lab = sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
+          .select(col("u").as("node"), col("lbl"))
+          .unionByName(lab)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val g = lab.groupBy(col("lbl")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      (n, g)
+    }
+    val deg = symOf(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val hubs = deg.orderBy(col("d").desc, col("u")).limit(20)
+      .select(col("u").as("hub"))
+    val e2 = e.join(broadcast(hubs.select(col("hub").as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(hubs.select(col("hub").as("b"))), Seq("b"), "left_anti")
+    val (n1, g1) = giant(e)
+    val (n2, g2) = giant(e2)
+    val (ec1, ec2) = (e.count(), e2.count())
+    import s.implicits._
+    Seq((n1, ec1, g1, 20L, n2, ec2, g2, n1 - 20L - n2))
+      .toDF("n_nodes", "n_edges", "giant_before", "hubs_removed",
+        "n_nodes_after", "n_edges_after", "giant_after", "n_isolated_after")
+  }
+
+  val q230Sql: String = {
+    def rounds(sym: String, l0: String, prefix: String): String =
+      (1 to 12).map { i =>
+        val prev = if (i == 1) l0 else s"$prefix${i - 1}"
+        s"""$prefix$i AS MATERIALIZED (
+           |  SELECT node, MIN(lbl) AS lbl FROM (
+           |    SELECT $sym.u AS node, p.lbl FROM $sym
+           |    JOIN $prev p ON $sym.v = p.node
+           |    UNION ALL SELECT node, lbl FROM $prev) x
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $edgesCteSql,
+      |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+      |hubs AS MATERIALIZED (
+      |  SELECT u AS hub FROM deg ORDER BY d DESC, u LIMIT 20),
+      |e2 AS MATERIALIZED (
+      |  SELECT a, b FROM e
+      |  WHERE a NOT IN (SELECT hub FROM hubs)
+      |    AND b NOT IN (SELECT hub FROM hubs)),
+      |sym2 AS MATERIALIZED (SELECT a AS u, b AS v FROM e2
+      |  UNION ALL SELECT b, a FROM e2),
+      |g0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+      |h0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym2),
+      |${rounds("sym", "g0", "g")},
+      |${rounds("sym2", "h0", "h")},
+      |gb AS (SELECT MAX(c) AS giant FROM
+      |  (SELECT lbl, COUNT(*) AS c FROM g12 GROUP BY 1)),
+      |ga AS (SELECT MAX(c) AS giant FROM
+      |  (SELECT lbl, COUNT(*) AS c FROM h12 GROUP BY 1))
+      |SELECT
+      |  (SELECT COUNT(*) FROM g0) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  gb.giant AS giant_before,
+      |  CAST(20 AS BIGINT) AS hubs_removed,
+      |  (SELECT COUNT(*) FROM h0) AS n_nodes_after,
+      |  (SELECT COUNT(*) FROM e2) AS n_edges_after,
+      |  ga.giant AS giant_after,
+      |  (SELECT COUNT(*) FROM g0) - 20 - (SELECT COUNT(*) FROM h0)
+      |    AS n_isolated_after
+      |FROM gb CROSS JOIN ga""".stripMargin
+  }
+
   val q153Sql: String = {
     // one LPA round as SQL: neighbor-label counts + ROW_NUMBER argmax
     def round(prev: String, out: String): String =

@@ -460,7 +460,9 @@ class PlanSpec extends AnyFunSuite {
         StatsQueries.q221TextRank _,
         WarehouseQueries.q224SequencePatterns _,
         LlmQueries.q225KAnonymity _,
-        VectorQueries.q227IvfIncremental _)) {
+        VectorQueries.q227IvfIncremental _,
+        VectorQueries.q228DbscanClusters _,
+        GraphQueries.q229Assortativity _)) {
       val p = plan(q(spark, dir))
       assert(unboundedSinglePartition(p).isEmpty,
         unboundedSinglePartition(p).mkString("\n"))
