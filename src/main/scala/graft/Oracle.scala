@@ -86,7 +86,16 @@ object Oracle {
     var i = 0
     val n = sql.length
     def isWord(ch: Char) = ch.isLetterOrDigit || ch == '_'
+    var outStr = false // string-literal state of the OUTER scan: a
+    // "round(" inside a quoted literal is data, not a call site
     while (i < n) {
+      if (outStr) {
+        if (sql.charAt(i) == '\'') outStr = false
+        sb.append(sql.charAt(i)); i += 1
+      } else if (sql.charAt(i) == '\'') {
+        outStr = true
+        sb.append(sql.charAt(i)); i += 1
+      } else {
       val isRound = i + 6 <= n && sql.regionMatches(true, i, "round(", 0, 6) &&
         (i == 0 || !isWord(sql.charAt(i - 1)))
       if (isRound) {
@@ -125,6 +134,7 @@ object Oracle {
           i = done + 1
         }
       } else { sb.append(sql.charAt(i)); i += 1 }
+      }
     }
     sb.toString
   }

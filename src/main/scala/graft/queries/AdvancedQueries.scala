@@ -517,8 +517,15 @@ object AdvancedQueries {
     * Same-session re-runs overwrite the bucketed tables in place; the
     * write cost is the point (pay once, join forever). */
   def q226BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val loc = java.nio.file.Files.createTempDirectory("q226_wh").toString
-    s.sql(s"CREATE DATABASE IF NOT EXISTS q226 LOCATION '$loc'")
+    // Create the warehouse dir only when the database does not yet
+    // exist (repeat invocations — bench loops — reuse the registered
+    // location instead of leaking one temp dir per run), and register
+    // it for at-exit deletion like the other staged layouts.
+    if (!s.catalog.databaseExists("q226")) {
+      val loc = java.nio.file.Files.createTempDirectory("q226_wh").toString
+      s.sql(s"CREATE DATABASE q226 LOCATION '$loc'")
+      graft.Staging.retireOnReuse("q226_wh", loc)
+    }
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_quantity"),
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))

@@ -483,9 +483,14 @@ object GraphQueries {
         sum((col("x") * col("x")).cast(d38)).as("sxx"),
         sum((col("y") * col("y")).cast(d38)).as("syy"))
       .select(col("m2"),
+        // NULLIF guard on both engines: a degree-regular graph zeroes
+        // the variance terms (Spark non-ANSI /0 -> NULL, DuckDB IEEE
+        // /0.0 -> nan/inf), so both sides null the denominator.
         round(((col("m2").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy").cast(d38)).cast("double")) /
-          (sqrt((col("m2").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
-           sqrt((col("m2").cast(d38) * col("syy") - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))),
+          nullif(
+            sqrt((col("m2").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+            sqrt((col("m2").cast(d38) * col("syy") - col("sy").cast(d38) * col("sy").cast(d38)).cast("double")),
+            lit(0.0)),
           6).as("assortativity"))
   }
 
@@ -504,8 +509,9 @@ object GraphQueries {
       |  FROM xy)
       |SELECT CAST(m2 AS BIGINT) AS m2,
       |  ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE) /
-      |    (SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
-      |     SQRT(CAST(m2 * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+      |    NULLIF(SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
+      |           SQRT(CAST(m2 * syy - sy * sy AS DOUBLE)), 0), 6)
+      |    AS assortativity
       |FROM mo""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -531,34 +537,47 @@ object GraphQueries {
     def symOf(ed: DataFrame): DataFrame =
       ed.select(col("a").as("u"), col("b").as("v"))
         .unionByName(ed.select(col("b").as("u"), col("a").as("v")))
-    def giant(ed: DataFrame): (Long, Long) = { // (n_nodes, giant_size)
+    // (n_nodes, giant_size, converged): giant is null-safe (0 on an
+    // empty subgraph — hub removal can delete every edge), and the
+    // fixed 12-round bound is self-verifying: converged=1 iff no label
+    // changed between rounds 11 and 12, so a >12-diameter graph at
+    // 100× scale reports its own approximation instead of silently
+    // shipping it. Both engines compute the identical flag.
+    def giant(ed: DataFrame): (Long, Long, Long) = {
       val sym = symOf(ed)
       var lab = sym.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint(true)
       val n = lab.count()
+      var prev = lab
       for (_ <- 1 to 12) {
+        prev = lab
         lab = sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
           .select(col("u").as("node"), col("lbl"))
           .unionByName(lab)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
       }
+      val changed = lab
+        .join(prev.select(col("node"), col("lbl").as("lbl_prev")), "node")
+        .filter(col("lbl") =!= col("lbl_prev")).count()
       val g = lab.groupBy(col("lbl")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0)
-      (n, g)
+        .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      (n, g, if (changed == 0L) 1L else 0L)
     }
     val deg = symOf(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
     val hubs = deg.orderBy(col("d").desc, col("u")).limit(20)
       .select(col("u").as("hub"))
+    val nHubs = hubs.count() // actual (limit(20) may return fewer)
     val e2 = e.join(broadcast(hubs.select(col("hub").as("a"))), Seq("a"), "left_anti")
       .join(broadcast(hubs.select(col("hub").as("b"))), Seq("b"), "left_anti")
-    val (n1, g1) = giant(e)
-    val (n2, g2) = giant(e2)
+    val (n1, g1, c1) = giant(e)
+    val (n2, g2, c2) = giant(e2)
     val (ec1, ec2) = (e.count(), e2.count())
     import s.implicits._
-    Seq((n1, ec1, g1, 20L, n2, ec2, g2, n1 - 20L - n2))
-      .toDF("n_nodes", "n_edges", "giant_before", "hubs_removed",
-        "n_nodes_after", "n_edges_after", "giant_after", "n_isolated_after")
+    Seq((n1, ec1, g1, c1, nHubs, n2, ec2, g2, c2, n1 - nHubs - n2))
+      .toDF("n_nodes", "n_edges", "giant_before", "converged_before",
+        "hubs_removed", "n_nodes_after", "n_edges_after", "giant_after",
+        "converged_after", "n_isolated_after")
   }
 
   val q230Sql: String = {
@@ -588,21 +607,31 @@ object GraphQueries {
       |h0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym2),
       |${rounds("sym", "g0", "g")},
       |${rounds("sym2", "h0", "h")},
-      |gb AS (SELECT MAX(c) AS giant FROM
+      |gb AS (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) AS giant FROM
       |  (SELECT lbl, COUNT(*) AS c FROM g12 GROUP BY 1)),
-      |ga AS (SELECT MAX(c) AS giant FROM
-      |  (SELECT lbl, COUNT(*) AS c FROM h12 GROUP BY 1))
+      |ga AS (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) AS giant FROM
+      |  (SELECT lbl, COUNT(*) AS c FROM h12 GROUP BY 1)),
+      |cvb AS (SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS conv
+      |  FROM g12 JOIN g11 ON g12.node = g11.node
+      |  WHERE g12.lbl <> g11.lbl),
+      |cva AS (SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS conv
+      |  FROM h12 JOIN h11 ON h12.node = h11.node
+      |  WHERE h12.lbl <> h11.lbl)
       |SELECT
       |  (SELECT COUNT(*) FROM g0) AS n_nodes,
       |  (SELECT COUNT(*) FROM e) AS n_edges,
       |  gb.giant AS giant_before,
-      |  CAST(20 AS BIGINT) AS hubs_removed,
+      |  cvb.conv AS converged_before,
+      |  (SELECT COUNT(*) FROM hubs) AS hubs_removed,
       |  (SELECT COUNT(*) FROM h0) AS n_nodes_after,
       |  (SELECT COUNT(*) FROM e2) AS n_edges_after,
       |  ga.giant AS giant_after,
-      |  (SELECT COUNT(*) FROM g0) - 20 - (SELECT COUNT(*) FROM h0)
-      |    AS n_isolated_after
-      |FROM gb CROSS JOIN ga""".stripMargin
+      |  cva.conv AS converged_after,
+      |  (SELECT COUNT(*) FROM g0) - (SELECT COUNT(*) FROM hubs)
+      |    - (SELECT COUNT(*) FROM h0) AS n_isolated_after
+      |FROM gb CROSS JOIN ga CROSS JOIN cvb CROSS JOIN cva""".stripMargin
   }
 
   val q153Sql: String = {

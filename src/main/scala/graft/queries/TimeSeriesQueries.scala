@@ -426,8 +426,13 @@ object TimeSeriesQueries {
         graft.Oracle.lsum(abs(col("yc") - col("y1"))).as("se1"),
         count(col("y1")).as("n1"))
       .select(col("event_type"), col("n_days"),
+        // NULLIF guard on both engines: a series shorter than 8 days
+        // (n7=0) or a constant series (se1=0) zeroes the scale; Spark
+        // non-ANSI /0 -> NULL but DuckDB IEEE /0.0 -> inf, so both
+        // sides must null the denominator identically.
         round((col("se7") * col("n1")).cast("double") /
-          (col("se1") * col("n7")), 6).as("mase"))
+          nullif((col("se1") * col("n7")).cast("double"), lit(0.0)),
+          6).as("mase"))
       .orderBy(col("event_type"))
   }
 
@@ -440,6 +445,7 @@ object TimeSeriesQueries {
       |  FROM daily)
       |SELECT event_type, COUNT(*) AS n_days,
       |  ROUND(CAST(CAST(SUM(ABS(yc - y7)) AS BIGINT) * COUNT(y1) AS DOUBLE)
-      |    / (CAST(SUM(ABS(yc - y1)) AS BIGINT) * COUNT(y7)), 6) AS mase
+      |    / NULLIF(CAST(CAST(SUM(ABS(yc - y1)) AS BIGINT) * COUNT(y7)
+      |              AS DOUBLE), 0), 6) AS mase
       |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
 }

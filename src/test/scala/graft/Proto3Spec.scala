@@ -53,14 +53,19 @@ class Proto3Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ProtoDescriptor.parse("syntax = \"proto2\";")
     }
-    intercept[IllegalArgumentException] {
+    // multi-line bodies so the parser reaches Message construction and
+    // the INTENDED rejection fires (ADVICE r7: single-line bodies fell
+    // through to the generic unsupported-construct error)
+    val mapErr = intercept[IllegalArgumentException] {
       ProtoDescriptor.parse(
-        "syntax = \"proto3\";\nmessage A { map<string, int32> m = 1; }")
+        "syntax = \"proto3\";\nmessage A {\n  map<string, int32> m = 1;\n}")
     }
-    intercept[IllegalArgumentException] { // duplicate tags
+    assert(mapErr.getMessage.contains("map"), mapErr.getMessage)
+    val dupErr = intercept[IllegalArgumentException] { // duplicate tags
       ProtoDescriptor.parse(
-        "syntax = \"proto3\";\nmessage A { uint64 a = 1; uint64 b = 1; }")
+        "syntax = \"proto3\";\nmessage A {\n  uint64 a = 1;\n  uint64 b = 1;\n}")
     }
+    assert(dupErr.getMessage.toLowerCase.contains("duplicate"), dupErr.getMessage)
   }
 
   test("golden wire vectors (protobuf spec examples)") {

@@ -40,6 +40,16 @@ class SignedZeroSpec extends AnyFunSuite {
     // inside string literals parens don't confuse the scanner
     assert(Oracle.znormSql("SELECT round(concat(s, '(((' ), 2)") ==
       "SELECT (round(concat(s, '(((' ), 2) + 0.0)")
+    // a "round(" INSIDE a string literal is data, not a call site
+    // (ADVICE r7): the outer scan tracks quote state too
+    assert(Oracle.znormSql("SELECT 'use round(x) here' AS hint") ==
+      "SELECT 'use round(x) here' AS hint")
+    assert(Oracle.znormSql(
+      "SELECT 'round(a)' AS lit, round(y, 2) AS r") ==
+      "SELECT 'round(a)' AS lit, (round(y, 2) + 0.0) AS r")
+    // doubled-quote escape keeps literal state balanced
+    assert(Oracle.znormSql("SELECT 'it''s round(z)' AS s, round(w) AS r") ==
+      "SELECT 'it''s round(z)' AS s, (round(w) + 0.0) AS r")
   }
 
   test("znormSql normalizes nested rounds inside-out") {
