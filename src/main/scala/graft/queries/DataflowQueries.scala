@@ -739,4 +739,69 @@ object DataflowQueries {
       |  o.v IS NULL AS was_gap
       |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q231 — descriptor-driven fan-out under the hash gate
+
+  /** The .proto-derived record-tree fan-out end to end: synthesize the
+    * nested block range (S1 generator), derive the THREE child tables
+    * mechanically from the checked-in block_record.proto via
+    * [[graft.operators.FanOut.fromDescriptor]] (no hand-written schema
+    * anywhere on this path), and aggregate each derived table into one
+    * gated row. The oracle replays the generator arithmetic directly
+    * (q29 idiom), so a descriptor mis-parse, a mis-fanned explode, or a
+    * dropped/duplicated child row all hash-fail. Cross-table
+    * consistency is part of the output: Σ n_txs from the root table
+    * must equal the txs table's row count, and Σ n_accounts the
+    * accounts table's.
+    *
+    * Scale: the fan-out inherits spark.range's partitioning — zero
+    * shuffles until the three scalar aggregates. */
+  def q231DescriptorFanOut(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.operators.FanOut.fromDescriptor(
+      graft.sources.BlockSources.blockRange(s, 0, 2000),
+      graft.operators.FanOut.descriptor)
+    val b = t("block_record").agg(
+      count(lit(1)).as("n_blocks"),
+      max(unix_millis(col("block_time"))).as("max_time_ms"),
+      sum(col("n_txs")).cast("long").as("sum_n_txs"))
+    val tx = t("txs").agg(
+      count(lit(1)).as("n_txs"),
+      sum(col("fee")).cast("long").as("fee_sum"),
+      sum(col("n_accounts")).cast("long").as("sum_n_accounts"))
+    val ac = t("accounts").agg(
+      count(lit(1)).as("n_account_refs"),
+      countDistinct(col("account")).as("n_distinct_accounts"))
+    b.crossJoin(tx).crossJoin(ac)
+  }
+
+  val q231Sql: String =
+    """WITH blocks AS (
+      |  SELECT block_number,
+      |    1700000000000 + block_number * 400 AS bt_ms,
+      |    (block_number * 2654435761) % 97 % 7 AS n_tx
+      |  FROM range(0, 2000) t(block_number)),
+      |txs AS (
+      |  SELECT block_number, unnest(range(1, n_tx + 1)) AS i FROM blocks),
+      |txf AS (
+      |  SELECT block_number, i,
+      |    ((block_number * 31 + i - 1) * 1103515245 + 12345) % 1000003 AS fee,
+      |    (block_number + i) % 3 AS max_a
+      |  FROM txs),
+      |accts AS (
+      |  SELECT block_number, i, unnest(range(0, max_a + 1)) AS a FROM txf),
+      |acct AS (
+      |  SELECT 'acct_' ||
+      |    CAST((block_number * 7 + i * 13 + a * 29) % 1000 AS VARCHAR)
+      |    AS account
+      |  FROM accts)
+      |SELECT
+      |  (SELECT COUNT(*) FROM blocks) AS n_blocks,
+      |  (SELECT CAST(MAX(bt_ms) AS BIGINT) FROM blocks) AS max_time_ms,
+      |  (SELECT CAST(SUM(n_tx) AS BIGINT) FROM blocks) AS sum_n_txs,
+      |  (SELECT COUNT(*) FROM txf) AS n_txs,
+      |  (SELECT CAST(SUM(fee) AS BIGINT) FROM txf) AS fee_sum,
+      |  (SELECT CAST(SUM(max_a + 1) AS BIGINT) FROM txf) AS sum_n_accounts,
+      |  (SELECT COUNT(*) FROM acct) AS n_account_refs,
+      |  (SELECT COUNT(DISTINCT account) FROM acct) AS n_distinct_accounts""".stripMargin
 }
