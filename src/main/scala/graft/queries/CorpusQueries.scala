@@ -55,15 +55,9 @@ object CorpusQueries {
     * advisory: q111 previously rewrote q70's tail by string surgery,
     * which would silently no-op if q70Sql were ever reformatted). */
   private val clustersCteSql: String =
-    s"""WITH RECURSIVE sh AS (${LlmQueries.shingledSql}),
+    s"""WITH RECURSIVE ${LlmQueries.jaccardPairsCteSql},
       |pairs AS (
-      |  SELECT a, b FROM (
-      |    SELECT a.doc_id AS a, b.doc_id AS b,
-      |      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS j
-      |    FROM sh a JOIN sh b
-      |      ON a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0)
-      |  WHERE j >= 0.8),
+      |  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.8),
       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
       |reach(node, r) AS (
       |  SELECT a AS node, b AS r FROM edges

@@ -102,6 +102,33 @@ object LlmQueries {
       |  ELSE CAST([] AS VARCHAR[]) END AS shingles
       |FROM documents""".stripMargin
 
+  /** DuckDB CTE chain computing EXACT pairwise Jaccard over all doc
+    * pairs sharing ≥1 shingle, via an inverted-index postings join —
+    * the textbook set-similarity identity |A∪B| = |A|+|B|−|A∩B| with
+    * |A∩B| counted by grouping the postings self-join. Replaces the
+    * r3–r7 all-pairs `list_intersect` cross join, which cost
+    * O(n²·|shingles|) and made the consolidated sf0.1 sweep take CPU
+    *-hours (SWEEP_r7.md): pairs with NO shared shingle have Jaccard 0
+    * and can never pass a positive threshold, so skipping them is
+    * exact, and the postings join costs Σ_g df(g)² instead of n².
+    * Still oracle-independent of the engine: no MinHash, no LSH, no
+    * pruning, no bounds — every co-occurring pair gets its exact count.
+    * Yields relations: sh, sz(doc_id,n), post(doc_id,g),
+    * isect(doc_a,doc_b,i), jac(doc_a,doc_b,jaccard rounded 4dp). */
+  private[queries] val jaccardPairsCteSql: String =
+    s"""sh AS ($shingledSql),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+      |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |isect AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |  FROM isect JOIN sz sa ON doc_a = sa.doc_id
+      |             JOIN sz sb ON doc_b = sb.doc_id)""".stripMargin
+
   /** Labeled sub-stage actions for graft.Prof (dev profiling only). */
   def profileStages(s: SparkSession, dir: String): Seq[(String, () => Long)] = {
     def rows = shingleRows(s, dir)
@@ -284,13 +311,8 @@ object LlmQueries {
 
   /** Brute-force O(n²) exact-Jaccard oracle shared by q20/q21. */
   val q20Sql: String =
-    s"""WITH sh AS ($shingledSql)
-      |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-      |  FROM sh a JOIN sh b
-      |    ON a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+    s"""WITH $jaccardPairsCteSql
+      |SELECT doc_a, doc_b, jaccard FROM jac
       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -631,14 +653,9 @@ object LlmQueries {
   }
 
   val q50Sql: String =
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH $jaccardPairsCteSql,
       |pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS j
-      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |  WHERE round(j, 4) >= 0.8),
+      |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
       |exact AS (
       |  SELECT MIN(doc_id) AS doc_id FROM documents
       |  WHERE len(string_split(lower(text), ' ')) BETWEEN 10 AND 2000
@@ -801,14 +818,19 @@ object LlmQueries {
   }
 
   val q103Sql: String =
-    s"""WITH sh AS ($shingledSql)
-      |SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
-      |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      |    / len(a.shingles), 4) AS containment
-      |FROM sh a JOIN sh b
-      |  ON a.doc_id <> b.doc_id AND len(a.shingles) >= 10
-      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      |    / len(a.shingles) >= 0.9
+    // postings-join containment (the q20Sql rewrite, directed): pairs
+    // with no shared shingle have containment 0 and cannot pass 0.9
+    s"""WITH sh AS ($shingledSql),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |isect AS (
+      |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, COUNT(*) AS i
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_inner, doc_outer,
+      |  round(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+      |FROM isect JOIN sz sa ON doc_inner = sa.doc_id
+      |WHERE sa.n >= 10 AND CAST(i AS DOUBLE) / sa.n >= 0.9
       |ORDER BY doc_inner, doc_outer""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -918,16 +940,21 @@ object LlmQueries {
 
   val q112Sql: String =
     s"""WITH sh AS ($shingledSql),
-      |nw AS (SELECT doc_id, shingles FROM sh
+      |nw AS (SELECT doc_id, len(shingles) AS n FROM sh
       |       WHERE doc_id >= 400 AND len(shingles) > 0),
-      |old AS (SELECT doc_id AS old_id, shingles FROM sh
+      |old AS (SELECT doc_id AS old_id, len(shingles) AS n FROM sh
       |        WHERE doc_id < 400 AND len(shingles) > 0),
+      |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |isect AS (
+      |  SELECT a.doc_id, b.doc_id AS old_id, COUNT(*) AS i
+      |  FROM post a JOIN post b ON a.g = b.g
+      |    AND a.doc_id >= 400 AND b.doc_id < 400
+      |  GROUP BY 1, 2),
       |j AS (
-      |  SELECT nw.doc_id, old.old_id,
-      |    round(CAST(len(list_intersect(nw.shingles, old.shingles)) AS DOUBLE) /
-      |      (len(nw.shingles) + len(old.shingles)
-      |        - len(list_intersect(nw.shingles, old.shingles))), 4) AS j
-      |  FROM nw JOIN old ON len(list_intersect(nw.shingles, old.shingles)) > 0),
+      |  SELECT isect.doc_id, isect.old_id,
+      |    round(CAST(i AS DOUBLE) / (nw.n + old.n - i), 4) AS j
+      |  FROM isect JOIN nw ON isect.doc_id = nw.doc_id
+      |             JOIN old ON isect.old_id = old.old_id),
       |best AS (
       |  SELECT doc_id, old_id, j,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, old_id) AS rn
