@@ -28,6 +28,18 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Contention telemetry (round-7 verdict: the driver's kept artifact was
+    // a contended run that read as a 33% regression). Wall time alone can't
+    // distinguish "engine got slower" from "the box was busy"; recording the
+    // 1-min load average around the timed region and the JVM's own CPU
+    // seconds makes the artifact self-diagnosing: contended run <=> load_avg
+    // well above this JVM's own usage, proc_cpu_sec stable across rounds.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val (load0, cpu0) = (osBean.getSystemLoadAverage, procCpuSec)
     // Timed region: sorted order so per-query numbers are comparable across
     // rounds (Map iteration order is hash-arbitrary). A failing query keeps
     // its (positive) elapsed time and lands in "errors" — it must never
@@ -38,6 +50,9 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val (load1, cpu1) = (osBean.getSystemLoadAverage, procCpuSec)
+    val env = f""""load_avg_start":$load0%.2f,"load_avg_end":$load1%.2f,""" +
+      f""""proc_cpu_sec":${cpu1 - cpu0}%.1f,"n_cpus":${Runtime.getRuntime.availableProcessors}"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -47,11 +62,11 @@ object Bench {
     val errs = timed.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}""")
     // The driver captures the tail of stdout and truncated the big line
     // in rounds 3-4 ("parsed": null) — repeat the headline as a SHORT
     // final line so the total always survives tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_count":${timed.size},"errors_count":${timed.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_count":${timed.size},"errors_count":${timed.count(_._3.isDefined)},$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
