@@ -313,4 +313,45 @@ object WebCurationQueries {
       |  ROUND(CAST(3 * COUNT(*) AS DOUBLE) /
       |    COUNT(DISTINCT canonical_url), 6) AS collapse_ratio
       |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q236 — cross-domain near-duplicate audit (mirror detection)
+
+  /** Classify every near-duplicate pair by whether its two docs live on
+    * the SAME registered domain (site boilerplate — a template problem)
+    * or DIFFERENT domains (mirrors/syndication — a crawl-frontier
+    * problem): the split that decides whether dedup budget goes into
+    * per-site template stripping or cross-site canonical-source
+    * selection. Near-dup pairs come from the engine's scale-safe
+    * MinHash-LSH path (memoized with q50/q70); domains come through the
+    * REAL parse_url canonicalizer. The oracle recomputes pairs with the
+    * exact postings-join Jaccard and domains arithmetically.
+    *
+    * Scale: the pair set is tiny relative to the corpus; attaching
+    * domains is two keyed joins (broadcast-able pair side), never a
+    * pair expansion. */
+  def q236CrossDomainDups(s: SparkSession, dir: String): DataFrame = {
+    val dom = docsWithUrl(s, dir)
+      .select(col("doc_id"),
+        registeredDomain(canonicalHost(col("raw_url"))).as("dom"))
+    val pairs = LlmQueries.q20DedupMinhash(s, dir)
+    pairs
+      .join(dom.select(col("doc_id").as("doc_a"), col("dom").as("dom_a")), "doc_a")
+      .join(dom.select(col("doc_id").as("doc_b"), col("dom").as("dom_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("dom_a"), col("dom_b"),
+        (col("dom_a") =!= col("dom_b")).as("cross_domain"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q236Sql: String =
+    s"""WITH ${LlmQueries.jaccardPairsCteSql},
+      |$urlCteSql,
+      |pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8)
+      |SELECT p.doc_a, p.doc_b, p.jaccard,
+      |  da.registered_domain AS dom_a, db.registered_domain AS dom_b,
+      |  da.registered_domain <> db.registered_domain AS cross_domain
+      |FROM pairs p JOIN urls da ON p.doc_a = da.doc_id
+      |             JOIN urls db ON p.doc_b = db.doc_id
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
 }

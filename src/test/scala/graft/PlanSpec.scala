@@ -486,6 +486,28 @@ class PlanSpec extends AnyFunSuite {
       unboundedSinglePartition(p).mkString("\n"))
   }
 
+  test("curation tier: scans prune to the columns actually used") {
+    // q232 derives everything from doc_id — the documents scan must not
+    // read text (at 100 TB text IS the table; reading it for a
+    // URL-normalization pass would be the dominant wasted IO)
+    val p232 = plan(WebCurationQueries.q232UrlCanonicalize(spark, dir))
+    assert(!p232.contains("text"), "q232 scan reads text it never uses")
+    // q233/q235 likewise never touch text
+    val p233 = plan(WebCurationQueries.q233DomainRollup(spark, dir))
+    assert(!p233.contains("text#") && !p233.contains(",text"),
+      "q233 scan reads text it never uses")
+    val p235 = plan(WebCurationQueries.q235VariantCollapse(spark, dir))
+    assert(!p235.contains("text"), "q235 scan reads text it never uses")
+    // and none of the tier has a cartesian or data-sized single partition
+    for (q <- Seq(WebCurationQueries.q232UrlCanonicalize _,
+        WebCurationQueries.q233DomainRollup _,
+        WebCurationQueries.q234DomainQuality _,
+        WebCurationQueries.q235VariantCollapse _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), "cartesian in curation plan")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first, then inspect.
