@@ -539,30 +539,43 @@ object GraphQueries {
         .unionByName(ed.select(col("b").as("u"), col("a").as("v")))
     // (n_nodes, giant_size, converged): giant is null-safe (0 on an
     // empty subgraph — hub removal can delete every edge), and the
-    // fixed 12-round bound is self-verifying: converged=1 iff no label
-    // changed between rounds 11 and 12, so a >12-diameter graph at
-    // 100× scale reports its own approximation instead of silently
-    // shipping it. Both engines compute the identical flag.
+    // fixed 12-round bound is self-verifying: converged=1 iff labels
+    // are stable by round 12, so a >12-diameter graph at 100× scale
+    // reports its own approximation instead of silently shipping it.
+    // Labels only DECREASE under min-propagation, so an exact
+    // DECIMAL(38,0) label sum is a fixpoint detector: sum unchanged ⟺
+    // no label changed ⟺ every later round is identical — which makes
+    // early exit safe under the hash gate (the emitted labels equal
+    // the full 12-round computation the oracle runs) and turns the
+    // 12-round worst case into diameter-many rounds in the common case.
     def giant(ed: DataFrame): (Long, Long, Long) = {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val sym = symOf(ed)
       var lab = sym.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint(true)
       val n = lab.count()
-      var prev = lab
-      for (_ <- 1 to 12) {
-        prev = lab
+      def labSum(df: DataFrame): java.math.BigDecimal = {
+        val d = df.agg(coalesce(sum(col("lbl").cast(d38)),
+          lit(java.math.BigDecimal.ZERO).cast(d38))).head().getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
+      var prevSum = labSum(lab)
+      var converged = 0L
+      var r = 0
+      while (r < 12 && converged == 0L) {
         lab = sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
           .select(col("u").as("node"), col("lbl"))
           .unionByName(lab)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
+        val s = labSum(lab)
+        if (s.compareTo(prevSum) == 0) converged = 1L
+        prevSum = s
+        r += 1
       }
-      val changed = lab
-        .join(prev.select(col("node"), col("lbl").as("lbl_prev")), "node")
-        .filter(col("lbl") =!= col("lbl_prev")).count()
       val g = lab.groupBy(col("lbl")).agg(count(lit(1)).as("c"))
         .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
-      (n, g, if (changed == 0L) 1L else 0L)
+      (n, g, converged)
     }
     val deg = symOf(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
     val hubs = deg.orderBy(col("d").desc, col("u")).limit(20)
@@ -570,8 +583,16 @@ object GraphQueries {
     val nHubs = hubs.count() // actual (limit(20) may return fewer)
     val e2 = e.join(broadcast(hubs.select(col("hub").as("a"))), Seq("a"), "left_anti")
       .join(broadcast(hubs.select(col("hub").as("b"))), Seq("b"), "left_anti")
-    val (n1, g1, c1) = giant(e)
-    val (n2, g2, c2) = giant(e2)
+      .localCheckpoint(true) // both giants + the count read it; computed once
+    // the before/after propagations are independent DAGs — run them
+    // concurrently (Spark job submission is thread-safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut1 = Future(giant(e))
+    val fut2 = Future(giant(e2))
+    val (n1, g1, c1) = Await.result(fut1, Duration.Inf)
+    val (n2, g2, c2) = Await.result(fut2, Duration.Inf)
     val (ec1, ec2) = (e.count(), e2.count())
     import s.implicits._
     Seq((n1, ec1, g1, c1, nHubs, n2, ec2, g2, c2, n1 - nHubs - n2))

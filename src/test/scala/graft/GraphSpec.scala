@@ -66,7 +66,8 @@ class GraphSpec extends AnyFunSuite {
     // compute the same function); this pins the SEMANTIC claim — that 12
     // rounds suffice for the fixture graph — the q205-style regime check
     val r = GraphQueries.q230HubRobustness(spark, dir).collect().head
-    val (nNodes, giantBefore) = (r.getLong(0), r.getLong(2))
+    val (nNodes, giantBefore) =
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("giant_before"))
     // true components from a local union-find over the same bulk edges
     val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 30)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -84,8 +85,14 @@ class GraphSpec extends AnyFunSuite {
     assert(nNodes == parent.keys.size)
     assert(giantBefore == sizes.max.toLong,
       s"12 rounds did not converge: giant $giantBefore vs true ${sizes.max}")
-    // sanity on the attack metrics
-    assert(r.getLong(6) <= giantBefore && r.getLong(4) <= nNodes - 20)
-    assert(r.getLong(7) >= 0, "negative isolated count")
+    // sanity on the attack metrics (by NAME — the r8 converged columns
+    // shifted positions)
+    assert(r.getAs[Long]("giant_after") <= giantBefore)
+    assert(r.getAs[Long]("n_nodes_after") <=
+      nNodes - r.getAs[Long]("hubs_removed"))
+    assert(r.getAs[Long]("n_isolated_after") >= 0, "negative isolated count")
+    // the fixture graph converges within the bound — the flag must say so
+    assert(r.getAs[Long]("converged_before") == 1L)
+    assert(r.getAs[Long]("converged_after") == 1L)
   }
 }
