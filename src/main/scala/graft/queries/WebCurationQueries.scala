@@ -64,23 +64,29 @@ object WebCurationQueries {
     Tables.documents(s, dir).withColumn("raw_url", expr(rawUrlExpr))
 
   /** Canonical host: lowercase, leading `www.` stripped. Real URL
-    * parsing — the engine side never sees the generator arithmetic. */
+    * parsing — the engine side never sees the generator arithmetic.
+    * `try_parse_url`, not `parse_url`: a crawl frontier ALWAYS contains
+    * garbage URLs, and Spark 4's parse_url throws on them — garbage
+    * must canonicalize to NULL, never kill the job. */
   def canonicalHost(u: Column): Column =
-    regexp_replace(lower(parse_url(u, lit("HOST"))), "^www\\.", "")
+    regexp_replace(lower(try_parse_url(u, lit("HOST"))), "^www\\.", "")
 
   /** Full URL canonicalization from the raw string (rules above). All
-    * pure built-in Column functions — whole-stage codegen end to end. */
+    * pure built-in Column functions — whole-stage codegen end to end;
+    * unparseable input yields NULL (concat propagates the null host). */
   def canonicalUrl(u: Column): Column = {
-    val scheme = lower(parse_url(u, lit("PROTOCOL")))
+    val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
     val host = canonicalHost(u)
-    val port = regexp_extract(parse_url(u, lit("AUTHORITY")), ":([0-9]+)$", 1)
+    val port = regexp_extract(try_parse_url(u, lit("AUTHORITY")), ":([0-9]+)$", 1)
     val portC = when(port === "", "")
       .when(scheme === "http" && port === "80", "")
       .when(scheme === "https" && port === "443", "")
       .otherwise(concat(lit(":"), port))
-    val pathStripped = regexp_replace(parse_url(u, lit("PATH")), "/+$", "")
-    val pathC = when(pathStripped === "", "/").otherwise(pathStripped)
-    val q = parse_url(u, lit("QUERY"))
+    val pathStripped = regexp_replace(try_parse_url(u, lit("PATH")), "/+$", "")
+    // bare-host URLs have a NULL/empty path — canonical root is '/'
+    val pathC = when(pathStripped.isNull || pathStripped === "", "/")
+      .otherwise(pathStripped)
+    val q = try_parse_url(u, lit("QUERY"))
     val qKeep = array_join(array_sort(filter(split(q, "&"),
       p => !(p.startsWith("utm_") || p.startsWith("ref=")))), "&")
     val qC = when(q.isNull || qKeep === "", "").otherwise(concat(lit("?"), qKeep))
@@ -96,10 +102,13 @@ object WebCurationQueries {
     * or three when the last two are a listed public suffix — so
     * `blog.site3.co.uk` and `site3.co.uk` roll up together. */
   def registeredDomain(host: Column): Column = {
+    // try_element_at: a single-label host (localhost, intranet names)
+    // has no -2/-3 element — concat_ws skips the nulls
     val parts = split(host, "\\.")
-    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last2 = concat_ws(".",
+      try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
     when(last2.isInCollection(twoLevelSuffixes) && size(parts) >= 3,
-      concat_ws(".", element_at(parts, -3), last2)).otherwise(last2)
+      concat_ws(".", try_element_at(parts, lit(-3)), last2)).otherwise(last2)
   }
 
   /** DuckDB CTE: the EXPECTED canonical form per doc, constructed
