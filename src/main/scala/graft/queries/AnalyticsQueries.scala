@@ -764,6 +764,11 @@ object AnalyticsQueries {
       .withColumn("absres", abs(col("yd").cast("double") - (col("beta0")
         + col("beta1") * col("x1").cast("double")
         + col("beta2") * col("x2").cast("double"))))
+      // five downstream actions read feat (n_cal broadcast, the two
+      // Ranks passes, the q90 filter, the coverage agg) — checkpoint
+      // the small per-order frame once instead of re-running the
+      // lineitem aggregate + ridge solve per action
+      .localCheckpoint(true)
     val cal = feat.filter(pmod(col("key"), lit(2)) === 1)
     val tst = feat.filter(pmod(col("key"), lit(2)) === 0)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
