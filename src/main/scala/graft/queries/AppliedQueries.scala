@@ -280,6 +280,9 @@ object AppliedQueries {
       .groupBy(col("doc_id"))
       .agg(round(Oracle.dsum(col("tfidf_t")), 6).as("tfidf"),
         round(Oracle.dsum(col("bm25_t")), 6).as("bm25"))
+      // two sketch-ranked readers × two passes each would re-run the
+      // whole BM25 pipeline 4× — checkpoint the per-doc scores once
+      .localCheckpoint(true)
     val rankA = graft.operators.Ranks.withGlobalRowNumber(
       scored.select(col("doc_id"), col("tfidf")), "ra",
       col("tfidf") * -1, col("doc_id"))
@@ -487,6 +490,10 @@ object AppliedQueries {
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("vc"),
         col("l_quantity").cast("long").as("w"),
         (col("l_orderkey") * 16 + col("l_linenumber")).as("tb"))
+      // the weighted-quantile operator reads its input ~4× (cutpoint
+      // sketch, cell weights, bucketed cum, totals) — checkpoint the
+      // joined projection once instead of re-joining lineitem⋈orders
+      .localCheckpoint(true)
     graft.operators.Ranks.weightedGroupQuantiles(
         li, col("priority"), col("vc"), col("w"), col("tb"),
         Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
