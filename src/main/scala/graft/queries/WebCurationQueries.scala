@@ -39,7 +39,7 @@ object WebCurationQueries {
     * www/blog subdomains, default and non-default ports, trailing
     * slashes, tracking params, fragments — every rule in the
     * canonicalizer is exercised by some residue class. */
-  private val rawUrlExpr: String =
+  private[graft] val rawUrlExpr: String =
     """concat(
       |  CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END, '://',
       |  CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 'www.' WHEN 2 THEN 'blog.'
@@ -114,7 +114,7 @@ object WebCurationQueries {
   /** DuckDB CTE: the EXPECTED canonical form per doc, constructed
     * arithmetically from doc_id (never by string-fixing the raw URL, so
     * the oracle is independent of the engine's parser). */
-  private val urlCteSql: String =
+  private[graft] val urlCteSql: String =
     """urls AS (
       |  SELECT doc_id, text, n_chars,
       |    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||

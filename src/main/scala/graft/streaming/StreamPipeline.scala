@@ -698,4 +698,58 @@ object StreamPipeline {
       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events)
       |WHERE rn = 1 AND user_id < 200 ORDER BY user_id""".stripMargin
+
+  /** Tenth streaming entry under the hash gate: the WEB-CURATION
+    * rollup running as a real Structured Streaming job — incremental
+    * crawl ingestion. The documents table replays through the parquet
+    * file source; each record gets its raw crawl URL, goes through the
+    * SAME parse_url canonicalizer and eTLD+1 rollup the batch tier
+    * uses (q232/q233 — the point of Structured Streaming: the curation
+    * code is unchanged), and a stateful Complete-mode aggregate keeps
+    * the running per-domain inventory. The oracle computes the same
+    * rollup from the full table — the streamed running state must land
+    * exactly there regardless of how the replay batched.
+    *
+    * Scale: ONE streaming shuffle on the low-cardinality domain key;
+    * state is domain-sized (bounded by the registrable-domain space),
+    * never corpus-sized. */
+  def q237StreamDomainRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.WebCurationQueries
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("q237_docs")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val raw = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+    val rolled = raw
+      .withColumn("raw_url", expr(WebCurationQueries.rawUrlExpr))
+      .select(col("doc_id"), col("n_chars"),
+        WebCurationQueries.registeredDomain(
+          WebCurationQueries.canonicalHost(col("raw_url")))
+          .as("registered_domain"))
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+    runStaged(s, "q237", streamDir.toString, (outDir, ck) =>
+      rolled.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start())
+      .orderBy(col("registered_domain"))
+  }
+
+  val q237Sql: String =
+    s"""WITH ${graft.queries.WebCurationQueries.urlCteSql}
+      |SELECT registered_domain, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin
 }
