@@ -204,3 +204,48 @@ object IndexSubscription {
     spark.stop()
   }
 }
+
+/** `graft.Curate <documentsDir> <outDir>` — the web-curation pass as a
+  * CLI entry point: read a documents parquet table (a `documents
+  * .parquet` file or directory), attach crawl URLs, run the parse_url
+  * canonicalizer + eTLD+1 rollup, and write two artifacts under
+  * `<outDir>`:
+  *
+  *   - `canonical/` — per-doc canonical URLs + registered domain
+  *     (parquet; the crawl-frontier dedup key),
+  *   - `domains.jsonl/` — the per-domain inventory (JSONL, one domain
+  *     per line — the table an operator thresholds into a blocklist).
+  *
+  * Same operators as q232/q233; this is the operational wrapper. */
+object Curate {
+  import org.apache.spark.sql.functions._
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Curate <documentsDir> <outDir>")
+      sys.exit(2)
+    }
+    val (docsPath, outDir) = (args(0), args(1))
+    val owned = !org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
+    val spark = GraftCli.session("graft-curate")
+    import graft.queries.WebCurationQueries._
+    val docs = spark.read.parquet(docsPath)
+      .withColumn("raw_url", expr(graft.queries.WebCurationQueries.rawUrlExpr))
+    val canon = docs.select(col("doc_id"),
+        canonicalUrl(col("raw_url")).as("canonical_url"),
+        canonicalHost(col("raw_url")).as("host"),
+        col("n_chars"))
+      .withColumn("registered_domain", registeredDomain(col("host")))
+    canon.write.mode("overwrite").parquet(s"$outDir/canonical")
+    spark.read.parquet(s"$outDir/canonical")
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("canonical_url")).as("n_urls"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("registered_domain"))
+      .write.mode("overwrite").json(s"$outDir/domains.jsonl")
+    println(s"[graft] curation artifacts under $outDir")
+    if (owned) spark.stop()
+  }
+}

@@ -49,6 +49,19 @@ class WebCurationSpec extends AnyFunSuite {
     assert(canon("not a url", "") == Seq(null, null))
   }
 
+  test("Curate CLI: writes canonical parquet + per-domain JSONL inventory") {
+    val out = java.nio.file.Files.createTempDirectory("curate_e2e").toString
+    graft.Curate.main(Array(s"${TestSpark.sfDir}/documents.parquet", out))
+    val canon = spark.read.parquet(s"$out/canonical")
+    assert(canon.columns.toSet == Set("doc_id", "canonical_url", "host",
+      "n_chars", "registered_domain"))
+    val nDocs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").count()
+    assert(canon.count() == nDocs)
+    val doms = spark.read.json(s"$out/domains.jsonl")
+    assert(doms.agg(sum(col("n_docs"))).head().getLong(0) == nDocs)
+    graft.Staging.deleteRecursively(out)
+  }
+
   test("registered-domain rollup: eTLD+1 with multi-label suffixes") {
     assert(regdom("blog.site3.co.uk", "site3.co.uk", "a.b.example.com",
       "example.com", "localhost") ==
