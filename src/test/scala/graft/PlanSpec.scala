@@ -486,6 +486,23 @@ class PlanSpec extends AnyFunSuite {
       unboundedSinglePartition(p).mkString("\n"))
   }
 
+  test("round-8 tiers: no data-sized single-partition exchange, no O(n^2) join shape") {
+    // q231 fan-out aggregates to three scalar rows; q234 is one
+    // domain-keyed agg; q236 attaches domains to the tiny pair set by
+    // equi-join. (q232's global orderBy is a rangepartitioned sort and
+    // q233's corpus-share window runs over the ≤115-row post-agg frame
+    // — both covered by the curation-tier test.)
+    for (q <- Seq(
+        DataflowQueries.q231DescriptorFanOut _,
+        WebCurationQueries.q234DomainQuality _,
+        WebCurationQueries.q236CrossDomainDups _)) {
+      val p = plan(q(spark, dir))
+      assert(unboundedSinglePartition(p).isEmpty,
+        unboundedSinglePartition(p).mkString("\n"))
+      assert(!p.contains("CartesianProduct"), "cartesian in round-8 plan")
+    }
+  }
+
   test("curation tier: scans prune to the columns actually used") {
     // q232 derives everything from doc_id — the documents scan must not
     // read text (at 100 TB text IS the table; reading it for a
