@@ -363,9 +363,16 @@ object StatsQueries {
     val r3 = Ranks.exactNtile(r2, 5, "m_score", col("mon"), col("o_custkey"))
     r3.withColumn("r_score", lit(6) - col("r_tile"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
-      .agg(count(lit(1)).as("n_customers"),
-        round(Oracle.lsum(col("mon")).cast("double") / lit(100.0) /
-          count(lit(1)), 2).as("avg_monetary"))
+      .agg(count(lit(1)).as("n_customers"), Oracle.lsum(col("mon")).as("ms"))
+      // avg monetary to 2dp in exact integer cents: half-up integer
+      // division (2a+n) div (2n), then ONE /100 scaling — the q173
+      // fixed-point idiom; the double ROUND chain boundary-flipped vs
+      // DuckDB's decimal division at sf0.001 (cents/n within an ulp of
+      // a .005 grid point)
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_customers"),
+        (expr("(ms * 2 + n_customers) div (2 * n_customers)")
+          .cast("double") / 100.0).as("avg_monetary"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
@@ -387,7 +394,8 @@ object StatsQueries {
       |    NTILE(5) OVER (ORDER BY mon, o_custkey) AS m_score
       |  FROM rfm)
       |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
-      |  ROUND(CAST(SUM(mon) AS BIGINT) / 100.0 / COUNT(*), 2) AS avg_monetary
+      |  CAST((CAST(SUM(mon) AS BIGINT) * 2 + COUNT(*)) // (2 * COUNT(*))
+      |    AS DOUBLE) / 100.0 AS avg_monetary
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
