@@ -1770,4 +1770,77 @@ object CorpusQueries {
       |SELECT doc_id, COUNT(*) AS n_bi,
       |  round(-${Oracle.dsumSql("lnp")} / COUNT(*), 6) AS kn_nll
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q238 — token-balanced training-shard assignment
+
+  /** The last-mile write step of a training-data pipeline: assign every
+    * document to one of K=8 output shards so per-shard TOKEN totals are
+    * balanced (trainer data-parallel ranks read one shard each; an
+    * unbalanced split straggles every epoch). Classic LPT balancing is
+    * a sequential greedy, so the distributed form is SERPENTINE
+    * (boustrophedon) assignment over the global token-count rank:
+    * rank r (descending tokens) goes to shard r%K on even passes and
+    * K-1-r%K on odd passes, which alternates who receives the next
+    * largest document — deterministic, one-pass, embarrassingly
+    * parallel, and within a top-1-document bound of LPT balance on
+    * heavy-tail corpora. Rank comes from `Ranks.withGlobalRowNumber`
+    * (sketch-bucketed — no single-task sort at corpus scale); the
+    * assignment itself is pure arithmetic on (rank, K). The bounded
+    * 8-row imbalance window is post-aggregate.
+    *
+    * Oracle: the same rank (SQL ROW_NUMBER) and the same serpentine
+    * arithmetic — the gate proves the distributed rank + assignment
+    * equals the sequential definition. */
+  def q238ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("tokens"))
+    val ranked = graft.operators.Ranks.withGlobalRowNumber(
+      d, "rk", -col("tokens"), col("doc_id"))
+    val assigned = ranked.withColumn("pass", expr(s"(rk - 1) div $k"))
+      .withColumn("shard",
+        when(pmod(col("pass"), lit(2)) === 0, expr(s"(rk - 1) % $k"))
+          .otherwise(expr(s"$k - 1 - (rk - 1) % $k")))
+    val perShard = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        Oracle.lsum(col("tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perShard
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("min_doc"),
+        // imbalance in exact per-mille of the max shard: bounded 8-row
+        // window, integer arithmetic only
+        expr("(shard_tokens * 1000) div " +
+          "max(shard_tokens) OVER ()").as("permille_of_max"))
+      .orderBy(col("shard"))
+  }
+
+  val q238Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tokens,
+      |    ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS rk
+      |  FROM d),
+      |a AS (
+      |  SELECT doc_id, tokens,
+      |    CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+      |         ELSE 7 - (rk - 1) % 8 END AS shard
+      |  FROM r),
+      |p AS (
+      |  SELECT shard, COUNT(*) AS n_docs,
+      |    CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+      |    MIN(doc_id) AS min_doc
+      |  FROM a GROUP BY 1)
+      |SELECT shard, n_docs, shard_tokens, min_doc,
+      |  (shard_tokens * 1000) // MAX(shard_tokens) OVER ()
+      |    AS permille_of_max
+      |FROM p ORDER BY shard""".stripMargin
 }
