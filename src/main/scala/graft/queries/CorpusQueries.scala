@@ -1843,4 +1843,112 @@ object CorpusQueries {
       |  (shard_tokens * 1000) // MAX(shard_tokens) OVER ()
       |    AS permille_of_max
       |FROM p ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q239 — epoch allocation under a token budget (capped water-filling)
+
+  /** Data-constrained mixture design: split a training budget of
+    * B = 2× the corpus's tokens across sources, giving each source a
+    * share proportional to its quality weight but CAPPED at E=4 epochs
+    * of its own data (repeating a small high-quality source forever
+    * stops helping — the capped-proportional/water-filling allocation).
+    * Algorithm (all exact integer arithmetic, no FP anywhere):
+    * sort sources by cap/weight on a fixed 1e-6 integer ratio grid;
+    * the capped set is a prefix (enforced by a prefix-AND so both
+    * engines share one definition); the water level λ = num/den comes
+    * from the budget left over the uncapped weights, and uncapped
+    * sources get floor(num·q/den) tokens. Epochs are reported in
+    * exact per-mille.
+    *
+    * Scale: ONE corpus-sized aggregate to per-source totals; the
+    * water-filling runs in bounded windows over the source-count-sized
+    * frame (≤8 rows here — never data-sized). */
+  def q239EpochAllocation(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("tokens"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(Oracle.lsum(col("tokens")).as("t"),
+        count(lit(1)).as("nd"),
+        Oracle.lsum(col("n_chars")).as("sc"))
+      .withColumn("q", expr("sc div nd")) // quality weight (pluggable)
+      .withColumn("cap", col("t") * 4)
+      .withColumn("ratio", expr("(cap * 1000000) div q"))
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val byRatio = Window.partitionBy().orderBy(col("ratio"), col("source"))
+    val pre = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+    val w = st
+      .withColumn("b", sum(col("t")).over(all) * 2) // budget = 2x corpus
+      .withColumn("totq", sum(col("q")).over(all))
+      .withColumn("cumcap0", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("cumq0", coalesce(sum(col("q")).over(pre), lit(0L)))
+      // local water-level test at this prefix: lambda_{j-1} >= cap_j/q_j
+      .withColumn("cj",
+        (col("b") - col("cumcap0")) * col("q") >=
+          col("cap") * (col("totq") - col("cumq0")))
+      // capped set is the maximal true-prefix (shared exact definition)
+      .withColumn("capped", min(col("cj").cast("int"))
+        .over(byRatio.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    val lam = w
+      .withColumn("num", col("b") -
+        coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("den", col("totq") -
+        coalesce(sum(when(col("capped"), col("q"))).over(all), lit(0L)))
+    lam
+      .withColumn("tokens_allocated",
+        when(col("capped"), col("cap"))
+          .otherwise(expr("(num * q) div den")))
+      .select(col("source"), col("t").as("tokens_available"),
+        col("q").as("weight"), col("capped"),
+        col("tokens_allocated"),
+        expr("(tokens_allocated * 1000) div t").as("epochs_permille"))
+      .orderBy(col("source"))
+  }
+
+  val q239Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS tokens,
+      |    n_chars
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(SUM(tokens) AS BIGINT) AS t, COUNT(*) AS nd,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sc
+      |  FROM d GROUP BY 1),
+      |st2 AS (
+      |  SELECT source, t, sc // nd AS q, t * 4 AS cap,
+      |    (t * 4 * 1000000) // (sc // nd) AS ratio
+      |  FROM st),
+      |w AS (
+      |  SELECT *,
+      |    SUM(t) OVER () * 2 AS b,
+      |    SUM(q) OVER () AS totq,
+      |    COALESCE(SUM(cap) OVER (ORDER BY ratio, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap0,
+      |    COALESCE(SUM(q) OVER (ORDER BY ratio, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumq0
+      |  FROM st2),
+      |c AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN (b - cumcap0) * q >= cap * (totq - cumq0)
+      |             THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY ratio, source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |      AS capped
+      |  FROM w),
+      |lam AS (
+      |  SELECT *,
+      |    b - COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0) AS num,
+      |    totq - COALESCE(SUM(CASE WHEN capped THEN q END) OVER (), 0) AS den
+      |  FROM c)
+      |SELECT source, t AS tokens_available, q AS weight, capped,
+      |  CAST(CASE WHEN capped THEN cap ELSE (num * q) // den END
+      |    AS BIGINT) AS tokens_allocated,
+      |  CAST((CASE WHEN capped THEN cap ELSE (num * q) // den END)
+      |    * 1000 // t AS BIGINT) AS epochs_permille
+      |FROM lam ORDER BY source""".stripMargin
 }
