@@ -7,7 +7,7 @@ names, and cell values (after sorting columns by name, like the driver).
 
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 """
-import json, math, struct, sys
+import json, math, os, struct, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -29,7 +29,11 @@ def norm(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata tables are single parquet FILES; Spark-written
+        # dirs (e.g. the graft.Stress output) need a part-file glob
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
