@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Compare ONE query's dump against its DuckDB oracle (bit-exact on
+doubles, same strictness as compare_oracle.py) — used by per-query
+timeout sweeps at stress scales where a few deliberately brute-force
+oracles are intractable. Usage: compare_one.py <sfDir> <outDir> <name>"""
+import json, math, os, struct, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def pack(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return b"nan"
+        return struct.pack("<d", v)
+    return v
+
+def main(sf_dir, out_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    got = con.sql(f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+    gcols = sorted(got.columns)
+    gdf = got.df()[gcols]
+    want = con.sql(sql)
+    wdf = want.df()[sorted(want.columns)]
+    if list(gdf.columns) != list(wdf.columns):
+        print(f"FAIL {name}: cols {list(gdf.columns)} vs {list(wdf.columns)}")
+        return 1
+    if len(gdf) != len(wdf):
+        print(f"FAIL {name}: rows {len(gdf)} vs {len(wdf)}")
+        return 1
+    for c in gdf.columns:
+        ga = [pack(x) for x in gdf[c].tolist()]
+        wa = [pack(x) for x in wdf[c].tolist()]
+        if ga != wa:
+            bad = [(i, ga[i], wa[i]) for i in range(len(ga)) if ga[i] != wa[i]][:3]
+            print(f"FAIL {name}: col {c} diff {bad}")
+            return 1
+    print(f"PASS {name} ({len(gdf)} rows)")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
