@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Helpers that make floating-point aggregates byte-identical between Spark
   * and the DuckDB oracle (the driver hash-compares values).
@@ -15,26 +14,59 @@ import org.apache.spark.sql.types.DecimalType
   * per-row cast is lossless in intent and identical in both engines.
   */
 object Oracle {
-  /** Exact decimal sum of a (possibly computed) double column, emitted as
-    * DOUBLE. The decimal intermediate keeps cross-engine determinism (no
-    * order-dependent FP accumulation); the final double is hash-stable —
-    * the driver's hash canonicalizes DECIMAL(38,x) differently per engine,
-    * so decimal must never appear in an output schema.
+  /** Exact micro-grid sum of a (possibly computed) double column, emitted
+    * as DOUBLE. Each row is snapped to the 1e-6 grid by nearest-EVEN
+    * rounding of the SAME IEEE double in both engines — JVM `Math.rint(x
+    * * 1e6)` (Spark's `rint`) and DuckDB `round_even(x * 1000000.0, 0)`
+    * are bit-identical for every finite double (probed on exact-.5 ties,
+    * negatives, tiny/large; −0.0 is absorbed by the BIGINT cast on both
+    * sides) — then summed as exact integers, which is associative and
+    * commutative, so partial/final aggregation order can't shift a bit.
     *
-    * Magnitude bound: the final cast is exact only while the SCALED sum
-    * (|sum| × 10⁶) stays below 2⁵³ (≈ |sum| < 9.0e9). Above that, DuckDB's
-    * int128→double→divide conversion can differ by 1 ulp from the JVM's
-    * correctly-rounded BigDecimal.doubleValue, and no post-rounding can
-    * reconcile a >1-magnitude ulp. All current oracled sums are ≤ 1e9 at
-    * sf0.1; queries aggregating beyond that bound must pre-aggregate per
-    * group or reduce scale (DECIMAL(30,2)) before the double cast.
-    * SQL twin: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) */
-  def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(30, 6))).cast("double")
+    * This replaces the earlier per-row `CAST(x AS DECIMAL(30,6))` form,
+    * whose rounding ran through Spark's BigDecimal vs DuckDB's
+    * double-multiply path and could flip 1 ulp at exact .5e-6 boundaries
+    * (~1-in-6M-row incidence at sf1: q01 sum_charge, q194 loadings).
+    * Here both engines round the identical double on the identical rule.
+    *
+    * Magnitude bound: the scaled per-row value must stay a representable
+    * integer (|x| < 2⁵³/10⁶ ≈ 9.0e9 — far above any row-level measure
+    * here) and the scaled SUM must fit int64 (|Σ| < 2⁶³/10⁶ ≈ 9.2e12 —
+    * Spark's long sum wraps silently past that; DuckDB's HUGEINT does
+    * not, so the gate would catch an overflow as a mismatch). The final
+    * int64→double cast and the /1e6 are both correctly-rounded IEEE ops
+    * in both engines, hence identical at ANY magnitude — strictly wider
+    * than the old decimal bound. DuckDB's SUM(BIGINT) yields HUGEINT,
+    * which must be cast back through BIGINT before DOUBLE: hugeint→double
+    * is not guaranteed correctly rounded, int64→double is.
+    * SQL twin: (CAST(CAST(SUM(CAST(round_even(x * 1000000.0, 0) AS
+    * BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) */
+  def dsum(c: Column): Column = dsumScaled(c, 6)
 
-  /** SQL twin for dsum. */
-  def dsumSql(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+  /** [[dsum]] at an explicit grid of 10^-s — for sums whose SCALED total
+    * would overflow int64 at s=6 (|Σ|·10ˢ must stay < 2⁶³ ≈ 9.2e18; e.g.
+    * q199's squared-deviation sum hits 1.1e19 at s=6 on small SFs). A
+    * coarser grid trades per-row resolution, not cross-engine agreement:
+    * both engines still rint/round_even the identical double. */
+  def dsumScaled(c: Column, s: Int): Column = {
+    val m = math.pow(10, s) // exact double for 0 <= s <= 22
+    sum(rint(c * lit(m)).cast("long")).cast("double") / lit(m)
+  }
+
+  /** SQL twin for dsum (DuckDB dialect — `round_even`). */
+  def dsumSql(x: String): String = dsumScaledSql(x, 6)
+
+  /** SQL twin for [[dsumScaled]]. */
+  def dsumScaledSql(x: String, s: Int): String =
+    s"(CAST(CAST(SUM(CAST(round_even(($x) * 1e$s, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e$s)"
+
+  /** Spark-SQL-dialect twin of [[dsum]], for queries whose ENGINE side is
+    * a `spark.sql(...)` text (e.g. GROUPING SETS). Spark's `rint` is
+    * JVM Math.rint — the same nearest-even-on-the-double primitive
+    * DuckDB's `round_even` implements, so this is bit-identical to both
+    * [[dsum]] and [[dsumSql]]. */
+  def dsumSparkSql(x: String): String =
+    s"(CAST(SUM(CAST(rint(($x) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)"
 
   /** Integer sum emitted as BIGINT on both engines. DuckDB's SUM(BIGINT)
     * returns HUGEINT (int128), which the driver's hash canonicalizes

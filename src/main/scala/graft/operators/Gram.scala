@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * per-partition partials in a primitive long array on the exact 1e-6
   * grid that `Oracle.dsum` defines:
   *
-  *   dsum(xy) = Σ HALF_UP(xy, 6dp)  ≡  (Σ round₆(xy)·10⁶) / 10⁶
+  *   dsum(xy) = Σ rint(xy·10⁶)/10⁶  ≡  (Σ nearest-even₆(xy)·10⁶) / 10⁶
   *
-  * Per element it rounds x_i·x_j half-up at 1e-6 into a long (exact
+  * Per element it rounds x_i·x_j nearest-even at 1e-6 into a long (exact
   * while |Σ| ≤ 2⁵³/10⁶ ≈ 9e9 — embeddings are unit-scale, so the bound
   * holds to ~10¹⁰ rows), adds into a d(d+1)/2 triangle accumulator,
   * and emits ONE row per partition per cell; a final tiny aggregate
@@ -30,24 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Gram {
 
-  /** Half-up decimal rounding of v at 1e-6, as the scaled long —
-    * exactly BigDecimal.setScale(6, HALF_UP) for EVERY finite double.
-    * The fast path rounds the scaled double to the nearest integer,
-    * which is only unsafe when v·10⁶ sits within the double-rounding
-    * error of a .5 boundary (the scaled product can cross the boundary
-    * the exact decimal expansion is on the other side of); a 1e-3
-    * guard band — 10⁷× wider than the ≤1e-10 scaling error — routes
-    * those rare elements through the exact BigDecimal path, so the
-    * hybrid is bit-identical to dsum's decimal cast at ~primitive
-    * speed. */
-  private[graft] def grid6(v: Double): Long = {
-    val s = v * 1e6
-    val f = s - Math.floor(s)
-    if (Math.abs(f - 0.5) < 1e-3)
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.movePointRight(6).longValueExact()
-    else Math.rint(s).toLong // no .5 tie can reach this branch
-  }
+  /** Nearest-even rounding of v at 1e-6, as the scaled long — exactly
+    * the per-row grid `Oracle.dsum` defines (JVM Math.rint of the scaled
+    * double ≡ Spark `rint(v*1e6)` ≡ DuckDB `round_even(v*1000000, 0)`,
+    * bit-identical for every finite double; −0.0 collapses to 0L). No
+    * BigDecimal path needed: the grid IS the double-scale rint, not a
+    * decimal-expansion rounding, so the fast path is the definition. */
+  private[graft] def grid6(v: Double): Long = Math.rint(v * 1e6).toLong
 
   /** Upper-triangle second-moment matrix of `vecCol` (array<float>,
     * fixed dimension d): returns (i, j, a) with i ≤ j and

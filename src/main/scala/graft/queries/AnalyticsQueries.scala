@@ -607,7 +607,11 @@ object AnalyticsQueries {
       .select(col("n_replicates"), col("mm"),
         ((col("mean_c") - col("mm")) * (col("mean_c") - col("mm"))).as("d2"))
       .groupBy(col("n_replicates"))
-      .agg(round(sqrt(Oracle.dsum(col("d2")) / (count(lit(1)) - 1)), 6)
+      // 1e-2 grid: d2 ~ 6e11 per replicate on small SFs, so the s=6
+      // scaled sum tops 2^63 (measured 1.06e19 at sf0.001); s=2 keeps
+      // 4 orders of headroom and the grid error (≤0.5 over a ~1e13
+      // sum) is ~1e-8 on se — far inside the 6dp output round
+      .agg(round(sqrt(Oracle.dsumScaled(col("d2"), 2) / (count(lit(1)) - 1)), 6)
         .as("se_boot"))
     point.crossJoin(broadcast(ci)).crossJoin(broadcast(se))
       .select(col("point_mean_cents"), col("lo95"), col("hi95"),
@@ -650,8 +654,8 @@ object AnalyticsQueries {
       |  FROM means),
       |se AS (
       |  SELECT n_replicates,
-      |    ROUND(SQRT(${Oracle.dsumSql(
-           "(means.mean_c - mstats.mm) * (means.mean_c - mstats.mm)")}
+      |    ROUND(SQRT(${Oracle.dsumScaledSql(
+           "(means.mean_c - mstats.mm) * (means.mean_c - mstats.mm)", 2)}
       |      / (COUNT(*) - 1)), 6) AS se_boot
       |  FROM means CROSS JOIN mstats GROUP BY 1)
       |SELECT point.point_mean_cents, ci.lo95, ci.hi95, se.se_boot,

@@ -572,7 +572,7 @@ object AppliedQueries {
   }
 
   val q208Sql: String =
-    """WITH cust AS (
+    s"""WITH cust AS (
       |  SELECT c_mktsegment AS segment, c_custkey,
       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
       |  FROM customer),
@@ -586,7 +586,7 @@ object AppliedQueries {
       |    SQRT(CAST(nh * ssb - sb * sb AS DOUBLE)) / nh AS sigma
       |  FROM st),
       |tot AS (
-      |  SELECT CAST(SUM(CAST(nh * sigma AS DECIMAL(30,6))) AS DOUBLE) AS tot
+      |  SELECT ${Oracle.dsumSql("nh * sigma")} AS tot
       |  FROM sg),
       |alloc AS (
       |  SELECT segment, nh, ROUND(sigma, 2) AS sigma_cents,

@@ -505,34 +505,33 @@ object DataflowQueries {
     * aggregate state table is MERGED with the new day's delta instead of
     * recomputing over all history. Here the events table is split at a
     * cutoff into "state so far" and "today's delta"; each side aggregates
-    * independently (per-key count / decimal sum / max event-time), then
-    * one full-outer join combines them. The combine stays in DECIMAL
-    * until after the merge addition — decimal addition is exact and
-    * associative, so (state_sum + delta_sum) is bit-identical to the
-    * oracle's single-pass sum over all rows, which is precisely the
+    * independently (per-key count / micro-grid sum / max event-time),
+    * then one full-outer join combines them. The sum stays on the
+    * dsum scaled-integer grid (rint(value·10⁶) as LONG) until after the
+    * merge addition — integer addition is exact and associative, so
+    * (state_sum + delta_sum) is bit-identical to the oracle's
+    * single-pass dsum over all rows, which is precisely the
     * invariant incremental maintenance must guarantee. Timestamps merge
     * as epoch-millis BIGINTs (q92's trick). Scale: two partial-agg
     * passes + one key-partitioned join; the state side never rescans
     * history in production (it IS the stored table — modeled here by
     * computing it from the pre-cutoff slice). */
   def q102IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val cutoff = lit("2024-01-25").cast("timestamp")
     def aggSide(df: DataFrame, p: String): DataFrame =
       df.groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as(s"${p}_n"),
-          sum(col("value").cast(DecimalType(30, 6))).as(s"${p}_sv"),
+          sum(rint(col("value") * lit(1e6)).cast("long")).as(s"${p}_sv"),
           max(unix_millis(col("ts"))).as(s"${p}_last"))
     val ev = Tables.events(s, dir)
     val state = aggSide(ev.filter(col("ts") < cutoff), "s")
     val delta = aggSide(ev.filter(col("ts") >= cutoff), "d")
-    val zero = lit(0).cast(DecimalType(30, 6))
     state.join(delta, Seq("user_id", "event_type"), "full_outer")
       .select(col("user_id"), col("event_type"),
         (coalesce(col("s_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
           .as("n_events"),
-        (coalesce(col("s_sv"), zero) + coalesce(col("d_sv"), zero))
-          .cast("double").as("total_value"),
+        ((coalesce(col("s_sv"), lit(0L)) + coalesce(col("d_sv"), lit(0L)))
+          .cast("double") / lit(1e6)).as("total_value"),
         greatest(col("s_last"), col("d_last")).as("last_ms"))
       .orderBy(col("user_id"), col("event_type"))
   }

@@ -40,11 +40,11 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${dsumSql("l_quantity")} AS sum_qty,
+      |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,

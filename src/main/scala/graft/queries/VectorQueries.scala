@@ -1041,29 +1041,27 @@ object VectorQueries {
   }
 
   val q140Sql: String =
-    """WITH px AS (
+    s"""WITH px AS (
       |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
       |  FROM (SELECT vec_id, embedding,
       |          unnest(range(1, len(embedding) + 1)) AS i
       |        FROM embeddings WHERE vec_id < 40)),
       |proj AS (
       |  SELECT vec_id, j,
-      |    0.25 * CAST(SUM(CAST(CASE
-      |      WHEN ((1103515245 * (d * 16 + j) + 12345) % 2147483647) % 2 = 1
-      |      THEN x ELSE -x END AS DECIMAL(30,6))) AS DOUBLE) AS y
+      |    0.25 * ${graft.Oracle.dsumSql(
+                  "CASE WHEN ((1103515245 * (d * 16 + j) + 12345) " +
+                  "% 2147483647) % 2 = 1 THEN x ELSE -x END")} AS y
       |  FROM px CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
       |  GROUP BY 1, 2),
       |orig AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(30,6)))
-      |      AS DOUBLE) AS d2_orig
+      |    ${graft.Oracle.dsumSql("(a.x - b.x) * (a.x - b.x)")} AS d2_orig
       |  FROM px a JOIN px b ON a.d = b.d AND a.vec_id % 2 = 0
       |    AND b.vec_id = a.vec_id + 1
       |  GROUP BY 1, 2),
       |prj AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    CAST(SUM(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(30,6)))
-      |      AS DOUBLE) AS d2_proj
+      |    ${graft.Oracle.dsumSql("(a.y - b.y) * (a.y - b.y)")} AS d2_proj
       |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id % 2 = 0
       |    AND b.vec_id = a.vec_id + 1
       |  GROUP BY 1, 2)
@@ -1251,7 +1249,7 @@ object VectorQueries {
   }
 
   val q168Sql: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT list_transform(range(0, 64),
       |    i -> CAST(((i * 7919 + 13) % 97 - 48) / 64.0 AS FLOAT)) AS wv),
       |wn AS (SELECT sqrt(list_sum(list_transform(wv,
@@ -1266,7 +1264,7 @@ object VectorQueries {
       |  FROM embeddings, w, wn)
       |SELECT CAST(LEAST(floor((score + 1) * 5), 9) AS BIGINT) AS bin,
       |  COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
-      |  round(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+      |  round(${graft.Oracle.dsumSql("score")} / COUNT(*), 6)
       |    AS mean_score,
       |  round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1499,7 +1497,7 @@ object VectorQueries {
   }
 
   val q214Sql: String =
-    """WITH planes AS (
+    s"""WITH planes AS (
       |  SELECT j.j AS j, d.d AS d, sin(j.j * 131 + d.d * 7) AS w
       |  FROM range(0, 72) j(j) CROSS JOIN range(0, 64) d(d)),
       |xs AS (
@@ -1508,8 +1506,12 @@ object VectorQueries {
       |          unnest(range(1, len(embedding) + 1)) AS i
       |        FROM embeddings)),
       |dots AS (
+      |  -- scaled-integer grid sum: the engine's per-element
+      |  -- Gram.grid6 accumulator verbatim (sign test is on the exact
+      |  -- integer, so no double division can perturb it)
       |  SELECT xs.vec_id, planes.j,
-      |    CAST(SUM(CAST(xs.x * planes.w AS DECIMAL(30,6))) AS DOUBLE) AS dot
+      |    CAST(SUM(CAST(round_even(xs.x * planes.w * 1000000.0, 0)
+      |      AS BIGINT)) AS BIGINT) AS dot
       |  FROM xs JOIN planes ON xs.d = planes.d
       |  GROUP BY 1, 2),
       |keys AS (
@@ -1607,8 +1609,8 @@ object VectorQueries {
       |  MAX(cs.checksum) AS centroid_checksum
       |FROM a3 JOIN (
       |  SELECT cent_id AS cell,
-      |    ROUND(CAST(SUM(CAST(CAST(c_emb[i] AS DOUBLE) AS DECIMAL(30,6)))
-      |      AS DOUBLE), 4) AS checksum
+      |    ROUND(${graft.Oracle.dsumSql("CAST(c_emb[i] AS DOUBLE)")}, 4)
+      |      AS checksum
       |  FROM (SELECT cent_id, c_emb, unnest(range(1, len(c_emb) + 1)) AS i
       |        FROM c2) q
       |  GROUP BY 1) cs ON a3.cell = cs.cell
@@ -1863,8 +1865,8 @@ object VectorQueries {
       |nc AS (SELECT cell, COUNT(*) AS n_new FROM b3 GROUP BY 1),
       |cs AS (
       |  SELECT cent_id AS cell,
-      |    ROUND(CAST(SUM(CAST(CAST(c_emb[i] AS DOUBLE) AS DECIMAL(30,6)))
-      |      AS DOUBLE), 4) AS checksum
+      |    ROUND(${graft.Oracle.dsumSql("CAST(c_emb[i] AS DOUBLE)")}, 4)
+      |      AS checksum
       |  FROM (SELECT cent_id, c_emb, unnest(range(1, len(c_emb) + 1)) AS i
       |        FROM c2) q
       |  GROUP BY 1)

@@ -659,14 +659,14 @@ object WarehouseQueries {
   }
 
   val q158Sql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT event_type, value, CAST(ts AS DATE) AS day,
       |    epoch_us(ts) * 4096 + event_id % 4096 AS ok
       |  FROM events)
       |SELECT event_type, day,
       |  arg_min(value, ok) AS open, MAX(value) AS high, MIN(value) AS low,
       |  arg_max(value, ok) AS close, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |  ${graft.Oracle.dsumSql("value")} AS sum_value
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -484,12 +484,21 @@ object StreamPipeline {
     * capacity-256 Space-Saving summary and flushed on event-time
     * timeout (the q92 watermark-0s close-out). State is CAPACITY-
     * bounded, not cardinality-bounded — the point of the sketch at
-    * 100 TB. Exactness regime: the DuckDB count-rank oracle holds
-    * while distinct users per type < 256 — true at the sf0.01 gate
-    * (150, pinned by AppliedSpec) and deliberately FALSE at sf0.1
-    * (1500): the r7 cross-SF sweep records q205 as expected-divergent
-    * there, which is the sketch approximating as designed, with the
-    * error bound still surfaced in the err column.
+    * 100 TB. Exactness regime: the count-rank answer is exact while
+    * distinct users per type ≤ 256 — true at the sf0.01 gate (150,
+    * pinned by AppliedSpec), false at sf0.1 (1500), where the sketch
+    * approximates as designed with arrival-order-dependent values no
+    * cross-engine oracle can model.
+    *
+    * SELF-REPORTING REGIME (round-8 verdict item 4, q230's `converged`
+    * pattern): the query emits `within_capacity` (1 iff the type's
+    * EXACT distinct-user count — a plain batch aggregate over the same
+    * input, computed alongside the sketch — is ≤ capacity) and
+    * `n_distinct` itself; the sketch's per-user columns are emitted
+    * only in the exact regime (NULL once saturated). Both engines
+    * derive the masking from the same exact count, so every SF is
+    * PASS-or-bug with no sweep special-casing; StreamingSpec
+    * value-gates the saturated regime against the Space-Saving bound.
     * Flush generations merge batch-side by count addition before the
     * final rank, so a multi-batch replay yields the identical answer. */
   def q205StreamingTopk(s: SparkSession, dir: String): DataFrame = {
@@ -515,9 +524,19 @@ object StreamPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("cnt").desc, col("user_id").asc)
+    // exact regime flag from the batch twin of the same input — tiny
+    // per-type aggregate, broadcast into the ≤3k-row ranked output
+    val nd = graft.Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+      .withColumn("within_capacity",
+        (col("n_distinct") <= 256).cast("long"))
     merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select(col("event_type"), col("rk"), col("user_id"), col("cnt"),
-        col("err"))
+      .join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("rk"),
+        col("within_capacity"), col("n_distinct"),
+        when(col("within_capacity") === 1, col("user_id")).as("user_id"),
+        when(col("within_capacity") === 1, col("cnt")).as("cnt"),
+        when(col("within_capacity") === 1, col("err")).as("err"))
       .orderBy(col("event_type"), col("rk"))
   }
 
@@ -525,14 +544,22 @@ object StreamPipeline {
     """WITH counts AS (
       |  SELECT event_type, user_id, COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT event_type, COUNT(*) AS n_distinct,
+      |    CAST(COUNT(*) <= 256 AS BIGINT) AS within_capacity
+      |  FROM counts GROUP BY 1),
       |ranked AS (
       |  SELECT event_type, user_id, cnt,
       |    row_number() OVER (PARTITION BY event_type
       |                       ORDER BY cnt DESC, user_id ASC) AS rk
       |  FROM counts)
-      |SELECT event_type, rk, user_id, cnt, CAST(0 AS BIGINT) AS err
-      |FROM ranked WHERE rk <= 3
-      |ORDER BY event_type, rk""".stripMargin
+      |SELECT r.event_type, r.rk, nd.within_capacity, nd.n_distinct,
+      |  CASE WHEN nd.within_capacity = 1 THEN r.user_id END AS user_id,
+      |  CASE WHEN nd.within_capacity = 1 THEN r.cnt END AS cnt,
+      |  CASE WHEN nd.within_capacity = 1 THEN CAST(0 AS BIGINT) END AS err
+      |FROM ranked r JOIN nd ON r.event_type = nd.event_type
+      |WHERE r.rk <= 3
+      |ORDER BY r.event_type, r.rk""".stripMargin
 
   /** q187 — stream-stream LEFT OUTER interval join with a REAL
     * watermark (1 hour): purchases that see no click in the preceding

@@ -20,7 +20,10 @@ class AnalyticsSpec extends AnyFunSuite {
     val n = cells.map(_._3).sum.toDouble
     val cx = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val cy = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // dsum's micro-grid: nearest-even rint of the scaled double (NOT
+    // BigDecimal HALF_UP — that was the old decimal-cast grid)
+    def d6(x: Double) = BigDecimal(
+      java.math.BigDecimal.valueOf(Math.rint(x * 1e6).toLong, 6))
     val want = cells.map { case (x, y, c) =>
       d6((c / n) * math.log(n * c / (cx(x).toDouble * cy(y).toDouble)))
     }.sum.toDouble
@@ -61,7 +64,10 @@ class AnalyticsSpec extends AnyFunSuite {
     // local replay with the same dsum(6dp)/round9 grids
     val embs = Tables.embeddings(spark, dir)
       .collect().map(_.getSeq[Float](1).toArray)
-    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // dsum's micro-grid: nearest-even rint of the scaled double (NOT
+    // BigDecimal HALF_UP — that was the old decimal-cast grid)
+    def d6(x: Double) = BigDecimal(
+      java.math.BigDecimal.valueOf(Math.rint(x * 1e6).toLong, 6))
     val a = Array.tabulate(64, 64) { (i, j) =>
       embs.map(e => d6(e(i).toDouble * e(j).toDouble)).sum.toDouble
     }
@@ -202,7 +208,10 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val corpus = toks.groupBy(_._2).view.mapValues(_.length).toMap
     val nTot = toks.length.toDouble
-    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // dsum's micro-grid: nearest-even rint of the scaled double (NOT
+    // BigDecimal HALF_UP — that was the old decimal-cast grid)
+    def d6(x: Double) = BigDecimal(
+      java.math.BigDecimal.valueOf(Math.rint(x * 1e6).toLong, 6))
     toks.filter(_._1 < 200).groupBy(_._1).foreach { case (doc, ts) =>
       val len = ts.length.toDouble
       val kl = ts.groupBy(_._2).map { case (t, os) =>

@@ -67,16 +67,19 @@ class AppliedSpec extends AnyFunSuite {
   }
 
   test("q205 streaming top-k equals the batch rank with zero sketch error") {
+    // spec scale is in-capacity: within_capacity=1 everywhere and the
+    // unmasked (user_id, cnt, err) equal the exact batch rank
     val got = graft.streaming.StreamPipeline.q205StreamingTopk(spark, dir)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-    got.foreach(t => assert(t._5 == 0, s"sketch error at spec scale: $t"))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.foreach(t => assert(t._3 == 1, s"saturated at spec scale: $t"))
+    got.foreach(t => assert(t._6 == 0, s"sketch error at spec scale: $t"))
     val want = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id")).count()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
         rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
-          .map { case (r, i) => (t, i + 1, r._2, r._3, 0L) }
+          .map { case (r, i) => (t, i + 1, 1L, r._2, r._3, 0L) }
       }.toSet
     assert(got.toSet == want)
   }

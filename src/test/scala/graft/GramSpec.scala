@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** The Gram kernel's contract: BIT-identical to the declarative
   * posexplode² + Oracle.dsum pipeline it replaces — same 1e-6
-  * half-up grid, same exact integer merge. */
+  * nearest-even rint grid, same exact integer merge. */
 class GramSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
@@ -28,13 +28,18 @@ class GramSpec extends AnyFunSuite {
     }
   }
 
-  test("grid6 is BigDecimal HALF_UP at 1e-6 for positive, negative, and half values") {
+  test("grid6 is Math.rint of the scaled double (dsum's micro-grid), -0.0 absorbed") {
     val cases = Seq(0.1234565, -0.1234565, 0.0000005, -0.0000005,
-      1.9999995, -1.9999995, 0.0, 0.123456449, -0.123456449)
+      1.9999995, -1.9999995, 0.0, -0.0, 0.123456449, -0.123456449,
+      // exact dyadic ties where rint's nearest-even rule is visible:
+      // 2.5e-6·2^k forms and the exact .5 scaled cases
+      0.0000025, -0.0000025, 1.0000005, 123.4567895)
     cases.foreach { v =>
-      val want = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.movePointRight(6).longValueExact()
+      val want = Math.rint(v * 1e6).toLong
       assert(graft.operators.Gram.grid6(v) == want, s"v=$v")
     }
+    // -0.0 collapses to 0L (the BIGINT cast both engines apply)
+    assert(graft.operators.Gram.grid6(-0.0) == 0L)
+    assert(java.lang.Long.compare(graft.operators.Gram.grid6(-0.0000001), 0L) == 0)
   }
 }

@@ -28,7 +28,9 @@ class StatsSpec extends AnyFunSuite {
       (math.log(i + 1.0), math.log(f.toDouble))
     }
     val n = xy.length
-    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // dsum's micro-grid: nearest-even rint of the scaled double
+    def d6(x: Double) = BigDecimal(
+      java.math.BigDecimal.valueOf(Math.rint(x * 1e6).toLong, 6))
     val sx = xy.map(p => d6(p._1)).sum.toDouble
     val sy = xy.map(p => d6(p._2)).sum.toDouble
     val sxy = xy.map(p => d6(p._1 * p._2)).sum.toDouble

@@ -294,4 +294,44 @@ class StreamingSpec extends AnyFunSuite {
     val last = spark.sql("SELECT maxBlock FROM hwm").collect().map(_.getLong(0))
     assert(last.last === 9)
   }
+
+  test("q205 Space-Saving fold honors the sketch bound past capacity (saturated regime)") {
+    // The masked hash gate proves only the exact regime; this is the
+    // value gate for the saturated one (round-8 verdict item 4): drive
+    // the fold itself past capacity with TestGroupState and assert the
+    // Metwally guarantees the Scaladoc claims.
+    import graft.streaming.StreamPipeline.{TopkEvent, TopkState}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val arrivals = scala.collection.mutable.ArrayBuffer[Long]()
+    for (_ <- 0 until 50; u <- 0L until 10L) arrivals += u // 10 heavy, 50x
+    for (u <- 10L until 300L; _ <- 0 to (u % 3).toInt) arrivals += u // 290 light
+    val trueCounts = arrivals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ts = new Timestamp(0L)
+    val fold = StreamPipeline.topkFold(256) _
+    val s1 = TestGroupState.create[TopkState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout(), 0L,
+      Optional.of(0L), false)
+    assert(fold("click", arrivals.iterator.map(TopkEvent("click", _, ts)), s1).isEmpty)
+    val s2 = TestGroupState.create[TopkState](
+      Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout(), 0L,
+      Optional.of(1L), true)
+    val out = fold("click", Iterator.empty, s2).toList
+    // capacity-bounded state, saturation visible through err > 0
+    assert(out.size == 256, s"state size ${out.size}")
+    assert(out.exists(_.err > 0), "no eviction recorded past capacity")
+    // the Space-Saving bound: cnt - err <= true <= cnt for EVERY entry
+    out.foreach { o =>
+      val t = trueCounts.getOrElse(o.user_id, 0L)
+      assert(o.cnt - o.err <= t && t <= o.cnt,
+        s"user ${o.user_id}: cnt=${o.cnt} err=${o.err} true=$t")
+    }
+    // count conservation: Sigma cnt over state == stream length
+    assert(out.map(_.cnt).sum == arrivals.length.toLong)
+    // heavy hitters survive saturation exactly (never evicted)
+    (0L until 10L).foreach { u =>
+      val o = out.find(_.user_id == u)
+      assert(o.exists(e => e.cnt == 50L && e.err == 0L), s"heavy $u: $o")
+    }
+  }
 }
