@@ -51,8 +51,14 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val (load1, cpu1) = (osBean.getSystemLoadAverage, procCpuSec)
-    val env = f""""load_avg_start":$load0%.2f,"load_avg_end":$load1%.2f,""" +
-      f""""proc_cpu_sec":${cpu1 - cpu0}%.1f,"n_cpus":${Runtime.getRuntime.availableProcessors}"""
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would render "4,90" — invalid JSON
+    def r(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val env = s""""load_avg_start":${r("%.2f", load0)},""" +
+      s""""load_avg_end":${r("%.2f", load1)},""" +
+      s""""proc_cpu_sec":${r("%.1f", cpu1 - cpu0)},""" +
+      s""""n_cpus":${Runtime.getRuntime.availableProcessors}"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

@@ -47,6 +47,11 @@ object ProtoDescriptor {
     require(values.head._2 == 0, s"enum $name: first value must be 0 (proto3)")
     require(values.map(_._1).distinct.size == values.size,
       s"enum $name: duplicate value names")
+    // aliased numbers need proto3's allow_alias, which (like the other
+    // exotic constructs) this descriptor deliberately rejects loudly —
+    // nameOf would otherwise resolve an alias to whichever name is first
+    require(values.map(_._2).distinct.size == values.size,
+      s"enum $name: aliased value numbers (allow_alias unsupported)")
     def nameOf(n: Int): String =
       values.find(_._2 == n).map(_._1).getOrElse(
         throw new NoSuchElementException(s"enum $name: no value $n"))

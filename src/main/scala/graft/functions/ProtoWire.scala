@@ -60,6 +60,11 @@ object ProtoWire {
   private def scalarBits(f: Field, v: Any): Long = {
     val raw: Long = v match {
       case l: Long => l
+      // uint32/fixed32 are not sign-extended on the wire: a value with
+      // the high bit set must encode as the canonical 5-byte (varint)
+      // or 4-byte (fixed) form, not a 10-byte sign-extension
+      case i: Int if f.ptype == "uint32" || f.ptype == "fixed32" =>
+        i.toLong & 0xffffffffL
       case i: Int => i.toLong
       case b: Boolean => if (b) 1L else 0L
       case fl: Float => java.lang.Float.floatToIntBits(fl).toLong & 0xffffffffL

@@ -1874,6 +1874,11 @@ object CorpusQueries {
         count(lit(1)).as("nd"),
         Oracle.lsum(col("n_chars")).as("sc"))
       .withColumn("q", expr("sc div nd")) // quality weight (pluggable)
+      // degenerate sources (no tokens, or zero quality weight — e.g.
+      // all-empty docs) can't receive an allocation and would divide
+      // by zero in ratio / epochs_permille; exclude them in BOTH
+      // engines (the q224/q229 guard idiom)
+      .filter(col("t") > 0 && col("q") > 0)
       .withColumn("cap", col("t") * 4)
       .withColumn("ratio", expr("(cap * 1000000) div q"))
     import org.apache.spark.sql.expressions.Window
@@ -1922,7 +1927,8 @@ object CorpusQueries {
       |st2 AS (
       |  SELECT source, t, sc // nd AS q, t * 4 AS cap,
       |    (t * 4 * 1000000) // (sc // nd) AS ratio
-      |  FROM st),
+      |  FROM st
+      |  WHERE t > 0 AND sc // nd > 0),
       |w AS (
       |  SELECT *,
       |    SUM(t) OVER () * 2 AS b,

@@ -337,4 +337,24 @@ class CorpusSpec extends AnyFunSuite {
     val twice = CorpusQueries.q113StratifiedSplit(spark, TestSpark.sfDir).collect().toSeq
     assert(once === twice)
   }
+
+  test("q239 excludes degenerate sources (zero tokens / zero weight) instead of dividing by zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q239_spec").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "good", 16L),
+      (2L, "delta epsilon", "en", "good", 13L),
+      (3L, "", "en", "empty", 0L), // t=0 AND q=0 for this source
+      (4L, "", "en", "empty", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = CorpusQueries.q239EpochAllocation(spark, tmp).collect()
+    val srcs = rows.map(_.getString(0)).toSet
+    assert(srcs == Set("good"), s"degenerate source not excluded: $srcs")
+    // the surviving source still gets a full, finite allocation
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("tokens_allocated")) > 0)
+      assert(r.getLong(r.fieldIndex("epochs_permille")) > 0)
+    }
+  }
 }

@@ -109,4 +109,43 @@ class ProtoWireSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("uint32 with the high bit set encodes canonically (no sign extension)") {
+    val ms = ProtoDescriptor.parse(
+      """syntax = "proto3";
+        |message U {
+        |  uint32 v = 1;
+        |  fixed32 f = 2;
+        |}""".stripMargin)
+    // Int -1 carries uint32 4294967295: varint ff ff ff ff 0f (5 bytes,
+    // the canonical prost layout), NOT the 10-byte sign extension;
+    // fixed32 is its 4 LE bytes
+    val enc = ProtoWire.encode(Row(-1, -1), ms("U"))
+    assert(hex(enc) == "08ffffffff0f" + "15ffffffff")
+    val back = ProtoWire.decode(enc, ms("U"))
+    assert(back.getInt(0) == -1 && back.getInt(1) == -1) // wraps back
+    // packed repeated path masks too
+    val ms2 = ProtoDescriptor.parse(
+      """syntax = "proto3";
+        |message P {
+        |  repeated uint32 ids = 1;
+        |}""".stripMargin)
+    assert(hex(ProtoWire.encode(Row(Seq(-1)), ms2("P"))) == "0a05ffffffff0f")
+  }
+
+  test("aliased enum value numbers are rejected loudly (allow_alias unsupported)") {
+    val ex = intercept[IllegalArgumentException] {
+      ProtoDescriptor.parse(
+        """syntax = "proto3";
+          |message E {
+          |  Status status = 1;
+          |  enum Status {
+          |    UNKNOWN = 0;
+          |    STARTED = 1;
+          |    RUNNING = 1;
+          |  }
+          |}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("aliased"))
+  }
 }
