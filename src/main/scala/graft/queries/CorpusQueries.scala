@@ -56,16 +56,30 @@ object CorpusQueries {
     * which would silently no-op if q70Sql were ever reformatted). */
   private val clustersCteSql: String =
     s"""WITH RECURSIVE ${LlmQueries.jaccardPairsCteSql},
-      |pairs AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.8),
-      |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-      |reach(node, r) AS (
-      |  SELECT a AS node, b AS r FROM edges
+      |rpairs AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM rjac WHERE jaccard >= 0.8),
+      |redges AS (SELECT a, b FROM rpairs UNION SELECT b AS a, a AS b FROM rpairs),
+      |rreach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM redges
       |  UNION
-      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |  SELECT rreach.node, e.b AS r FROM rreach JOIN redges e ON rreach.r = e.a),
+      |-- closure over the REPRESENTATIVE graph (collapse note in
+      |-- jaccardPairsCteSql); a rep is the MIN doc_id of its identical-
+      |-- text group, so the min rep of a component IS the min member
+      |-- doc_id, and every member joins its rep's component through the
+      |-- jaccard-1.0 intra edges. Duplicate-text groups with no external
+      |-- edge (and a nonempty shingle set) are components of their own.
+      |rcomp AS (
+      |  SELECT node AS rep, CAST(least(node, min(r)) AS BIGINT) AS rc
+      |  FROM rreach GROUP BY node),
+      |rsolo AS (
+      |  SELECT g.doc_id AS rep, CAST(g.doc_id AS BIGINT) AS rc
+      |  FROM dreps g JOIN sz ON sz.doc_id = g.doc_id
+      |  WHERE g.mult >= 2 AND g.doc_id NOT IN (SELECT rep FROM rcomp)),
+      |rcomp2 AS (SELECT * FROM rcomp UNION ALL SELECT * FROM rsolo),
       |clusters AS (
-      |  SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
-      |  FROM reach GROUP BY node)""".stripMargin
+      |  SELECT m.doc_id, c.rc AS cluster_id
+      |  FROM rcomp2 c JOIN dmem m ON m.rep = c.rep)""".stripMargin
 
   val q70Sql: String =
     s"""$clustersCteSql
@@ -958,20 +972,23 @@ object CorpusQueries {
 
   val q77Sql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
+    // every round CTE is MATERIALIZED: the iteration chain otherwise
+    // re-inlines its whole prefix at each reference (the q186 CTE-
+    // inlining hazard), and `e`/`deg` are re-read by all three rounds
     def iter(prev: String, next: String) =
-      s"""$next AS (
+      s"""$next AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |    (CAST(1 AS DOUBLE) - $d) / n.n + $d * CAST(SUM(
         |      CAST($prev.r / deg.od AS DECIMAL(15,14))) AS DOUBLE) AS r
         |  FROM e JOIN $prev ON e.src = $prev.node
         |    JOIN deg ON e.src = deg.src CROSS JOIN n
         |  GROUP BY e.dst, n.n)""".stripMargin
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |e AS (SELECT c AS src, p AS dst FROM base
+      |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM base
       |  UNION ALL SELECT p AS src, c AS dst FROM base),
-      |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+      |deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
       |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS r FROM deg CROSS JOIN n),
       |${iter("r0", "r1")},

@@ -92,15 +92,17 @@ object LlmQueries {
 
   /** DuckDB twin of [[shingled]] as a CTE body (shared with the
     * clustering oracle in CorpusQueries). */
-  private[queries] val shingledSql: String =
-    """SELECT doc_id,
+  private[queries] def shingledFromSql(tbl: String): String =
+    s"""SELECT doc_id,
       |  CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
       |    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
       |      i -> concat(string_split(lower(text), ' ')[i], ' ',
       |                  string_split(lower(text), ' ')[i + 1], ' ',
       |                  string_split(lower(text), ' ')[i + 2])))
       |  ELSE CAST([] AS VARCHAR[]) END AS shingles
-      |FROM documents""".stripMargin
+      |FROM $tbl""".stripMargin
+
+  private[queries] val shingledSql: String = shingledFromSql("documents")
 
   /** DuckDB CTE chain computing EXACT pairwise Jaccard over all doc
     * pairs sharing ≥1 shingle, via an inverted-index postings join —
@@ -113,21 +115,53 @@ object LlmQueries {
     * exact, and the postings join costs Σ_g df(g)² instead of n².
     * Still oracle-independent of the engine: no MinHash, no LSH, no
     * pruning, no bounds — every co-occurring pair gets its exact count.
-    * Yields relations: sh, sz(doc_id,n), post(doc_id,g),
-    * isect(doc_a,doc_b,i), jac(doc_a,doc_b,jaccard rounded 4dp). */
+    *
+    * EXACT-DUPLICATE COLLAPSE (round-9, the engine's own q114/q103
+    * composition mirrored oracle-side): byte-identical texts have
+    * identical shingle sets, so the quadratic postings stage runs over
+    * one representative per distinct text and member pairs re-expand
+    * afterwards — bit-identical output, because a cross pair inherits
+    * the representatives' exact value and an intra pair is identical
+    * sets, whose brute Jaccard is n/(n+n−n) = exactly 1.0 at any
+    * rounding. On the 10×-replicated stress corpora this cuts the
+    * Σ df² postings cost 100×; on duplicate-free corpora the collapse
+    * is one text groupBy of overhead. Docs with empty shingle sets
+    * (< 3 tokens) never enter `jac` — unchanged from the postings
+    * semantics (they share no posting).
+    * Yields relations: dreps(doc_id=min member, mult, text),
+    * dmem(doc_id, rep), rep-level sh/sz/post/isect,
+    * rjac(doc_a,doc_b,jaccard) rep pairs, and the member-level
+    * jac(doc_a,doc_b,jaccard rounded 4dp). */
   private[queries] val jaccardPairsCteSql: String =
-    s"""sh AS ($shingledSql),
+    s"""dreps AS MATERIALIZED (
+      |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS mult, text
+      |  FROM documents GROUP BY text),
+      |dmem AS MATERIALIZED (
+      |  SELECT d.doc_id, r.doc_id AS rep
+      |  FROM documents d JOIN dreps r ON d.text = r.text),
+      |sh AS (${shingledFromSql("dreps")}),
       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
       |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
       |isect AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |jac AS (
+      |rjac AS MATERIALIZED (
       |  SELECT doc_a, doc_b,
       |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
       |  FROM isect JOIN sz sa ON doc_a = sa.doc_id
-      |             JOIN sz sb ON doc_b = sb.doc_id)""".stripMargin
+      |             JOIN sz sb ON doc_b = sb.doc_id),
+      |jac AS (
+      |  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+      |    GREATEST(ma.doc_id, mb.doc_id) AS doc_b, r.jaccard
+      |  FROM rjac r JOIN dmem ma ON ma.rep = r.doc_a
+      |              JOIN dmem mb ON mb.rep = r.doc_b
+      |  UNION ALL
+      |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+      |    CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM dmem ma JOIN dmem mb
+      |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+      |  JOIN sz ON sz.doc_id = ma.rep)""".stripMargin
 
   /** Labeled sub-stage actions for graft.Prof (dev profiling only). */
   def profileStages(s: SparkSession, dir: String): Seq[(String, () => Long)] = {
@@ -501,8 +535,20 @@ object LlmQueries {
     val diffs = (0 until 64)
       .map(i => s"CASE WHEN (a.s$i >= 0) <> (b.s$i >= 0) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    // exact-duplicate collapse (the jaccardPairsCteSql idiom): identical
+    // texts have identical trigram sets hence identical signatures —
+    // the quadratic 64-bit compare runs over one representative per
+    // distinct text; cross pairs inherit the reps' hamming, intra pairs
+    // are hamming 0 (<= 6 by construction, the engine's own expansion
+    // constant), gated on the rep actually having trigrams
+    s"""WITH dreps AS MATERIALIZED (
+      |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS mult, text
+      |  FROM documents GROUP BY text),
+      |dmem AS MATERIALIZED (
+      |  SELECT d.doc_id, r.doc_id AS rep
+      |  FROM documents d JOIN dreps r ON d.text = r.text),
+      |toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM dreps),
       |tri AS (
       |  SELECT DISTINCT doc_id, $v AS v
       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
@@ -510,12 +556,24 @@ object LlmQueries {
       |bits AS (
       |  SELECT doc_id,
       |    $sums
-      |  FROM tri GROUP BY doc_id)
+      |  FROM tri GROUP BY doc_id),
+      |rpairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, hamming FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST($diffs AS BIGINT) AS hamming
+      |    FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      |  WHERE hamming <= 6)
       |SELECT doc_a, doc_b, hamming FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST($diffs AS BIGINT) AS hamming
-      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
-      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      |  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+      |    GREATEST(ma.doc_id, mb.doc_id) AS doc_b, r.hamming
+      |  FROM rpairs r JOIN dmem ma ON ma.rep = r.doc_a
+      |                JOIN dmem mb ON mb.rep = r.doc_b
+      |  UNION ALL
+      |  SELECT ma.doc_id, mb.doc_id, CAST(0 AS BIGINT)
+      |  FROM dmem ma JOIN dmem mb
+      |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+      |  JOIN bits ON bits.doc_id = ma.rep)
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -818,19 +876,41 @@ object LlmQueries {
   }
 
   val q103Sql: String =
-    // postings-join containment (the q20Sql rewrite, directed): pairs
-    // with no shared shingle have containment 0 and cannot pass 0.9
-    s"""WITH sh AS ($shingledSql),
+    // postings-join containment (the q20Sql rewrite, directed), with
+    // the same exact-duplicate collapse as jaccardPairsCteSql: the
+    // directed pair stage runs over one representative per distinct
+    // text; cross member pairs inherit the reps' exact containment,
+    // intra pairs are identical sets (containment n/n = exactly 1.0,
+    // emitted in both directions like the engine's expansion, gated on
+    // the same mult >= 2 and set-size >= 10)
+    s"""WITH dreps AS MATERIALIZED (
+      |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS mult, text
+      |  FROM documents GROUP BY text),
+      |dmem AS MATERIALIZED (
+      |  SELECT d.doc_id, r.doc_id AS rep
+      |  FROM documents d JOIN dreps r ON d.text = r.text),
+      |sh AS (${shingledFromSql("dreps")}),
       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
       |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
       |isect AS (
-      |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, COUNT(*) AS i
+      |  SELECT a.doc_id AS ri, b.doc_id AS ro, COUNT(*) AS i
       |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_inner, doc_outer,
-      |  round(CAST(i AS DOUBLE) / sa.n, 4) AS containment
-      |FROM isect JOIN sz sa ON doc_inner = sa.doc_id
-      |WHERE sa.n >= 10 AND CAST(i AS DOUBLE) / sa.n >= 0.9
+      |  GROUP BY 1, 2),
+      |rcont AS MATERIALIZED (
+      |  SELECT ri, ro, round(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+      |  FROM isect JOIN sz sa ON ri = sa.doc_id
+      |  WHERE sa.n >= 10 AND CAST(i AS DOUBLE) / sa.n >= 0.9)
+      |SELECT doc_inner, doc_outer, containment FROM (
+      |  SELECT ma.doc_id AS doc_inner, mb.doc_id AS doc_outer, r.containment
+      |  FROM rcont r JOIN dmem ma ON ma.rep = r.ri
+      |               JOIN dmem mb ON mb.rep = r.ro
+      |  UNION ALL
+      |  SELECT ma.doc_id, mb.doc_id, CAST(1.0 AS DOUBLE)
+      |  FROM dreps g
+      |  JOIN sz ON sz.doc_id = g.doc_id AND sz.n >= 10
+      |  JOIN dmem ma ON ma.rep = g.doc_id
+      |  JOIN dmem mb ON mb.rep = g.doc_id AND ma.doc_id <> mb.doc_id
+      |  WHERE g.mult >= 2)
       |ORDER BY doc_inner, doc_outer""".stripMargin
 
   // ---------------------------------------------------------------------

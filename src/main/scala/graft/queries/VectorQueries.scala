@@ -221,19 +221,57 @@ object VectorQueries {
       cross.unionByName(intra)
     }
 
-  val q46Sql: String =
-    """WITH n AS (
+  /** Shared DuckDB collapse fragment for the embedding-pair oracles —
+    * the oracle-side mirror of [[cosinePairs]]' exact-duplicate
+    * collapse (here by grouping on the embedding VALUE, strictly
+    * stronger than the engine's fingerprint): the quadratic pair stage
+    * runs over one representative per distinct vector; cross member
+    * pairs inherit the representatives' exact cosine and intra pairs
+    * are identical vectors, which round to exactly 1.0 at 6 dp in any
+    * IEEE engine (the engine emits the same constant). Bit-identical
+    * to brute force at every scale; 100× cheaper on the
+    * 10×-replicated stress corpora.
+    * Yields: vreps(vec_id=min member, mult, embedding),
+    * vmem(vec_id, rep), n(vec_id, embedding, nrm) — rep-level — and
+    * rcos(ra, rb, cos_sim) — rep pairs at the 0.4 ε threshold. */
+  private val vecCollapseCteSql: String =
+    """vreps AS MATERIALIZED (
+      |  SELECT MIN(vec_id) AS vec_id, COUNT(*) AS mult, embedding
+      |  FROM embeddings GROUP BY embedding),
+      |vmem AS MATERIALIZED (
+      |  SELECT e.vec_id, r.vec_id AS rep
+      |  FROM embeddings e JOIN vreps r ON e.embedding = r.embedding),
+      |n AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-      |  FROM embeddings)
-      |SELECT id_a, id_b, cos_sim FROM (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |      / (a.nrm * b.nrm), 6) AS cos_sim
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |WHERE cos_sim >= 0.4
+      |  FROM vreps),
+      |rcos AS MATERIALIZED (
+      |  SELECT ra, rb, cos_sim FROM (
+      |    SELECT a.vec_id AS ra, b.vec_id AS rb,
+      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * b.nrm), 6) AS cos_sim
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  WHERE cos_sim >= 0.4)""".stripMargin
+
+  /** Member-level expansion of `rcos` as a CTE: the q46 pair relation
+    * (id_a < id_b, cos_sim ≥ 0.4). */
+  private val cpairsCteSql: String =
+    """cpairs AS (
+      |  SELECT LEAST(ma.vec_id, mb.vec_id) AS id_a,
+      |    GREATEST(ma.vec_id, mb.vec_id) AS id_b, r.cos_sim
+      |  FROM rcos r JOIN vmem ma ON ma.rep = r.ra
+      |              JOIN vmem mb ON mb.rep = r.rb
+      |  UNION ALL
+      |  SELECT ma.vec_id, mb.vec_id, CAST(1.0 AS DOUBLE)
+      |  FROM vmem ma JOIN vmem mb
+      |    ON ma.rep = mb.rep AND ma.vec_id < mb.vec_id)""".stripMargin
+
+  val q46Sql: String =
+    s"""WITH $vecCollapseCteSql,
+      |$cpairsCteSql
+      |SELECT id_a, id_b, cos_sim FROM cpairs
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MULTI-TABLE hyperplane-LSH approximate nearest neighbors: L = 12
@@ -318,23 +356,12 @@ object VectorQueries {
   }
 
   val q64Sql: String =
-    """WITH n AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |        / (a.nrm * b.nrm), 6) AS cos_sim
-      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |  WHERE cos_sim >= 0.4)
+    s"""WITH $vecCollapseCteSql,
+      |$cpairsCteSql
       |SELECT CAST(vec_id % 10 AS BIGINT) AS bucket, COUNT(*) AS n_kept,
       |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
       |FROM embeddings
-      |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+      |WHERE vec_id NOT IN (SELECT id_b FROM cpairs)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-dimension int8 scalar quantization of the embedding column —
@@ -628,10 +655,12 @@ object VectorQueries {
   private def pqScoreSql(s: String, c: String): String =
     s"(${pqDot8Sql(c, c)}) - 2 * (${pqDot8Sql(s, c)})"
 
-  // per-dimension fixed-point mean -> FLOAT, same ops as pqCodebooks
+  // per-dimension fixed-point mean -> FLOAT, same ops as pqCodebooks;
+  // weighted by the distinct-subvector multiplicity (exact: the member
+  // sum Σ round(v·1e10) is mult · the distinct value's rounding)
   private def pqSumsSql: String = ((1 to 8).map(i =>
-    s"SUM(CAST(round(CAST(svec[$i] AS DOUBLE) * 1e10) AS BIGINT)) AS s$i") :+
-    "COUNT(*) AS n").mkString(", ")
+    s"SUM(CAST(round(CAST(svec[$i] AS DOUBLE) * 1e10) AS BIGINT) * mult) AS s$i") :+
+    "CAST(SUM(mult) AS BIGINT) AS n").mkString(", ")
 
   private def pqMeanSql(i: Int): String =
     s"""CAST((CASE WHEN s$i >= 0 THEN (2*s$i*10000 + n) // (2*n)
@@ -639,10 +668,23 @@ object VectorQueries {
 
   private def pqMeansSql: String = (1 to 8).map(pqMeanSql).mkString("[", ", ", "]")
 
+  /** Member-level assignment (used only on small filtered slices). */
   private def pqAssignSql(from: String, cents: String): String =
     s"""SELECT vec_id, sub, svec, cid FROM (
        |  SELECT v.vec_id, v.sub, v.svec, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |      ORDER BY ${pqScoreSql("v.svec", "c.cvec")}, c.cid) AS rn
+       |  FROM $from v JOIN $cents c USING (sub)) WHERE rn = 1""".stripMargin
+
+  /** DISTINCT-subvector assignment: identical sub-vectors score
+    * identically against every centroid, so the 256-way argmin runs
+    * once per distinct (sub, svec) and carries the multiplicity — the
+    * oracle-side collapse idiom at the Lloyd stage (replicated stress
+    * corpora are 10× distinct, so the dominant join shrinks 10×). */
+  private def pqDvAssignSql(from: String, cents: String): String =
+    s"""SELECT sub, svec, mult, cid FROM (
+       |  SELECT v.sub, v.svec, v.mult, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.sub, v.svec
        |      ORDER BY ${pqScoreSql("v.svec", "c.cvec")}, c.cid) AS rn
        |  FROM $from v JOIN $cents c USING (sub)) WHERE rn = 1""".stripMargin
 
@@ -651,19 +693,25 @@ object VectorQueries {
        |  SELECT sub, cid, $pqSumsSql FROM $from GROUP BY sub, cid)""".stripMargin
 
   /** The WITH-body that replays PQ codebook training in DuckDB:
-    * sub-vector split `{p}sv`, first-256 seed `{p}c0`, two Lloyd rounds
-    * ending at codebooks `{p}c2`. CTE names are prefixed so q216 can
-    * compose this beside the (name-colliding) IVF replay of q215. */
+    * sub-vector split `{p}sv`, distinct sub-vectors `{p}dv`, first-256
+    * seed `{p}c0`, two weighted Lloyd rounds ending at codebooks
+    * `{p}c2` (bit-identical to the member-level replay — see
+    * [[pqDvAssignSql]]/[[pqSumsSql]]). CTE names are prefixed so q216
+    * can compose this beside the (name-colliding) IVF replay of
+    * q215. */
   private def pqTrainCtes(p: String): String =
-    s"""${p}sv AS (
+    s"""${p}sv AS MATERIALIZED (
        |  SELECT vec_id, s.sub,
        |    embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS svec
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+       |${p}dv AS MATERIALIZED (
+       |  SELECT sub, svec, CAST(COUNT(*) AS BIGINT) AS mult
+       |  FROM ${p}sv GROUP BY 1, 2),
        |${p}c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, svec AS cvec
        |       FROM ${p}sv WHERE vec_id < 256),
-       |${p}a1 AS (${pqAssignSql(s"${p}sv", s"${p}c0")}),
+       |${p}a1 AS (${pqDvAssignSql(s"${p}dv", s"${p}c0")}),
        |${p}c1 AS (${pqReestimateSql(s"${p}a1")}),
-       |${p}a2 AS (${pqAssignSql(s"${p}sv", s"${p}c1")}),
+       |${p}a2 AS (${pqDvAssignSql(s"${p}dv", s"${p}c1")}),
        |${p}c2 AS (${pqReestimateSql(s"${p}a2")})""".stripMargin
 
   val q96Sql: String = {
@@ -677,23 +725,15 @@ object VectorQueries {
       s"""((CAST(a.svec[$i] AS DOUBLE) - CAST(c.cvec[$i] AS DOUBLE)) *
          | (CAST(a.svec[$i] AS DOUBLE) - CAST(c.cvec[$i] AS DOUBLE)))""".stripMargin)
       .mkString(" + ")
-    s"""WITH sv AS (
-       |  SELECT vec_id, s.sub,
-       |    embedding[CAST(s.sub*8+1 AS INT):CAST(s.sub*8+8 AS INT)] AS svec
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
-       |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, svec AS cvec
-       |       FROM sv WHERE vec_id < 256),
-       |a1 AS (${assign("sv", "c0")}),
-       |c1 AS (${reestimate("a1")}),
-       |a2 AS (${assign("sv", "c1")}),
-       |c2 AS (${reestimate("a2")}),
-       |a3 AS (${assign("sv", "c2")}),
+    s"""WITH ${pqTrainCtes("")},
+       |a3 AS (${assign(
+             "(SELECT vec_id, sub, svec FROM sv WHERE vec_id < 100)", "c2")}),
        |w AS (
        |  SELECT a.vec_id,
        |    SUM(CAST(a.cid AS HUGEINT) * ($pow)) AS uword,
        |    round(${graft.Oracle.dsumSql(s"($err8)")}, 6) AS sq_err
        |  FROM a3 a JOIN c2 c USING (sub, cid)
-       |  WHERE a.vec_id < 100 GROUP BY a.vec_id)
+       |  GROUP BY a.vec_id)
        |SELECT vec_id,
        |  CAST(CASE WHEN uword > 9223372036854775807 THEN uword - 18446744073709551616
        |       ELSE uword END AS BIGINT) AS code_word,
@@ -896,34 +936,34 @@ object VectorQueries {
         .select(col("node").as("vec_id"), col("component").as("cluster_id"))
     }
 
-  /** Shared CTE chain of the q110/q149 oracles: normed vectors → exact
-    * pair graph → recursive transitive closure → membership (`memb`). */
+  /** Shared CTE chain of the q110/q149 oracles: the collapse fragment's
+    * rep-level ε-graph → recursive transitive closure over REPS → member
+    * expansion (`memb`). A rep is the MIN vec_id of its identical-vector
+    * group, so the min rep of a component IS the min member id, and
+    * every member joins its rep's component through the cos-1.0 intra
+    * edges; duplicate groups with no external edge are components of
+    * their own (`rsolo`). */
   private val semClosureCteSql: String =
-    """n AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |        / (a.nrm * b.nrm), 6) AS cos_sim
-      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |  WHERE cos_sim >= 0.4),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |reach(node, r) AS (
-      |  SELECT a AS node, b AS r FROM edges
+    """rpe AS (SELECT ra AS a, rb AS b FROM rcos),
+      |redges AS (SELECT a, b FROM rpe UNION SELECT b AS a, a AS b FROM rpe),
+      |rreach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM redges
       |  UNION
-      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |  SELECT rreach.node, e.b AS r FROM rreach JOIN redges e ON rreach.r = e.a),
+      |rcomp AS (
+      |  SELECT node AS rep, CAST(least(node, min(r)) AS BIGINT) AS rc
+      |  FROM rreach GROUP BY node),
+      |rsolo AS (
+      |  SELECT vec_id AS rep, CAST(vec_id AS BIGINT) AS rc FROM vreps
+      |  WHERE mult >= 2 AND vec_id NOT IN (SELECT rep FROM rcomp)),
+      |rcomp2 AS (SELECT * FROM rcomp UNION ALL SELECT * FROM rsolo),
       |memb AS (
-      |  SELECT node AS vec_id, CAST(least(node, min(r)) AS BIGINT) AS cluster_id
-      |  FROM reach GROUP BY node)""".stripMargin
+      |  SELECT m.vec_id, c.rc AS cluster_id
+      |  FROM rcomp2 c JOIN vmem m ON m.rep = c.rep)""".stripMargin
 
   val q110Sql: String =
-    s"""WITH RECURSIVE $semClosureCteSql
+    s"""WITH RECURSIVE $vecCollapseCteSql,
+      |$semClosureCteSql
       |SELECT vec_id, cluster_id FROM memb ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -969,22 +1009,39 @@ object VectorQueries {
   }
 
   val q149Sql: String =
-    s"""WITH RECURSIVE $semClosureCteSql,
-      |me AS (SELECT m.vec_id, m.cluster_id, n.embedding, n.nrm
-      |       FROM memb m JOIN n USING (vec_id)),
+    // the all-member-pairs stage collapses to WEIGHTED rep pairs: a
+    // cross pair (rep x, rep y) stands for mult_x·mult_y member pairs
+    // with the same 6dp cosine, an intra group for C(mult,2) pairs at
+    // exactly 1.0 — and dsum's scaled-integer grid makes the weighted
+    // sum bit-identical to summing the expanded multiset (integer ×
+    // integer is exact on the grid)
+    s"""WITH RECURSIVE $vecCollapseCteSql,
+      |$semClosureCteSql,
+      |rme AS (SELECT c.rep, c.rc AS cluster_id, r.mult, n.embedding, n.nrm
+      |        FROM rcomp2 c JOIN vreps r ON r.vec_id = c.rep
+      |        JOIN n ON n.vec_id = c.rep),
       |pw AS (
       |  SELECT x.cluster_id,
       |    round(list_sum(list_transform(range(1, len(x.embedding) + 1),
       |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-      |      / (x.nrm * y.nrm), 6) AS pcos
-      |  FROM me x JOIN me y
-      |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+      |      / (x.nrm * y.nrm), 6) AS pcos,
+      |    CAST(x.mult * y.mult AS BIGINT) AS w
+      |  FROM rme x JOIN rme y
+      |    ON x.cluster_id = y.cluster_id AND x.rep < y.rep
+      |  UNION ALL
+      |  SELECT cluster_id, CAST(1.0 AS DOUBLE) AS pcos,
+      |    CAST(mult * (mult - 1) // 2 AS BIGINT) AS w
+      |  FROM rme WHERE mult >= 2),
       |agg AS (
-      |  SELECT cluster_id, COUNT(*) AS n_pairs,
-      |    round(${graft.Oracle.dsumSql("pcos")} / COUNT(*), 6) AS mean_cos,
+      |  SELECT cluster_id, CAST(SUM(w) AS BIGINT) AS n_pairs,
+      |    round(CAST(CAST(SUM(
+      |        CAST(round_even(pcos * 1000000.0, 0) AS BIGINT) * w)
+      |      AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(SUM(w) AS BIGINT), 6)
+      |      AS mean_cos,
       |    MIN(pcos) AS min_cos
       |  FROM pw GROUP BY 1),
-      |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM memb GROUP BY 1)
+      |sz AS (SELECT cluster_id, CAST(SUM(mult) AS BIGINT) AS n_members
+      |       FROM rme GROUP BY 1)
       |SELECT cluster_id, n_members, n_pairs, mean_cos, min_cos
       |FROM agg JOIN sz USING (cluster_id) ORDER BY cluster_id""".stripMargin
 
@@ -1747,53 +1804,54 @@ object VectorQueries {
   }
 
   val q228Sql: String =
-    """WITH RECURSIVE n AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |pairs AS MATERIALIZED (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |        / (a.nrm * b.nrm), 6) AS cos_sim
-      |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |  WHERE cos_sim >= 0.4),
-      |sym AS MATERIALIZED (
-      |  SELECT id_a AS v, id_b AS nb FROM pairs
-      |  UNION ALL SELECT id_b, id_a FROM pairs),
-      |core AS MATERIALIZED (
-      |  SELECT v FROM (SELECT v, COUNT(*) AS deg FROM sym GROUP BY 1)
-      |  WHERE deg >= 3),
-      |ce AS (
-      |  SELECT id_a AS a, id_b AS b FROM pairs
-      |  JOIN core c1 ON pairs.id_a = c1.v JOIN core c2 ON pairs.id_b = c2.v),
-      |edges AS MATERIALIZED (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
-      |reach(node, r) AS (
-      |  SELECT a AS node, b AS r FROM edges
+    // rep-level DBSCAN on the collapsed ε-graph: every member of a rep
+    // has the same degree (neighbor reps contribute their mult, the
+    // mult−1 co-members are cos-1.0 neighbors), hence the same role; a
+    // core rep's members interconnect at 1.0, so component structure
+    // and the min-member cluster id collapse to the rep graph exactly
+    s"""WITH RECURSIVE $vecCollapseCteSql,
+      |rdeg AS (
+      |  SELECT r.vec_id AS rep, r.mult,
+      |    COALESCE(nb.s, 0) + (r.mult - 1) AS deg
+      |  FROM vreps r LEFT JOIN (
+      |    SELECT v, CAST(SUM(m) AS BIGINT) AS s FROM (
+      |      SELECT rcos.ra AS v, mb.mult AS m
+      |      FROM rcos JOIN vreps mb ON mb.vec_id = rcos.rb
+      |      UNION ALL
+      |      SELECT rcos.rb AS v, ma.mult AS m
+      |      FROM rcos JOIN vreps ma ON ma.vec_id = rcos.ra) q
+      |    GROUP BY v) nb ON nb.v = r.vec_id),
+      |rcore AS MATERIALIZED (SELECT rep FROM rdeg WHERE deg >= 3),
+      |rce AS (
+      |  SELECT ra AS a, rb AS b FROM rcos
+      |  JOIN rcore c1 ON rcos.ra = c1.rep JOIN rcore c2 ON rcos.rb = c2.rep),
+      |redges AS MATERIALIZED (SELECT a, b FROM rce UNION SELECT b, a FROM rce),
+      |rreach(node, r) AS (
+      |  SELECT a AS node, b AS r FROM redges
       |  UNION
-      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
-      |memb AS (
+      |  SELECT rreach.node, e.b AS r FROM rreach JOIN redges e ON rreach.r = e.a),
+      |rmemb AS (
       |  SELECT node, CAST(least(node, min(r)) AS BIGINT) AS cluster
-      |  FROM reach GROUP BY node),
-      |corecl AS MATERIALIZED (
-      |  SELECT core.v, COALESCE(memb.cluster, core.v) AS cluster_id
-      |  FROM core LEFT JOIN memb ON core.v = memb.node),
-      |borders AS (
-      |  SELECT sym.v, MIN(corecl.cluster_id) AS bcl
-      |  FROM sym JOIN corecl ON sym.nb = corecl.v
-      |  WHERE sym.v NOT IN (SELECT v FROM core)
+      |  FROM rreach GROUP BY node),
+      |rcorecl AS MATERIALIZED (
+      |  SELECT rcore.rep, COALESCE(rmemb.cluster, rcore.rep) AS cluster_id
+      |  FROM rcore LEFT JOIN rmemb ON rcore.rep = rmemb.node),
+      |rborders AS (
+      |  SELECT q.v AS rep, MIN(cl.cluster_id) AS bcl
+      |  FROM (SELECT ra AS v, rb AS nb FROM rcos
+      |        UNION ALL SELECT rb, ra FROM rcos) q
+      |  JOIN rcorecl cl ON q.nb = cl.rep
+      |  WHERE q.v NOT IN (SELECT rep FROM rcore)
       |  GROUP BY 1)
       |SELECT e.vec_id,
-      |  CASE WHEN corecl.v IS NOT NULL THEN 'core'
-      |       WHEN borders.v IS NOT NULL THEN 'border'
+      |  CASE WHEN cc.rep IS NOT NULL THEN 'core'
+      |       WHEN bb.rep IS NOT NULL THEN 'border'
       |       ELSE 'noise' END AS role,
-      |  CAST(COALESCE(corecl.cluster_id, borders.bcl, -1) AS BIGINT)
-      |    AS cluster_id
+      |  CAST(COALESCE(cc.cluster_id, bb.bcl, -1) AS BIGINT) AS cluster_id
       |FROM embeddings e
-      |LEFT JOIN corecl ON e.vec_id = corecl.v
-      |LEFT JOIN borders ON e.vec_id = borders.v
+      |JOIN vmem m ON e.vec_id = m.vec_id
+      |LEFT JOIN rcorecl cc ON m.rep = cc.rep
+      |LEFT JOIN rborders bb ON m.rep = bb.rep
       |ORDER BY e.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------

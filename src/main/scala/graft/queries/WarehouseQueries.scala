@@ -845,17 +845,18 @@ object WarehouseQueries {
   }
 
   val q164Sql: String =
+    // `bi` is MATERIALIZED: the basket-item postings are consumed by
+    // both sides of the pair self-join (and by `item`), so inlining
+    // would unnest the basket lists three times at stress scale
     """WITH b AS (
       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
       |  FROM lineitem GROUP BY 1),
       |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM b),
-      |item AS (SELECT p, COUNT(*) AS c_p
-      |         FROM (SELECT unnest(parts) AS p FROM b) GROUP BY 1),
+      |bi AS MATERIALIZED (SELECT l_orderkey, unnest(parts) AS p FROM b),
+      |item AS (SELECT p, COUNT(*) AS c_p FROM bi GROUP BY 1),
       |pr AS (
       |  SELECT pa, pb, COUNT(*) AS c_ab FROM (
-      |    SELECT x.p AS pa, y.p AS pb FROM
-      |      (SELECT l_orderkey, unnest(parts) AS p FROM b) x JOIN
-      |      (SELECT l_orderkey, unnest(parts) AS p FROM b) y
+      |    SELECT x.p AS pa, y.p AS pb FROM bi x JOIN bi y
       |      ON x.l_orderkey = y.l_orderkey AND x.p < y.p)
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
       |d AS (SELECT pa AS a, pb AS b, c_ab FROM pr
