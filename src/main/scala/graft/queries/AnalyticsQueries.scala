@@ -274,16 +274,27 @@ object AnalyticsQueries {
         |v$k AS (SELECT u$k.i AS j, ROUND(u$k.u / n$k.nrm, 9) AS x
         |        FROM u$k CROSS JOIN n$k)""".stripMargin
     }
-    s"""WITH xs AS (
-      |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-      |  FROM (SELECT vec_id, embedding,
+    s"""WITH ereps AS MATERIALIZED (
+      |  SELECT MIN(vec_id) AS vec_id, CAST(COUNT(*) AS BIGINT) AS mult,
+      |    embedding
+      |  FROM embeddings GROUP BY embedding),
+      |xs AS (
+      |  SELECT vec_id, mult, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, mult, embedding,
       |          unnest(range(1, len(embedding) + 1)) AS i
-      |        FROM embeddings)),
-      |half AS (
-      |  SELECT a.i AS i, b.i AS j, ${Oracle.dsumSql("a.x * b.x")} AS a
+      |        FROM ereps)),
+      |-- Gram over DISTINCT vectors, weighted by multiplicity: the
+      |-- member sum of per-element grid values is exactly mult x the
+      |-- distinct value's grid (integer arithmetic), so this equals the
+      |-- engine's full-corpus second moment bit for bit. MATERIALIZED:
+      |-- af feeds all five iteration steps plus the final products.
+      |half AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j,
+      |    (CAST(CAST(SUM(CAST(round_even(a.x * b.x * 1000000.0, 0)
+      |        AS BIGINT) * a.mult) AS BIGINT) AS DOUBLE) / 1000000.0) AS a
       |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2),
-      |af AS (
+      |af AS MATERIALIZED (
       |  SELECT i, j, a FROM half
       |  UNION ALL
       |  SELECT j, i, a FROM half WHERE i <> j),

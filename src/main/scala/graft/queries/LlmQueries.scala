@@ -386,9 +386,23 @@ object LlmQueries {
     * recount, which keeps emitted values exact under any cap. */
   def q21PrunedNgramJaccard(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
-    val lists = memo(s, dir, "postings", "w3")(
-      rows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
+    // Exact-duplicate collapse BEFORE the df-capped candidate stage
+    // (q114's production composition, extended here in round 9): the
+    // cap's soundness argument — "a qualifying pair is missed only if
+    // ALL its common shingles sit in > cap docs, i.e. a near-dup
+    // cluster wider than cap" — must count DISTINCT sets, or plain
+    // replication inflates every df by the copy factor and pushes
+    // ordinary clusters past the cap (found by the sf1 oracle compare:
+    // 10× copies made 7-distinct-doc clusters read as df ≥ 70 > 64 and
+    // the engine silently dropped their pairs). Collapsed, df is
+    // per-distinct-set and duplicates re-expand exactly afterwards.
+    val fps = setFingerprints(s, dir)
+    val reps = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sz")).as("sz"))
+    val repRows = rows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    val sizes = reps.select(col("doc_id"), col("sz"))
+    val lists = memo(s, dir, "postings_reps", "w3")(
+      repRows.groupBy(col("hg")).agg(collect_list(col("doc_id")).as("ids")))
     val interRare = lists.filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -408,7 +422,8 @@ object LlmQueries {
       .filter(round(col("iub").cast("double")
         / (col("na") + col("nb") - col("iub")), 4) >= 0.8)
       .select(col("a"), col("b"))
-    verifyCandidates(rows, sizes, cand, 0.8)
+    expandSymmetric(fps, verifyCandidates(repRows, sizes, cand, 0.8))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val q21Sql: String = q20Sql

@@ -525,6 +525,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide: no data-sized single-partition exchange, no cartesian, in ANY plan") {
+    // The per-round "tier battery" pattern, replaced by one sweep over
+    // the whole registry (round-8 verdict item 7): every SparkEntry
+    // query's physical plan is asserted free of CartesianProduct and of
+    // Exchange SinglePartition feeding anything data-sized
+    // (unboundedSinglePartition already exempts scalar aggregates and
+    // Ranks' cluster-sized bucket-count gather). Queries whose plans
+    // legitimately carry a bounded single-partition frame are
+    // whitelisted BY NAME with the boundedness argument — a new query
+    // is covered automatically the moment it is registered.
+    val boundedFrames: Map[String, String] = Map(
+      "q233_domain_rollup" -> ("corpus-share window over the per-domain " +
+        "AGGREGATE (<=115 rows at any corpus size: the public-suffix " +
+        "domain table), not over documents"),
+      "q238_shard_balance" -> ("permille-of-max window over the k=8-row " +
+        "per-shard aggregate; the data-sized work is Ranks' bucketed " +
+        "global row-number upstream"),
+      "q239_epoch_allocation" -> ("water-filling windows over the " +
+        "per-source aggregate (<=|sources| rows, 8 here) — doc'd " +
+        "'bounded windows over the source-count-sized frame'"))
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df =
+        try fn(spark, dir)
+        catch { case e: Throwable =>
+          failures += s"$name: construction failed: ${e.getMessage}"; null }
+      if (df != null) {
+        val p = plan(df)
+        if (p.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in plan"
+        if (!boundedFrames.contains(name)) {
+          val bad = unboundedSinglePartition(p)
+          if (bad.nonEmpty) failures += s"$name:\n${bad.head}"
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} plan violations:\n\n${failures.mkString("\n\n")}")
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first, then inspect.
