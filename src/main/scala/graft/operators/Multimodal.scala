@@ -310,9 +310,14 @@ object Multimodal {
         col("meta._3").as("sample_rate"), col("meta._4").as("format")))
   }
 
-  /** Registry entry (rows-only; the decode kernel is engine-internal):
-    * synthetic assets → batched feature extraction → per-modality profile.
-    * Deterministic in the asset ids, independent of sfDir. */
+  /** Registry entry: synthetic assets → batched feature extraction →
+    * per-modality profile. Deterministic in the asset ids, independent
+    * of sfDir — which is exactly what makes it ORACLE-ABLE (round-8
+    * verdict item 6): every reported value is closed-form integer/dyadic
+    * arithmetic in the asset id, so [[q54Sql]] re-derives the expected
+    * profile from `range(0, 300)` without decoding a byte, and the hash
+    * gate now covers the whole decode → feature → profile path instead
+    * of a rows-only check. */
   def q54MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(syntheticAssets(s, 300).repartition(8))
     feats.groupBy(col("modality"))
@@ -321,6 +326,37 @@ object Multimodal {
         round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
       .orderBy(col("modality"))
   }
+
+  /** DuckDB twin of [[q54MultimodalFeatures]], derived from the
+    * generator arithmetic instead of byte decoding (the q231 stance):
+    *  - sizes: WAV = 44-byte header + 2·len; BMP = 54-byte header +
+    *    stride(w)·h with stride = (3w+3)//4·4; video = frames × the
+    *    fixed 8×6 frame (198 B). The id residues pin h = 6, rate =
+    *    12000 and frames = 6 on their modality's residue class.
+    *  - avg_f0: every f0 is an exact dyadic (w/1024, rate/48000 = 1/4,
+    *    frame-average 8/1024), so float/double sums are exact on the
+    *    1/1024 grid in any order and both engines round the identical
+    *    double. */
+  val q54Sql: String =
+    """WITH a AS (
+      |  SELECT i,
+      |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS modality,
+      |    CASE i % 3
+      |      WHEN 0 THEN 54 + ((8 + i % 5) * 3 + 3) // 4 * 4 * 6
+      |      WHEN 1 THEN 44 + 2 * (256 + (i % 5) * 64)
+      |      ELSE 6 * 198
+      |    END AS n_bytes,
+      |    CASE i % 3
+      |      WHEN 0 THEN CAST(8 + i % 5 AS DOUBLE) / 1024
+      |      WHEN 1 THEN 0.25
+      |      ELSE 0.0078125
+      |    END AS f0
+      |  FROM range(0, 300) t(i))
+      |SELECT modality, COUNT(*) AS n_assets,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(AVG(f0), 6) AS avg_f0
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Batched partition-local feature extraction: the mapInPandas shape
     * (iterator of bounded batches per partition) on the JVM, as a TYPED
