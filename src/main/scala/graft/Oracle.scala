@@ -32,8 +32,9 @@ object Oracle {
     * Magnitude bound: the scaled per-row value must stay a representable
     * integer (|x| < 2⁵³/10⁶ ≈ 9.0e9 — far above any row-level measure
     * here) and the scaled SUM must fit int64 (|Σ| < 2⁶³/10⁶ ≈ 9.2e12 —
-    * Spark's long sum wraps silently past that; DuckDB's HUGEINT does
-    * not, so the gate would catch an overflow as a mismatch). The final
+    * under ANSI mode Spark's long sum THROWS on overflow, a loud
+    * detector rather than a silent wrap; q199's squared-deviation sum
+    * tripped it at sf0.001 and moved to [[dsumScaled]]). The final
     * int64→double cast and the /1e6 are both correctly-rounded IEEE ops
     * in both engines, hence identical at ANY magnitude — strictly wider
     * than the old decimal bound. DuckDB's SUM(BIGINT) yields HUGEINT,

@@ -172,15 +172,21 @@ object AnalyticsQueries {
       .groupBy(col("event_type"), col("seg"))
       .agg(Oracle.lsum(col("yc")).as("p"), count(lit(1)).as("nd"))
       .filter(col("seg") < 6 && col("nd") === 5)
+    // variance moment in DECIMAL(38,0): p ~ 1e10 cents at the sf10
+    // stress scale, so p² and pp² overflow int64 (ANSI caught it loudly
+    // in the sf10 bench); the q208 idiom — 128-bit-exact moments,
+    // HUGEINT on the DuckDB side — restores headroom to ~10¹⁹ cents
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val st = paa.groupBy(col("event_type"))
       .agg(Oracle.lsum(col("p")).as("pp"),
-        Oracle.lsum(col("p") * col("p")).as("ssp"),
+        sum(col("p").cast(d38) * col("p").cast(d38)).as("ssp"),
         count(lit(1)).as("nseg"))
       .filter(col("nseg") === 6 &&
-        lit(6) * col("ssp") - col("pp") * col("pp") > 0)
+        lit(6) * col("ssp") - col("pp").cast(d38) * col("pp").cast(d38) > 0)
     val lettered = paa.join(st, "event_type")
       .withColumn("z", (lit(6) * col("p") - col("pp")).cast("double") /
-        sqrt((lit(6) * col("ssp") - col("pp") * col("pp")).cast("double")))
+        sqrt((lit(6) * col("ssp") -
+          col("pp").cast(d38) * col("pp").cast(d38)).cast("double")))
       .withColumn("letter",
         when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
           .when(col("z") < 0.6745, "c").otherwise("d"))
@@ -205,19 +211,19 @@ object AnalyticsQueries {
       |paa6 AS (SELECT * FROM paa WHERE seg < 6 AND nd = 5),
       |st AS (
       |  SELECT event_type, CAST(SUM(p) AS BIGINT) AS pp,
-      |    CAST(SUM(p*p) AS BIGINT) AS ssp, COUNT(*) AS nseg
+      |    SUM(CAST(p AS HUGEINT)*p) AS ssp, COUNT(*) AS nseg
       |  FROM paa6 GROUP BY 1
-      |  HAVING COUNT(*) = 6 AND 6*CAST(SUM(p*p) AS BIGINT)
-      |    - CAST(SUM(p) AS BIGINT)*CAST(SUM(p) AS BIGINT) > 0),
+      |  HAVING COUNT(*) = 6 AND 6*SUM(CAST(p AS HUGEINT)*p)
+      |    - SUM(p)*SUM(p) > 0),
       |lettered AS (
       |  SELECT paa6.event_type, paa6.seg,
       |    CASE
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - st.pp*st.pp AS DOUBLE)) < -0.6745 THEN 'a'
+      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < -0.6745 THEN 'a'
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - st.pp*st.pp AS DOUBLE)) < 0.0 THEN 'b'
+      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < 0.0 THEN 'b'
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - st.pp*st.pp AS DOUBLE)) < 0.6745 THEN 'c'
+      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < 0.6745 THEN 'c'
       |      ELSE 'd' END AS letter
       |  FROM paa6 JOIN st ON paa6.event_type = st.event_type)
       |SELECT event_type, string_agg(letter, '' ORDER BY seg) AS sax_word
