@@ -94,4 +94,27 @@ class PropertySpec extends AnyFunSuite {
       assert(ts.transactions.count() === expectedTx)
     }
   }
+
+  test("dsum is partition-invariant and equals the local rint-grid sum bit-for-bit") {
+    // The whole point of the micro-grid: grid-then-add in exact
+    // integers is associative/commutative, so the result must be
+    // IDENTICAL (IEEE bytes, not approx) for ANY partitioning — the
+    // invariant that makes partial/final aggregation safe to hash-gate
+    // against a single-node oracle. Includes adversarial values: exact
+    // .5e-6 ties, negatives, tiny/large magnitudes.
+    import spark.implicits._
+    val adversarial = List(0.0000005, -0.0000005, 2.5e-6, -2.5e-6,
+      1.0000005, 123.4567895, -123.4567895, 0.1 + 0.2, -0.0, 1e9 - 0.25)
+    forAll(Gen.listOfN(40, Gen.choose(-1e6, 1e6)), n = 6) { xs0 =>
+      val xs = xs0 ++ adversarial
+      val expect = java.lang.Double.doubleToLongBits(
+        xs.map(v => Math.rint(v * 1e6).toLong).sum.toDouble / 1e6)
+      for (parts <- Seq(1, 7, 32)) {
+        val got = xs.toDF("x").repartition(parts)
+          .agg(Oracle.dsum(col("x")).as("s")).head().getDouble(0)
+        assert(java.lang.Double.doubleToLongBits(got) == expect,
+          s"parts=$parts: $got")
+      }
+    }
+  }
 }
