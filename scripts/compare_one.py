@@ -3,7 +3,7 @@
 doubles, same strictness as compare_oracle.py) — used by per-query
 timeout sweeps at stress scales where a few deliberately brute-force
 oracles are intractable. Usage: compare_one.py <sfDir> <outDir> <name>"""
-import json, math, os, struct, sys
+import hashlib, json, math, os, struct, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -23,6 +23,16 @@ def main(sf_dir, out_dir, name):
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    # same staleness guard as compare_oracle.py: the dump must carry the
+    # stamp of the CURRENT catalog entry (Verify re-stamps on success)
+    stamp_path = f"{out_dir}/{name}/_oracle_sha1"
+    want_sha = hashlib.sha1(sql.encode("utf-8")).hexdigest()
+    got_sha = (open(stamp_path).read().strip()
+               if os.path.exists(stamp_path) else None)
+    if got_sha != want_sha:
+        print(f"FAIL {name}: stale dump (stamp {got_sha and got_sha[:8]} != "
+              f"catalog {want_sha[:8]} -- re-run Verify for this query)")
+        return 1
     got = con.sql(f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
     gcols = sorted(got.columns)
     gdf = got.df()[gcols]

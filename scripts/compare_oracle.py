@@ -5,9 +5,17 @@ Reads Verify output (<outDir>/<name>/ parquet + oracle_sql.json), runs each
 oracle SQL in DuckDB over the same sf tables, and compares row count, column
 names, and cell values (after sorting columns by name, like the driver).
 
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [--allow-skips]
+
+Exit code is nonzero on any FAIL, on any STALE dump (a dump whose
+_oracle_sha1 stamp does not match the current catalog entry -- i.e. it was
+produced before an oracle-SQL change, or by a run where the query errored
+after a previous successful dump), and on nonzero skips unless
+--allow-skips is given (skips are expected ONLY for deliberately filtered
+local Verify runs; in a full-registry run a missing dump means the query
+ERRORED in Verify -- round-9 medium advice).
 """
-import json, math, os, struct, sys
+import hashlib, json, math, os, struct, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -26,7 +34,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, allow_skips=False):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata tables are single parquet FILES; Spark-written
@@ -38,11 +46,22 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # no dump for this catalog entry (filtered Verify run) —
-            # a query that ERRORED in a full run also lands here, so
-            # full-registry sweeps must check the Verify log for
-            # "[verify] ... failed" lines alongside this count
+            # no dump for this catalog entry: fine for a deliberately
+            # filtered Verify run (--allow-skips), an ERROR in a full one
             n_skip += 1
+            continue
+        # stamp check: the dump must have been produced against the
+        # CURRENT oracle SQL by a run that completed this query (Verify
+        # un-stamps before attempting and re-stamps on success)
+        stamp_path = f"{out_dir}/{name}/_oracle_sha1"
+        want = hashlib.sha1(sql.encode("utf-8")).hexdigest()
+        got_stamp = (open(stamp_path).read().strip()
+                     if os.path.exists(stamp_path) else None)
+        if got_stamp != want:
+            print(f"FAIL {name}: stale dump "
+                  f"(stamp {got_stamp and got_stamp[:8]} != catalog {want[:8]}"
+                  " -- re-run Verify for this query)")
+            n_fail += 1
             continue
         try:
             got = con.sql(
@@ -107,8 +126,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: " + "; ".join(msgs))
     skip = f" / {n_skip} skipped (no dump)" if n_skip else ""
     print(f"== {n_pass} pass / {n_fail} fail{skip} ==")
+    if n_skip and not allow_skips:
+        print(f"ERROR: {n_skip} catalog entries have no dump and "
+              "--allow-skips was not given (full-registry compare with "
+              "missing dumps == queries errored in Verify)")
+        return 1
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  allow_skips="--allow-skips" in sys.argv[3:]))

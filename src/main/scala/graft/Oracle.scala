@@ -69,6 +69,42 @@ object Oracle {
   def dsumSparkSql(x: String): String =
     s"(CAST(SUM(CAST(rint(($x) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)"
 
+  /** Correctly-rounded (and therefore cross-engine bit-identical)
+    * conversion of a wide-integer value — DECIMAL(38,0) on the Spark
+    * side, HUGEINT/DECIMAL(38,0) on the DuckDB side — to DOUBLE, for
+    * |x| < 2⁷⁵.
+    *
+    * Why it exists (round-9 advice): DuckDB's direct hugeint→double and
+    * decimal(38,0)→double casts are only within-1-ulp, NOT correctly
+    * rounded (probed: 8/3200 mismatches vs Python's correctly-rounded
+    * int→float on 2⁵³..2¹²⁰ values, and routing through DECIMAL(38,0)
+    * first changes nothing — it is hugeint-backed). A 1-ulp divergence
+    * under a comparison boundary (q193's SAX letter bands) flips output
+    * with no rounding grid to absorb it.
+    *
+    * The fix decomposes x = sign·(q·2²² + r) with q = |x| div 2²²
+    * and r = |x| mod 2²² — both nonnegative integers < 2⁵³, so their
+    * int→double conversions are EXACT in any engine; q·2²² is an exact
+    * power-of-two scaling, and the single add performs the one rounding
+    * of the true value. One rounding of the exact value = correctly
+    * rounded, identically in both engines (probed: 800/800 exact on
+    * random 2⁵⁴..2⁷⁵ values in DuckDB). The sign multiply is exact.
+    * Bound: |x| < 2⁷⁵ ≈ 3.8e22 keeps q < 2⁵³ (ANSI long-cast overflow
+    * throws loudly beyond it).
+    * SQL twin: [[bigToDoubleSql]]. */
+  def bigToDouble(c: Column): Column = {
+    val a = abs(c)
+    val r = (a % lit(4194304L)).cast("long")
+    val q = ((a - a % lit(4194304L)) / lit(4194304L)).cast("long")
+    signum(c).cast("double") *
+      (q.cast("double") * lit(4194304.0) + r.cast("double"))
+  }
+
+  /** DuckDB twin for [[bigToDouble]] (`//` floor-div on the abs is the
+    * same q; hugeint→double is exact below 2⁵³). */
+  def bigToDoubleSql(x: String): String =
+    s"(sign($x) * (CAST(abs($x) // 4194304 AS DOUBLE) * 4194304.0 + CAST(abs($x) % 4194304 AS DOUBLE)))"
+
   /** Integer sum emitted as BIGINT on both engines. DuckDB's SUM(BIGINT)
     * returns HUGEINT (int128), which the driver's hash canonicalizes
     * differently from Spark's bigint even at equal values.

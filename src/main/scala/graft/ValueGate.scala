@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
+
+/** Stress-scale twin of SelfConsistencySpec's value gates (round-9
+  * verdict item 4): the four permanently-rows-only registry entries —
+  * the three ANN result sets (q28 LSH, q56 IVF, q139 IVF-PQ) and q10's
+  * HLL estimate — get their quality bounds measured at ANY data scale,
+  * not just spec scale. A recall floor observed at sf0.01 says nothing
+  * about bucket balance at sf10; this main recomputes it there.
+  *
+  * All three ANN families answer the same fixed query set (vec_id < 50),
+  * so the exact reference is a 50-query × n-candidate brute-force top-3
+  * computed DISTRIBUTED with the engine's own cosine expression (same
+  * `vecDot` codegen, same round-6 grid) — at sf10 that is 25M cosines,
+  * a sub-minute broadcast join, never a driver loop. Floors match the
+  * spec: recall@3 ≥ 0.3 (q28) / 0.35 (q56) / 0.25 (q139), HLL relative
+  * error ≤ 0.05 (5× the declared 1% rsd). Exit 1 on any violation.
+  *
+  * Usage: runMain graft.ValueGate <sfDir>   (prints one JSON line)
+  */
+object ValueGate {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- exact top-3 reference (distributed brute force) --------------
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val qs = broadcast(e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val exact3 = e.join(qs, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    // recall@3 with the spec's denominator: queries that answered at all
+    def recall(df: DataFrame): Double = {
+      val ann = df.select(col(df.columns(0)), col(df.columns(1))).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = ann.toSeq.map { case (q, got) =>
+        (got & exact3.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / (ann.size * 3)
+    }
+    val r28 = recall(queries.VectorQueries.q28AnnLsh(spark, dir))
+    val r56 = recall(queries.VectorQueries.q56AnnIvf(spark, dir))
+    val r139 = recall(queries.VectorQueries.q139IvfPqSearch(spark, dir))
+
+    // ---- q10 HLL relative error ---------------------------------------
+    val approx = queries.RelationalQueries.q10AggApproxDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactD = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hllErr = exactD.map { case (k, n) =>
+      math.abs(approx.getOrElse(k, 0L) - n).toDouble / n }.max
+
+    val floors = Seq(
+      ("q28_recall3", r28, 0.30, true), ("q56_recall3", r56, 0.35, true),
+      ("q139_recall3", r139, 0.25, true), ("hll_max_err", hllErr, 0.05, false))
+    def r6(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val fields = floors.map { case (k, v, _, _) => s""""$k":${r6(v)}""" }.mkString(",")
+    val violations = floors.collect {
+      case (k, v, floor, isMin) if (if (isMin) v < floor else v > floor) =>
+        s"$k=${r6(v)} vs bound ${r6(floor)}"
+    }
+    println(s"""{"metric":"value_gate",$fields,"violations":${violations.size},"sf":"$dir"}""")
+    violations.foreach(v => System.err.println(s"[value_gate] VIOLATION $v"))
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

@@ -25,10 +25,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-dump oracle stamp (round-9 advice): a filtered re-run after an
+    // oracle-SQL change would otherwise leave out-of-filter dumps from the
+    // OLD semantics sitting beside the NEW catalog, and a later compare
+    // would silently mix runs. Each dump dir gets `_oracle_sha1` = SHA-1 of
+    // the oracle SQL it was dumped against ("no_oracle" when rows-only);
+    // compare_oracle.py fails any dump whose stamp mismatches the current
+    // catalog. Underscore prefix = ignored by parquet dir readers (the
+    // dirs already contain Spark's _SUCCESS).
+    def sha1(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // un-stamp BEFORE attempting: if this query errors mid-run, the
+      // stale dump a prior run left here must not silently pass the
+      // compare as if it were this run's output (round-9 medium advice:
+      // an errored query used to land in 'skipped' and exit 0)
+      Files.deleteIfExists(Paths.get(s"$outDir/$name/_oracle_sha1"))
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.writeString(Paths.get(s"$outDir/$name/_oracle_sha1"),
+          sha1(SparkEntry.oracleSql.getOrElse(name, "no_oracle")))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -299,8 +299,10 @@ object AdvancedQueries {
     *
     * SELF-REPORTING REGIME (round-8 verdict item 4, q230's `converged`
     * pattern): the query emits its regime as data — `exact_regime`
-    * (1 iff the group is under the sketch accuracy, so the values are
-    * provably exact) and `rank_err_bound` (the documented GK bound
+    * (1 iff the group is STRICTLY under the sketch accuracy: Spark's
+    * QuantileSummaries may compress at exactly n = accuracy, so
+    * `n < 10000`, not `<=`, is the provably-uncompressed bound —
+    * round-9 advice) and `rank_err_bound` (the documented GK bound
     * ⌊n/accuracy⌋ in ranks) — both derived from the exact group count
     * n, hence bit-identical in both engines at ANY scale. The
     * percentile columns are emitted only in the exact regime (NULL
@@ -315,21 +317,21 @@ object AdvancedQueries {
       .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("pcts"),
         count(lit(1)).as("n"))
       .select(col("o_orderpriority"),
-        (col("n") <= 10000).cast("long").as("exact_regime"),
+        (col("n") < 10000).cast("long").as("exact_regime"),
         floor(col("n") / lit(10000)).cast("long").as("rank_err_bound"),
-        when(col("n") <= 10000, element_at(col("pcts"), 1)).as("p25"),
-        when(col("n") <= 10000, element_at(col("pcts"), 2)).as("p50"),
-        when(col("n") <= 10000, element_at(col("pcts"), 3)).as("p75"),
+        when(col("n") < 10000, element_at(col("pcts"), 1)).as("p25"),
+        when(col("n") < 10000, element_at(col("pcts"), 2)).as("p50"),
+        when(col("n") < 10000, element_at(col("pcts"), 3)).as("p75"),
         col("n"))
       .orderBy(col("o_orderpriority"))
 
   val q58Sql: String =
     """SELECT o_orderpriority,
-      |  CAST(n <= 10000 AS BIGINT) AS exact_regime,
+      |  CAST(n < 10000 AS BIGINT) AS exact_regime,
       |  n // 10000 AS rank_err_bound,
-      |  CASE WHEN n <= 10000 THEN p25 END AS p25,
-      |  CASE WHEN n <= 10000 THEN p50 END AS p50,
-      |  CASE WHEN n <= 10000 THEN p75 END AS p75,
+      |  CASE WHEN n < 10000 THEN p25 END AS p25,
+      |  CASE WHEN n < 10000 THEN p50 END AS p50,
+      |  CASE WHEN n < 10000 THEN p75 END AS p75,
       |  n
       |FROM (
       |  SELECT o_orderpriority,

@@ -183,10 +183,15 @@ object AnalyticsQueries {
         count(lit(1)).as("nseg"))
       .filter(col("nseg") === 6 &&
         lit(6) * col("ssp") - col("pp").cast(d38) * col("pp").cast(d38) > 0)
+      // variance moment emitted once; its DOUBLE conversion goes through
+      // Oracle.bigToDouble because the z sits directly under the letter
+      // band comparisons — a 1-ulp-wobbly hugeint→double cast (round-9
+      // advice) could flip a letter with nothing to absorb it
+      .withColumn("den",
+        lit(6) * col("ssp") - col("pp").cast(d38) * col("pp").cast(d38))
     val lettered = paa.join(st, "event_type")
       .withColumn("z", (lit(6) * col("p") - col("pp")).cast("double") /
-        sqrt((lit(6) * col("ssp") -
-          col("pp").cast(d38) * col("pp").cast(d38)).cast("double")))
+        sqrt(Oracle.bigToDouble(col("den"))))
       .withColumn("letter",
         when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
           .when(col("z") < 0.6745, "c").otherwise("d"))
@@ -198,7 +203,7 @@ object AnalyticsQueries {
   }
 
   val q193Sql: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
       |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
       |  FROM events GROUP BY 1, 2),
@@ -211,7 +216,8 @@ object AnalyticsQueries {
       |paa6 AS (SELECT * FROM paa WHERE seg < 6 AND nd = 5),
       |st AS (
       |  SELECT event_type, CAST(SUM(p) AS BIGINT) AS pp,
-      |    SUM(CAST(p AS HUGEINT)*p) AS ssp, COUNT(*) AS nseg
+      |    SUM(CAST(p AS HUGEINT)*p) AS ssp, COUNT(*) AS nseg,
+      |    6*SUM(CAST(p AS HUGEINT)*p) - SUM(p)*SUM(p) AS den
       |  FROM paa6 GROUP BY 1
       |  HAVING COUNT(*) = 6 AND 6*SUM(CAST(p AS HUGEINT)*p)
       |    - SUM(p)*SUM(p) > 0),
@@ -219,11 +225,11 @@ object AnalyticsQueries {
       |  SELECT paa6.event_type, paa6.seg,
       |    CASE
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < -0.6745 THEN 'a'
+      |        SQRT(${graft.Oracle.bigToDoubleSql("st.den")}) < -0.6745 THEN 'a'
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < 0.0 THEN 'b'
+      |        SQRT(${graft.Oracle.bigToDoubleSql("st.den")}) < 0.0 THEN 'b'
       |      WHEN CAST(6*paa6.p - st.pp AS DOUBLE) /
-      |        SQRT(CAST(6*st.ssp - CAST(st.pp AS HUGEINT)*st.pp AS DOUBLE)) < 0.6745 THEN 'c'
+      |        SQRT(${graft.Oracle.bigToDoubleSql("st.den")}) < 0.6745 THEN 'c'
       |      ELSE 'd' END AS letter
       |  FROM paa6 JOIN st ON paa6.event_type = st.event_type)
       |SELECT event_type, string_agg(letter, '' ORDER BY seg) AS sax_word
