@@ -2,12 +2,18 @@
 # Parallel per-query oracle compare over a full Verify dump: each catalog
 # entry gets its own compare_one.py (own DuckDB process) under a timeout,
 # P at a time. A TIMEOUT line names the query so undecided entries are
-# explicit, never silent. Usage:
+# explicit, never silent. Exit status is a real gate (round-10 advice):
+# 1 if any FAIL/TIMEOUT/ERROR line was produced, 0 only on all-green.
+# Usage:
 #   scripts/sweep_parallel.sh <sfDir> <outDir> [timeoutSec=240] [parallel=8]
 set -u
-SF=$1; OUT=$2; T=${3:-240}; P=${4:-8}
+# resolve args to absolute paths BEFORE cd (relative args used to break)
+SF=$(readlink -f "$1"); OUT=$(readlink -f "$2"); T=${3:-240}; P=${4:-8}
 cd "$(dirname "$0")/.."
-python3 - "$OUT" <<'EOF' > /tmp/sweep_names.txt
+NAMES=$(mktemp /tmp/sweep_names.XXXXXX)
+RESULTS=$(mktemp /tmp/sweep_results.XXXXXX)
+trap 'rm -f "$NAMES" "$RESULTS"' EXIT
+python3 - "$OUT" <<'EOF' > "$NAMES"
 import json, sys
 print("\n".join(sorted(json.load(open(f"{sys.argv[1]}/oracle_sql.json")))))
 EOF
@@ -16,5 +22,8 @@ xargs -P "$P" -I{} bash -c '
   out=$(timeout "$T" python3 scripts/compare_one.py "$SF" "$OUT" "{}" 2>&1)
   s=$?
   if [ $s -eq 124 ]; then echo "TIMEOUT {} (oracle exceeded ${T}s)"
+  elif [ $s -ne 0 ] && ! echo "$out" | tail -1 | grep -q "^FAIL\|^PASS"; then
+    echo "ERROR {} (compare_one exited $s): $(echo "$out" | tail -1)"
   else echo "$out" | tail -1
-  fi' < /tmp/sweep_names.txt
+  fi' < "$NAMES" | tee "$RESULTS"
+if grep -q "FAIL\|TIMEOUT\|ERROR" "$RESULTS"; then exit 1; fi

@@ -89,21 +89,38 @@ object Oracle {
     * of the true value. One rounding of the exact value = correctly
     * rounded, identically in both engines (probed: 800/800 exact on
     * random 2⁵⁴..2⁷⁵ values in DuckDB). The sign multiply is exact.
-    * Bound: |x| < 2⁷⁵ ≈ 3.8e22 keeps q < 2⁵³ (ANSI long-cast overflow
-    * throws loudly beyond it).
+    *
+    * Bound, explicitly ENFORCED (round-10 advice): the correctness
+    * argument needs q < 2⁵³, i.e. |x| < 2⁷⁵ ≈ 3.8e22 — but the long
+    * cast alone only detects |x| ≥ 2⁸⁵ (q ≥ 2⁶³), so for
+    * 2⁷⁵ ≤ |x| < 2⁸⁵ the q cast would be silently inexact — the very
+    * 1-ulp wobble this function exists to remove — and under default
+    * non-ANSI Spark an overflowing cast yields NULL, not an error.
+    * Both twins therefore raise explicitly at |x| ≥ 2⁷⁵ (raise_error /
+    * DuckDB error(), lazily evaluated in the CASE branch — probed),
+    * so the documented precondition is a loud contract at any scale.
     * SQL twin: [[bigToDoubleSql]]. */
   def bigToDouble(c: Column): Column = {
     val a = abs(c)
     val r = (a % lit(4194304L)).cast("long")
     val q = ((a - a % lit(4194304L)) / lit(4194304L)).cast("long")
-    signum(c).cast("double") *
+    val v = signum(c).cast("double") *
       (q.cast("double") * lit(4194304.0) + r.cast("double"))
+    when(a >= lit(new java.math.BigDecimal(TWO_75)),
+      raise_error(concat(lit("bigToDouble: |x| >= 2^75 loses correct rounding: "),
+        c.cast("string"))).cast("double"))
+      .otherwise(v)
   }
 
+  private val TWO_75 = java.math.BigInteger.ONE.shiftLeft(75)
+
   /** DuckDB twin for [[bigToDouble]] (`//` floor-div on the abs is the
-    * same q; hugeint→double is exact below 2⁵³). */
+    * same q; hugeint→double is exact below 2⁵³; same loud 2⁷⁵ range
+    * contract as the Spark side). */
   def bigToDoubleSql(x: String): String =
-    s"(sign($x) * (CAST(abs($x) // 4194304 AS DOUBLE) * 4194304.0 + CAST(abs($x) % 4194304 AS DOUBLE)))"
+    s"(CASE WHEN abs($x) >= $TWO_75 THEN CAST(error('bigToDouble: |x| >= 2^75') AS DOUBLE) " +
+      s"ELSE sign($x) * (CAST(abs($x) // 4194304 AS DOUBLE) * 4194304.0 + " +
+      s"CAST(abs($x) % 4194304 AS DOUBLE)) END)"
 
   /** Integer sum emitted as BIGINT on both engines. DuckDB's SUM(BIGINT)
     * returns HUGEINT (int128), which the driver's hash canonicalizes

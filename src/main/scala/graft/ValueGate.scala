@@ -40,6 +40,33 @@ import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
   * Usage: runMain graft.ValueGate <sfDir>   (prints one JSON line)
   */
 object ValueGate {
+
+  /** recall@3 over the FULL expected reference set (round-10 advice):
+    * the denominator is |exact|·3, so an index that answers only 1 of
+    * the 50 queries — or none at all — scores ≤ 1/50, never 1.0 and
+    * never NaN (the old `ann.size·3` denominator was pass-open: zero
+    * answers gave 0.0/0 = NaN, and `NaN < floor` is false in Scala, so
+    * a totally broken index exited 0). Empty reference = broken gate
+    * setup, refused loudly. */
+  def recallOf(ann: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    require(exact.nonEmpty, "value gate: exact reference set is empty")
+    val hits = exact.toSeq.map { case (q, ref) =>
+      (ann.getOrElse(q, Set.empty) & ref).size }.sum
+    hits.toDouble / (exact.size * 3)
+  }
+
+  /** Value-class recall with the same full-reference denominator: every
+    * reference query scores (|ansCls ∩ refCls| / |refCls|), missing
+    * answers score 0. NaN-free for any ann, including empty. */
+  def clsRecallOf(annCls: Map[Long, Set[Long]], exactCls: Map[Long, Set[Long]]): Double = {
+    require(exactCls.nonEmpty, "value gate: exact class reference set is empty")
+    val scores = exactCls.toSeq.map { case (q, ref) =>
+      if (ref.isEmpty) 0.0
+      else (annCls.getOrElse(q, Set.empty) & ref).size.toDouble / ref.size
+    }
+    scores.sum / scores.size
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,13 +94,13 @@ object ValueGate {
       .select(col("q_id"), col("c_id")).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-    // recall@3 with the spec's denominator: queries that answered at all
+    require(exact3.size == 50,
+      s"value gate: exact reference answered ${exact3.size} of the 50 queries")
+
     def recall(df: DataFrame): Double = {
       val ann = df.select(col(df.columns(0)), col(df.columns(1))).collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val hits = ann.toSeq.map { case (q, got) =>
-        (got & exact3.getOrElse(q, Set.empty)).size }.sum
-      hits.toDouble / (ann.size * 3)
+      recallOf(ann, exact3)
     }
     // ---- value-class collapse: id sets → embedding-value classes ------
     // (replication-proof: identical embeddings collapse to one class,
@@ -95,12 +122,7 @@ object ValueGate {
     def clsRecall(df: DataFrame): Double = {
       val ann = df.select(col(df.columns(0)), col(df.columns(1))).collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val annCls = toClasses(ann)
-      val scores = annCls.toSeq.flatMap { case (q, got) =>
-        val ref = exactCls.getOrElse(q, Set.empty)
-        if (ref.isEmpty) None else Some((got & ref).size.toDouble / ref.size)
-      }
-      scores.sum / scores.size
+      clsRecallOf(toClasses(ann), exactCls)
     }
 
     val a28 = queries.VectorQueries.q28AnnLsh(spark, dir)
@@ -126,10 +148,15 @@ object ValueGate {
       ("q28_cls_recall3", c28, 0.15, true), ("q56_cls_recall3", c56, 0.15, true),
       ("q139_cls_recall3", c139, 0.15, true),
       ("hll_max_err", hllErr, 0.05, false))
-    def r6(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // NaN-robust emit + check: a NaN metric is a VIOLATION (the old
+    // `v < floor` was false for NaN → silent pass) and serializes as
+    // JSON null, never the invalid literal NaN.
+    def r6(v: Double) =
+      if (v.isNaN || v.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val fields = floors.map { case (k, v, _, _) => s""""$k":${r6(v)}""" }.mkString(",")
     val violations = floors.collect {
-      case (k, v, floor, isMin) if (if (isMin) v < floor else v > floor) =>
+      case (k, v, floor, isMin) if v.isNaN || (if (isMin) v < floor else v > floor) =>
         s"$k=${r6(v)} vs bound ${r6(floor)}"
     }
     println(s"""{"metric":"value_gate",$fields,"violations":${violations.size},"sf":"$dir"}""")

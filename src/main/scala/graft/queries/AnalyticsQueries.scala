@@ -529,7 +529,17 @@ object AnalyticsQueries {
     * p05/p95 (operators/Ranks.exactGroupQuantiles — quantile_cont
     * semantics with bounded memory at any group size), then exact-grid
     * moments of the clamped series. The two-pass mean→variance keeps
-    * every order-dependent sum on the decimal grid. */
+    * every order-dependent sum on the decimal grid.
+    *
+    * Grid sizing (round-10 sf10 ARITHMETIC_OVERFLOW): the squared
+    * deviations are in CENTS² — |dev2| ≤ (5.7e4)² ≈ 3.3e9 per row and
+    * Σdev2 ≈ rows·var ≈ 1.25e6·2.5e7 ≈ 3e13 per event_type at sf10 —
+    * so the default 1e6 grid put the scaled group sum at ~3e19 > 2⁶³
+    * (ANSI long sum threw, loudly). dsumScaled(·, 2) keeps the per-row
+    * scaled value exact (3.3e11 < 2⁵³) and the scaled sum inside int64
+    * to ~sf30000 (3e15 at sf10), while both engines still rint the
+    * identical double on the identical grid. The linear wmean sum stays
+    * at the 1e6 grid: Σw·1e6 ≈ 6e15 at sf10, three decades of margin. */
   def q198Winsorized(s: SparkSession, dir: String): DataFrame = {
     val vals = Tables.events(s, dir)
       .select(col("event_type"),
@@ -553,7 +563,7 @@ object AnalyticsQueries {
         round(max(col("lo")), 2).as("p05_cents"),
         round(max(col("hi")), 2).as("p95_cents"),
         max(col("wmean")).as("winsor_mean"),
-        round(sqrt(Oracle.dsum(col("dev2")) / max(col("n"))), 6)
+        round(sqrt(Oracle.dsumScaled(col("dev2"), 2) / max(col("n"))), 6)
           .as("winsor_std"))
       .orderBy(col("event_type"))
   }
@@ -579,8 +589,8 @@ object AnalyticsQueries {
       |SELECT c.event_type, MAX(m.n) AS n,
       |  ROUND(MAX(c.lo), 2) AS p05_cents, ROUND(MAX(c.hi), 2) AS p95_cents,
       |  MAX(m.wmean) AS winsor_mean,
-      |  ROUND(SQRT(${Oracle.dsumSql(
-           "(c.w - m.wmean) * (c.w - m.wmean)")} / MAX(m.n)), 6) AS winsor_std
+      |  ROUND(SQRT(${Oracle.dsumScaledSql(
+           "(c.w - m.wmean) * (c.w - m.wmean)", 2)} / MAX(m.n)), 6) AS winsor_std
       |FROM clamped c JOIN means m ON c.event_type = m.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -538,16 +538,18 @@ object VectorQueries {
         col("best.svec").as("svec"), col("best.cid").as("cid"))
 
   /** Per-subspace codebooks after 2 deterministic Lloyd iterations:
-    * (sub, cid, cvec, cnorm2). Seeded from the first 256 vectors.
-    * Trained on the full corpus here because the gate corpus is barely
-    * larger than the codebook (500–5000 vecs vs k = 256 cells — a
-    * sample starves the cells; measured: a 50% hash-sample doubled MSE
-    * 5× and cut recall to 0.3). At production scale the roles invert:
-    * FAISS trains PQ on a bounded sample (~k·100 vectors via q73's
-    * deterministic hash filter on this same subvec table) and assigns
-    * the full corpus once — the training-side plan is one filter away.
-    * Memoized: trained once per (session, dir), shared by the code
-    * query and the reconstruction path. */
+    * (sub, cid, cvec, cnorm2). Seeded from the first 256 SAMPLED
+    * vectors. Trained on a deterministic 1-in-step sample targeting
+    * k·100 = 25600 vectors ([[trainStep]]) — the FAISS-style bounded
+    * training set that keeps Lloyd cost flat while the corpus grows;
+    * the full corpus is assigned exactly once in [[pqCodes]]. The
+    * 25600 floor (not a smaller target, and step = 1 — identity — at
+    * every gate SF, where the corpus is below the target) exists
+    * because a starved codebook is measurably worse: with only
+    * 500–5000 vectors against k = 256 cells, a 50% hash-sample doubled
+    * MSE 5× and cut recall to 0.3. Memoized: trained once per
+    * (session, dir), shared by the code query and the reconstruction
+    * path. */
   private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "pq_codebooks", "m8,k256,it2,fxp14,s25600") {
       // train-on-sample ([[trainStep]], target k·100 = 25600): Lloyd

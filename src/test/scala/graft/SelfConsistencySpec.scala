@@ -64,13 +64,20 @@ class SelfConsistencySpec extends AnyFunSuite {
     }
   }
 
+  /** Full expected ANN query set (the registry queries fix vec_id < 50):
+    * the recall denominator everywhere, so an index that silently stops
+    * answering queries scores what it deserves (ValueGate semantics,
+    * round-10 advice — the old `ann.size·3` denominator let a 1-query
+    * answer score 1.0). */
+  private lazy val expectedExact3: Map[Long, Set[Long]] =
+    exactTopK(vecs.keys.filter(_ < 50).toSeq, 3)
+      .map { case (q, ids) => q -> ids.toSet }
+
   test("q28 LSH: recall@3 against exact brute force clears the floor") {
     val ann = VectorQueries.q28AnnLsh(spark, dir).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = exactTopK(ann.keys.toSeq, 3)
-    val hits = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
-    val recall = hits.toDouble / (ann.size * 3)
-    info(f"q28 recall@3 = $recall%.3f over ${ann.size} queries")
+    val recall = ValueGate.recallOf(ann, expectedExact3)
+    info(f"q28 recall@3 = $recall%.3f over ${expectedExact3.size} queries")
     assert(recall >= 0.3, f"q28 recall@3 $recall%.3f below floor")
   }
 
@@ -84,10 +91,8 @@ class SelfConsistencySpec extends AnyFunSuite {
         s"q56 cos for (${r.getLong(0)},${r.getLong(1)}) diverges from exact")
     }
     val ann = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = exactTopK(ann.keys.toSeq, 3)
-    val recall = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
-      .toDouble / (ann.size * 3)
-    info(f"q56 recall@3 = $recall%.3f over ${ann.size} queries")
+    val recall = ValueGate.recallOf(ann, expectedExact3)
+    info(f"q56 recall@3 = $recall%.3f over ${expectedExact3.size} queries")
     assert(recall >= 0.35, f"q56 recall@3 $recall%.3f below floor")
   }
 
@@ -112,10 +117,8 @@ class SelfConsistencySpec extends AnyFunSuite {
         f"q139 ADC $adc%.4f vs exact $exact%.4f for ($q,$c) — PQ slack blown")
     }
     val ann = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = exactTopK(ann.keys.toSeq, 3)
-    val recall = ann.toSeq.map { case (q, got) => (got & exact(q).toSet).size }.sum
-      .toDouble / (ann.size * 3)
-    info(f"q139 recall@3 = $recall%.3f over ${ann.size} queries")
+    val recall = ValueGate.recallOf(ann, expectedExact3)
+    info(f"q139 recall@3 = $recall%.3f over ${expectedExact3.size} queries")
     assert(recall >= 0.25, f"q139 recall@3 $recall%.3f below floor")
   }
 
