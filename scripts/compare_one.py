@@ -18,6 +18,19 @@ def pack(v):
 
 def main(sf_dir, out_dir, name):
     con = duckdb.connect()
+    # bounded per-process resources: the sweep runs P of these at once,
+    # and DuckDB's defaults (all cores, 80% RAM) per process would
+    # oversubscribe the box P-fold. Override via env for solo runs.
+    con.sql(f"SET threads TO {os.environ.get('SWEEP_DUCKDB_THREADS', '4')}")
+    con.sql(f"SET memory_limit = '{os.environ.get('SWEEP_DUCKDB_MEM', '12GB')}'")
+    # per-process spill dir: P concurrent compares all spilling to the
+    # default cwd-relative .tmp abort each other (one process GCs another
+    # process's duckdb_temp_storage-*.tmp -> IO error / SIGABRT).
+    # Removed on exit — a big oracle can spill tens of GB.
+    import atexit, shutil, tempfile
+    tmp = tempfile.mkdtemp(prefix="sweep_duck_")
+    atexit.register(shutil.rmtree, tmp, True)
+    con.sql(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"

@@ -62,13 +62,22 @@ object RelationalQueries {
         col("l_discount") >= 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // TOTAL order over every output column: the synthetic lineitem is
+      // TPC-H-ish, not TPC-H — (l_orderkey, l_linenumber) is NOT unique
+      // (59 dup pairs under this filter at sf0.1), so a two-key sort
+      // left tie order to scan order, which diverges between engines
+      // once the scan is parallel (first seen at the sf10 sweep; the
+      // small-SF gates passed only because both engines read one file
+      // sequentially). Determinism must come from the query, never the
+      // layout.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
       |FROM lineitem
       |WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_discount >= 0.05
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
 
   /** Broadcast-hash join: fact ⋈ small dim.
     * Scale: customer is explicitly broadcast — no shuffle of the orders fact
