@@ -21,15 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** documents → one row per DISTINCT word-3-gram shingle, pre-hashed:
-    * (doc_id, hg: bigint = xxhash64 of the trigram).
+  /** (doc_id, tfp): doc → 64-bit TEXT-class id (xxhash64 of the raw
+    * text). The head of the two-level duplicate collapse: byte-identical
+    * copies — 30-60% of a web corpus, and exactly what replication
+    * stress multiplies — are identified from ONE narrow scan, before any
+    * tokenization. Collision stance matches the shingle hashes
+    * (n²/2⁶⁴ across distinct texts; a collision would fail the exact
+    * oracles loudly). */
+  private def textMembers(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "textmem", "") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), xxhash64(col("text")).as("tfp"))
+    }
+
+  /** (tfp, hg): one row per DISTINCT (text, word-3-gram) — the shingle
+    * pass run over ONE representative document per distinct text
+    * (min doc_id, from [[textMembers]]), not over every copy. This is
+    * the sf100 probe's lesson made structural: tokenize+explode cost
+    * now scales with DISTINCT corpus bytes, not total corpus bytes
+    * (1000× replication = 1000× fewer tokenizer rows than the naive
+    * pass; measured at sf100: the dedup family's shared memo build
+    * dropped from ~9 min to seconds).
     *
-    * Built as arrays_zip of three array slices (token i, i+1, i+2) →
-    * explode → xxhash64 → distinct. Everything before the distinct is
-    * per-partition codegen'd projection — no window sort, no shuffle —
-    * and the shingle string is never materialized: the trigram is hashed
-    * straight out of the zipped struct, so the one shuffle (the distinct)
-    * moves 16-byte (doc_id, hg) rows instead of ~30-char strings.
+    * The shingling itself is unchanged: arrays_zip of three array
+    * slices (token i, i+1, i+2) → explode → xxhash64 → distinct.
+    * Everything before the distinct is per-partition codegen'd
+    * projection — no window sort, no shuffle — and the shingle string
+    * is never materialized: the trigram is hashed straight out of the
+    * zipped struct, so the one shuffle (the distinct) moves 16-byte
+    * (tfp, hg) rows instead of ~30-char strings.
     *
     * Earlier shapes, for the record: lambda-transform shingling ran
     * interpreted (~11 s at sf0.1); posexplode + window-lead ran ~1 s
@@ -39,20 +59,37 @@ object LlmQueries {
     * Downstream identity is the 64-bit hash (collision odds across
     * ~10⁶ distinct shingles ≈ n²/2⁶⁴ — nil; the exact-Jaccard oracle
     * would catch one). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "shingles", "w3") {
+  private def repTextRows(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "reptextrows", "w3") {
+      val reps = textMembers(s, dir).groupBy(col("tfp"))
+        .agg(min(col("doc_id")).as("doc_id"))
       val n = size(col("toks"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+        .join(reps, "doc_id") // text reps only; AQE picks the join shape
+        .select(col("tfp"), tokensOf(col("text")).as("toks"))
         .filter(n >= 3)
-        .select(col("doc_id"), explode(arrays_zip(
+        .select(col("tfp"), explode(arrays_zip(
           slice(col("toks"), lit(1), n - 2).as("t0"),
           slice(col("toks"), lit(2), n - 2).as("t1"),
           slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
-        .select(col("doc_id"),
+        .select(col("tfp"),
           xxhash64(col("tg.t0"), col("tg.t1"), col("tg.t2")).as("hg"))
         .distinct()
     }
+
+  /** documents → one row per DISTINCT word-3-gram shingle, pre-hashed:
+    * (doc_id, hg: bigint = xxhash64 of the trigram). Same output as
+    * shingling every document directly, but reconstructed as
+    * [[textMembers]] ⨝ [[repTextRows]] — a codegen'd expansion join of
+    * two persisted narrow inputs. Deliberately NOT memoized itself:
+    * persisting the member-level stream is O(total corpus) memory,
+    * while re-running the expansion join per consumer is cheap (both
+    * inputs are cached; the per-doc filters the member-level consumers
+    * apply — q88's eval slice, q112's old/new split — push down to the
+    * textMembers side before the join). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    textMembers(s, dir).join(repTextRows(s, dir), "tfp")
+      .select(col("doc_id"), col("hg"))
 
   /** The shingle pass feeds four queries (q20/q21/q22/q50) and appears up
     * to three times inside one query's plan (signature path + both sides
@@ -71,10 +108,6 @@ object LlmQueries {
       (mk: => DataFrame): DataFrame =
     graft.PlanCache.memo(s, dir, tag, params)(mk)
 
-  /** (doc_id, sz): distinct-shingle-set size per doc. */
-  private def shingleSizes(rows: DataFrame): DataFrame =
-    rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-
   /** (doc_id, fp, sz): per-doc shingle-SET fingerprint — xxhash64 of
     * the sorted shingle-hash array (same 64-bit-collision stance as the
     * shingle hashes; n²/2⁶⁴, the exact oracles would catch one).
@@ -85,9 +118,14 @@ object LlmQueries {
     * pays Σ multiplicity². */
   private def setFingerprints(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "setfp", "w3") {
-      shingleRows(s, dir).groupBy(col("doc_id"))
+      // set fp computed once per DISTINCT TEXT (identical texts have
+      // identical shingle sets), then broadcast back over the members —
+      // the groupBy runs on |distinct texts| rows, not |corpus| rows
+      val repFps = repTextRows(s, dir).groupBy(col("tfp"))
         .agg(xxhash64(sort_array(collect_list(col("hg")))).as("fp"),
           count(lit(1)).as("sz"))
+      textMembers(s, dir).join(repFps, "tfp")
+        .select(col("doc_id"), col("fp"), col("sz"))
     }
 
   /** (fp, doc_id, sz, mult): one representative (min doc_id) per
@@ -112,8 +150,16 @@ object LlmQueries {
     * persisted stream. */
   private def repShingleRows(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "reprows", "w3") {
-      shingleRows(s, dir).join(
-        repStats(s, dir).select(col("doc_id")), "doc_id", "left_semi")
+      // every set-level representative (min doc_id over its fp class) is
+      // also a text-level representative (min doc_id over its text
+      // class): the fp-class min is the min of its text-class minimums,
+      // and each text-class min IS in textReps — so the set-rep's
+      // shingles can be read off repTextRows without touching the
+      // member-level stream
+      textMembers(s, dir)
+        .join(repStats(s, dir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(repTextRows(s, dir), "tfp")
+        .select(col("doc_id"), col("hg"))
     }
 
   /** DuckDB twin of [[shingled]] as a CTE body (shared with the
@@ -779,7 +825,7 @@ object LlmQueries {
     * the corpus side streams through one broadcast hash join. */
   def q88Contamination(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val sizes = setFingerprints(s, dir).select(col("doc_id"), col("sz"))
     val bench = rows.filter(col("doc_id") < 5).select(col("hg")).distinct()
     val common = rows.filter(col("doc_id") >= 5 && col("doc_id") < 100)
       .join(broadcast(bench), "hg")
@@ -1026,7 +1072,7 @@ object LlmQueries {
   def q112IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val cut = 400L
     val rows = shingleRows(s, dir)
-    val sizes = memo(s, dir, "sizes", "w3")(shingleSizes(rows))
+    val sizes = setFingerprints(s, dir).select(col("doc_id"), col("sz"))
     val newRows = rows.filter(col("doc_id") >= cut)
     val oldRows = rows.filter(col("doc_id") < cut)
       .select(col("doc_id").as("old_id"), col("hg"))
