@@ -526,17 +526,24 @@ object LlmQueries {
 
   /** Distinct (doc_id, v) portable trigram values (the oracle-able twin
     * of [[shingleRows]]; memoized for the same recompute reasons). */
-  private def portableTriRows(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "shingles_portable", "w3,p31") {
+  /** (tfp, v): portable trigram VALUES of each DISTINCT text — the
+    * [[repTextRows]] two-level collapse applied to q22's portable hash
+    * family (tokenize one representative per distinct text, never every
+    * copy). */
+  private def repPortableTriRows(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "reptri_portable", "w3,p31") {
+      val reps = textMembers(s, dir).groupBy(col("tfp"))
+        .agg(min(col("doc_id")).as("doc_id"))
       val n = size(col("toks"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+        .join(reps, "doc_id")
+        .select(col("tfp"), tokensOf(col("text")).as("toks"))
         .filter(n >= 3)
-        .select(col("doc_id"), explode(arrays_zip(
+        .select(col("tfp"), explode(arrays_zip(
           slice(col("toks"), lit(1), n - 2).as("t0"),
           slice(col("toks"), lit(2), n - 2).as("t1"),
           slice(col("toks"), lit(3), n - 2).as("t2"))).as("tg"))
-        .select(col("doc_id"),
+        .select(col("tfp"),
           expr(triValSql("tg.t0", "tg.t1", "tg.t2")).as("v"))
         .distinct()
     }
@@ -576,13 +583,22 @@ object LlmQueries {
     // is a pure function of the set, so identical sets band and confirm
     // once and member pairs re-expand with Hamming 0 intra / inherited
     // Hamming cross.
-    val triRows = portableTriRows(s, dir)
+    val repTri = repPortableTriRows(s, dir)
     val fps = memo(s, dir, "setfp_tri", "w3") {
-      triRows.groupBy(col("doc_id"))
+      // trigram-set fp per DISTINCT TEXT, expanded over members — same
+      // two-level shape as setFingerprints
+      val repFps = repTri.groupBy(col("tfp"))
         .agg(xxhash64(sort_array(collect_list(col("v")))).as("fp"))
+      textMembers(s, dir).join(repFps, "tfp")
+        .select(col("doc_id"), col("fp"))
     }
     val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val repTriRows = triRows.join(reps.select(col("doc_id")), "doc_id", "left_semi")
+    // set-level reps are text-level reps (repShingleRows' min-of-mins
+    // argument), so their trigram values read off the rep-text stream
+    val repTriRows = textMembers(s, dir)
+      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(repTri, "tfp")
+      .select(col("doc_id"), col("v"))
     val sh = memo(s, dir, "simhash_reps", "w3,b64,p31")(simhashSigs(repTriRows))
     val withPos = sh.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), j -> (shiftright(sig, j * 8) & 255L))"))
@@ -1071,23 +1087,36 @@ object LlmQueries {
     * downstream of the shared [[shingleRows]] memo. */
   def q112IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val cut = 400L
-    val rows = shingleRows(s, dir)
-    val sizes = setFingerprints(s, dir).select(col("doc_id"), col("sz"))
-    val newRows = rows.filter(col("doc_id") >= cut)
-    val oldRows = rows.filter(col("doc_id") < cut)
-      .select(col("doc_id").as("old_id"), col("hg"))
-    val inter = newRows.join(oldRows, "hg")
-      .groupBy(col("doc_id"), col("old_id")).agg(count(lit(1)).as("i"))
+    // Two-level collapse, class-level scoring: a new doc's Jaccard to an
+    // old doc is a function of their shingle SETS, so every member of a
+    // text class shares one score row and one argmax — the big (new)
+    // side of the hg join runs once per DISTINCT text, and members
+    // expand only at the end. The old side stays member-level (old docs
+    // are individually addressable candidates) but is bounded by the
+    // cut (first 400 doc_ids at every SF). Tie-breaks are unchanged:
+    // identical j per class, ROW_NUMBER ordered by (j desc, old_id).
+    val members = textMembers(s, dir)
+    val repRows = repTextRows(s, dir)
+    val clsSizes = repRows.groupBy(col("tfp")).agg(count(lit(1)).as("sz"))
+    val oldRows = members.filter(col("doc_id") < cut)
+      .join(repRows, "tfp").select(col("doc_id").as("old_id"), col("hg"))
+    val newCls = members.filter(col("doc_id") >= cut).select(col("tfp")).distinct()
+    val inter = repRows.join(newCls, Seq("tfp"), "left_semi")
+      .join(oldRows, "hg")
+      .groupBy(col("tfp"), col("old_id")).agg(count(lit(1)).as("i"))
+    val oldSizes = members.filter(col("doc_id") < cut)
+      .join(clsSizes, "tfp").select(col("doc_id").as("old_id"), col("sz").as("nb"))
     val scored = inter
-      .join(sizes.select(col("doc_id"), col("sz").as("na")), "doc_id")
-      .join(broadcast(sizes.select(col("doc_id").as("old_id"), col("sz").as("nb"))), "old_id")
-      .select(col("doc_id"), col("old_id"),
+      .join(clsSizes.select(col("tfp"), col("sz").as("na")), "tfp")
+      .join(broadcast(oldSizes), "old_id")
+      .select(col("tfp"), col("old_id"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("j"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("j").desc, col("old_id"))
+      .partitionBy(col("tfp")).orderBy(col("j").desc, col("old_id"))
     val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    sizes.filter(col("doc_id") >= cut).select(col("doc_id"))
-      .join(best.select(col("doc_id"), col("old_id"), col("j")), Seq("doc_id"), "left")
+    members.filter(col("doc_id") >= cut)
+      .join(clsSizes.select(col("tfp")), Seq("tfp"), "left_semi") // docs with >=1 shingle
+      .join(best.select(col("tfp"), col("old_id"), col("j")), Seq("tfp"), "left")
       .select(col("doc_id"),
         coalesce(col("j") >= 0.8, lit(false)).as("is_dup"),
         col("old_id").as("best_match"), col("j").as("best_j"))
