@@ -319,35 +319,61 @@ object VectorQueries {
     val planesDF = broadcast(
       (for { j <- 0 until L * b; d <- 0 until 64 }
         yield (j, d, math.sin(j * 131 + d * 7))).toDF("j", "d", "w"))
-    val base = Tables.embeddings(s, dir)
+    // Exact-duplicate collapse (cosinePairs' idiom applied to LSH):
+    // identical embeddings have identical signatures in every table and
+    // identical cosines against everything, so the 72-plane projection
+    // join — the dominant cost, |corpus|·64·72 rows — runs once per
+    // DISTINCT embedding, and candidates/cosines live at class level.
+    // Output is unchanged: class cos is the member cos bit-for-bit
+    // (same float arrays), and the intra-class cos rounds to 1.000000
+    // at 6 dp in every IEEE engine (|ε| ≤ 2⁻⁵²; the cosinePairs
+    // argument). sf100 (1000× replication): the old member-level band
+    // build cost 980.6 s; class-level it is ~1/1000th of the rows.
+    val e0 = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+      .withColumn("fp", xxhash64(col("embedding")))
+    val members = e0.select(col("vec_id"), col("fp"))
+    val reps = e0.groupBy(col("fp"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
     // the band table sits on both sides of the candidate self-join and
     // costs two aggregations to build — memoized per (session, dir)
-    val bands = graft.PlanCache.memo(s, dir, "lsh_bands", s"L$L,b$b")(base
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    val bands = graft.PlanCache.memo(s, dir, "lsh_bands", s"L$L,b$b,reps")(reps
+      .select(col("fp"), posexplode(col("embedding")).as(Seq("d", "x")))
       .join(planesDF, "d")
-      .groupBy(col("vec_id"), col("j"))
+      .groupBy(col("fp"), col("j"))
       .agg(sum(col("x").cast("double") * col("w")).as("dot"))
-      // table id = j / b, bit = j % b → one b-bit key per (vector, table)
-      .groupBy(col("vec_id"), (col("j") / b).cast("int").as("tbl"))
+      // table id = j / b, bit = j % b → one b-bit key per (class, table)
+      .groupBy(col("fp"), (col("j") / b).cast("int").as("tbl"))
       .agg(sum(when(col("dot") >= 0, expr(s"shiftleft(1L, CAST(j % $b AS INT))"))
         .otherwise(0L)).as("key")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .filter(col("x.vec_id") < 50)
-      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
+    // class-level candidates for classes containing a query member;
+    // fpa === fpb pairs carry the intra-class (identical-vector) case
+    val qCls = members.filter(col("vec_id") < 50).select(col("fp").as("qfp")).distinct()
+    val candCls = bands.as("x").join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key"))
+      .join(broadcast(qCls), col("x.fp") === col("qfp"), "left_semi")
+      .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"))
       .distinct()
+    val clsCos = candCls
+      .join(reps.select(col("fp").as("fpa"), col("embedding").as("ea"), col("nrm").as("na")), "fpa")
+      .join(reps.select(col("fp").as("fpb"), col("embedding").as("eb"), col("nrm").as("nb")), "fpb")
+      .select(col("fpa"), col("fpb"),
+        round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+    // only a class's 4 smallest member ids can reach a top-3 (ranking
+    // prefers lower c_id within equal cos; +1 covers self-exclusion
+    // when the query sits among its own class's smallest ids)
+    val wM = Window.partitionBy(col("fp")).orderBy(col("vec_id"))
+    val m4 = members.withColumn("mrn", row_number().over(wM))
+      .filter(col("mrn") <= 4).select(col("fp"), col("vec_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
-    cand
-      .join(base.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("nrm").as("q_nrm")), "q_id")
-      .join(base.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_emb"), col("nrm").as("c_nrm")), "c_id")
-      .select(col("q_id"), col("c_id"),
-        round(vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
-          .as("cos_sim"))
+    members.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("fp").as("fpa"))
+      .join(clsCos, "fpa")
+      .join(m4.select(col("fp").as("fpb"), col("vec_id").as("c_id")), "fpb")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("q_id"), col("rn"))
