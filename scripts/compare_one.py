@@ -27,7 +27,11 @@ def main(sf_dir, out_dir, name):
     # default cwd-relative .tmp abort each other (one process GCs another
     # process's duckdb_temp_storage-*.tmp -> IO error / SIGABRT).
     # Removed on exit — a big oracle can spill tens of GB.
-    import atexit, shutil, tempfile
+    # atexit does NOT fire on timeout(1)'s SIGTERM — and the TIMEOUT case
+    # is exactly the one most likely to have spilled tens of GB. Convert
+    # SIGTERM into a normal interpreter exit so atexit runs.
+    import atexit, shutil, signal, tempfile
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     tmp = tempfile.mkdtemp(prefix="sweep_duck_")
     atexit.register(shutil.rmtree, tmp, True)
     con.sql(f"SET temp_directory = '{tmp}'")

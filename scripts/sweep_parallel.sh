@@ -26,4 +26,7 @@ xargs -P "$P" -I{} bash -c '
     echo "ERROR {} (compare_one exited $s): $(echo "$out" | tail -1)"
   else echo "$out" | tail -1
   fi' < "$NAMES" | tee "$RESULTS"
-if grep -q "FAIL\|TIMEOUT\|ERROR" "$RESULTS"; then exit 1; fi
+# anchored: the per-line producers above emit FAIL/TIMEOUT/ERROR only at
+# line start; an unanchored match would false-fail on a PASS line whose
+# text merely contains one of those words (e.g. a row-diff echo)
+if grep -Eq '^(FAIL|TIMEOUT|ERROR)' "$RESULTS"; then exit 1; fi

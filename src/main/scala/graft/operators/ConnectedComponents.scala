@@ -45,19 +45,26 @@ object ConnectedComponents {
     var sig = checksum(e)
     var it = 0
     var converged = false
+    var eFrame: Option[DataFrame] = None // e when it is a ckpt frame (round ≥ 1)
     while (it < maxIter && !converged) {
       // both checkpoints are EAGER on purpose: smallStar references its
       // input on two sides (groupBy-min + join), so a lazy ls would be
       // computed twice inside ss's job (measured 2× round cost)
-      val ls = largeStar(e).localCheckpoint(eager = true)
-      val ss = smallStar(ls).localCheckpoint(eager = true)
+      val ls = Iteration.ckpt(largeStar(e))
+      val ss = Iteration.ckpt(smallStar(ls))
       val nsig = checksum(ss)
       // checksum equality is the cheap (1-agg) gate; confirm with an
       // exact set diff only in that rare case, so the strict check
       // amortizes to ~one extra shuffle across the whole run
       converged = nsig == sig && ss.exceptAll(e).isEmpty
+      // free the dead frames promptly: ls is never read past ss's build,
+      // and the previous e (a ckpt frame from round ≥ 1, or the persisted
+      // canonical edge set in round 0 — unpersist handles the latter)
       e.unpersist(blocking = false)
+      eFrame.foreach(Iteration.release(_))
+      Iteration.release(ls)
       e = ss
+      eFrame = Some(ss)
       sig = nsig
       it += 1
     }

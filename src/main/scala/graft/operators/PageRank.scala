@@ -88,15 +88,16 @@ object PageRank {
   def ranksConverged(edges: DataFrame, tol: Double, maxIter: Int = 50,
                      damping: Double = 0.85, broadcastRank: Boolean = false): Ranked = {
     val (e, ed, deg, n) = layout(edges, broadcastRank)
-    var rank = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
-      .localCheckpoint(eager = true)
+    var rank = Iteration.ckpt(
+      deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r")))
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIter && delta >= tol) {
-      val next = step(ed, rank, n, damping, broadcastRank)
-        .localCheckpoint(eager = true)
+      val next = Iteration.ckpt(step(ed, rank, n, damping, broadcastRank))
       delta = next.withColumnRenamed("r", "rn").join(rank, "node")
         .agg(sum(abs(col("rn") - col("r")))).head().getDouble(0)
+      // the delta agg was the old frame's last reader — free it now
+      Iteration.release(rank)
       rank = next
       it += 1
     }

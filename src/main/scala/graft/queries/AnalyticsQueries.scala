@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iteration
 import org.apache.spark.sql.types.DecimalType
 import graft.{Oracle, Tables}
 
@@ -256,7 +257,7 @@ object AnalyticsQueries {
     val aFull = half.unionByName(
         half.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("a")))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val d = 64
     var v: DataFrame = s.range(0, d).select(col("id").cast("int").as("j"),
       lit(0.125).as("x"))
@@ -719,7 +720,7 @@ object AnalyticsQueries {
         least(floor((col("score") + 1) * 5), lit(9.0)).cast("long").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), Oracle.lsum(col("pos")).as("np"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     // interval averages A(i,j) for i<=j over the <=10-row bin table
     // (bounded-side broadcasts: these non-equi joins are model-sized)
     val a = bins.select(col("bin").as("i"))
@@ -805,7 +806,7 @@ object AnalyticsQueries {
       // Ranks passes, the q90 filter, the coverage agg) — checkpoint
       // the small per-order frame once instead of re-running the
       // lineitem aggregate + ridge solve per action
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val cal = feat.filter(pmod(col("key"), lit(2)) === 1)
     val tst = feat.filter(pmod(col("key"), lit(2)) === 0)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
@@ -830,6 +831,14 @@ object AnalyticsQueries {
   val q212Sql: String = {
     // inline the q182 beta solve (identical expressions), then the
     // conformal split/rank/coverage
+    //
+    // FAILURE SIGNATURE (round-11 sf10 sweep): under disk pressure this
+    // oracle has reported an INT128-overflow error that was CORRUPTED
+    // SPILL, not arithmetic — all HUGEINT products here are bounded by
+    // ~2.3e32 vs the 1.7e38 HUGEINT limit (OracleBoundsSpec pins the
+    // bound), and the same compare passed clean when run solo. If this
+    // query reds out in a parallel sweep with an overflow message, rerun
+    // it solo with its own spill dir before suspecting the math.
     s"""WITH feat AS (
       |  SELECT l_orderkey AS key, CAST(COUNT(*) AS HUGEINT) AS x1,
       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS x2,

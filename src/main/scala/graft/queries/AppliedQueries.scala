@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iteration
 import graft.{Oracle, Tables}
 
 /** Round-6 applied-pipeline tier (q202–q208 minus the graph/streaming
@@ -282,7 +283,7 @@ object AppliedQueries {
         round(Oracle.dsum(col("bm25_t")), 6).as("bm25"))
       // two sketch-ranked readers × two passes each would re-run the
       // whole BM25 pipeline 4× — checkpoint the per-doc scores once
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val rankA = graft.operators.Ranks.withGlobalRowNumber(
       scored.select(col("doc_id"), col("tfidf")), "ra",
       col("tfidf") * -1, col("doc_id"))
@@ -414,7 +415,7 @@ object AppliedQueries {
     val p = pairs.join(broadcast(rowTot), "src")
       .select(col("src"), col("dst"),
         (col("c").cast("double") / col("rt")).as("p"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val nStates = rowTot.count().toInt
     var pi: DataFrame = rowTot.select(col("src").as("state"),
       (lit(1.0) / nStates).as("x"))
@@ -493,7 +494,7 @@ object AppliedQueries {
       // the weighted-quantile operator reads its input ~4× (cutpoint
       // sketch, cell weights, bucketed cum, totals) — checkpoint the
       // joined projection once instead of re-joining lineitem⋈orders
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     graft.operators.Ranks.weightedGroupQuantiles(
         li, col("priority"), col("vc"), col("w"), col("tb"),
         Seq(("wmedian", 1, 2), ("wp90", 9, 10)))

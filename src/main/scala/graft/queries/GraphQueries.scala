@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Iteration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,14 +225,16 @@ object GraphQueries {
   def q143BfsHops(s: SparkSession, dir: String): DataFrame = {
     val sym = symEdges(s, dir)
     val nodes = sym.select(col("src").as("v")).distinct()
-    var dist = nodes.filter(col("v") < 50)
-      .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
+    // frames are NOT released here: `dist` is a union over every round's
+    // frame, so all of them are read by the final aggregate
+    var dist = Iteration.ckpt(nodes.filter(col("v") < 50)
+      .select(col("v"), lit(0).as("hop")))
     var frontier = dist
     for (h <- 1 to 4) {
-      val newNodes = frontier.join(sym, col("v") === col("src"))
+      val newNodes = Iteration.ckpt(frontier.join(sym, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
         .join(dist.select(col("v")), Seq("v"), "left_anti")
-        .select(col("v"), lit(h).as("hop")).localCheckpoint(true)
+        .select(col("v"), lit(h).as("hop")))
       frontier = newNodes
       dist = dist.unionByName(newNodes)
     }
@@ -276,16 +279,17 @@ object GraphQueries {
     * rounds as chained CTEs with a ROW_NUMBER argmax. */
   def q153LabelPropagation(s: SparkSession, dir: String): DataFrame = {
     val sym = symEdges(s, dir)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
+    var labels = Iteration.ckpt(sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")))
     for (_ <- 1 to 3) {
-      labels = sym
+      val next = Iteration.ckpt(sym
         .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
-        .select(col("src").as("v"), col("lbl"))
-        .localCheckpoint(true)
+        .select(col("src").as("v"), col("lbl")))
+      Iteration.release(labels) // next is materialized; the old frame is dead
+      labels = next
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
@@ -312,15 +316,16 @@ object GraphQueries {
   def q186KCore(s: SparkSession, dir: String): DataFrame = {
     val k = 3
     val sym = symEdges(s, dir)
-    var nodes = sym.select(col("src").as("v")).distinct().localCheckpoint(true)
+    var nodes = Iteration.ckpt(sym.select(col("src").as("v")).distinct())
     for (_ <- 1 to 8) {
-      nodes = sym
+      val next = Iteration.ckpt(sym
         .join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
-        .select(col("src").as("v"))
-        .localCheckpoint(true)
+        .select(col("src").as("v")))
+      Iteration.release(nodes)
+      nodes = next
     }
     sym.join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
       .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
@@ -345,14 +350,15 @@ object GraphQueries {
     val sym = symEdges(s, dir)
       .withColumn("w", lit(1) + pmod(col("src") * 31 + col("dst") * 17, lit(9)))
     val src0 = sym.agg(min(col("src")).as("v"))
-    var dist = src0.select(col("v"), lit(0L).as("d")).localCheckpoint(true)
+    var dist = Iteration.ckpt(src0.select(col("v"), lit(0L).as("d")))
     for (_ <- 1 to 6) {
       val relaxed = sym
         .join(dist.select(col("v").as("src"), col("d")), "src")
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
         .unionByName(dist)
-      dist = relaxed.groupBy(col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+      val next = Iteration.ckpt(relaxed.groupBy(col("v")).agg(min(col("d")).as("d")))
+      Iteration.release(dist)
+      dist = next
     }
     dist.select(col("v").as("node"), col("d").as("dist"))
       .orderBy(col("dist"), col("node")).limit(30)
@@ -551,8 +557,8 @@ object GraphQueries {
     def giant(ed: DataFrame): (Long, Long, Long) = {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val sym = symOf(ed)
-      var lab = sym.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint(true)
+      var lab = Iteration.ckpt(sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")))
       val n = lab.count()
       def labSum(df: DataFrame): java.math.BigDecimal = {
         val d = df.agg(coalesce(sum(col("lbl").cast(d38)),
@@ -563,11 +569,13 @@ object GraphQueries {
       var converged = 0L
       var r = 0
       while (r < 12 && converged == 0L) {
-        lab = sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
-          .select(col("u").as("node"), col("lbl"))
-          .unionByName(lab)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
+        val next = Iteration.ckpt(
+          sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
+            .select(col("u").as("node"), col("lbl"))
+            .unionByName(lab)
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+        Iteration.release(lab)
+        lab = next
         val s = labSum(lab)
         if (s.compareTo(prevSum) == 0) converged = 1L
         prevSum = s
@@ -583,7 +591,7 @@ object GraphQueries {
     val nHubs = hubs.count() // actual (limit(20) may return fewer)
     val e2 = e.join(broadcast(hubs.select(col("hub").as("a"))), Seq("a"), "left_anti")
       .join(broadcast(hubs.select(col("hub").as("b"))), Seq("b"), "left_anti")
-      .localCheckpoint(true) // both giants + the count read it; computed once
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // both giants + the count read it; computed once
     // the before/after propagations are independent DAGs — run them
     // concurrently (Spark job submission is thread-safe)
     import scala.concurrent.{Await, Future}

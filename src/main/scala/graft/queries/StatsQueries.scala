@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iteration
 import graft.{Oracle, Tables}
 
 /** Round-6 corpus-statistics + data-quality tier: vocabulary-law fits
@@ -351,15 +352,15 @@ object StatsQueries {
     // customer-sized base once cuts ~9 recomputes of the orders scan
     val rfm0 = base.crossJoin(broadcast(maxd))
       .withColumn("recency", col("maxd") - col("lastd"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     // checkpoint between the chained ntiles too: each exactNtile reads
     // its input 3× (cutpoint sketch, count, ranked plan), so an
     // unbroken r1→r2→r3 chain re-evaluates the earlier tile windows
     // multiplicatively
     val r1 = Ranks.exactNtile(rfm0, 5, "r_tile", col("recency"), col("o_custkey"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val r2 = Ranks.exactNtile(r1, 5, "f_score", col("freq"), col("o_custkey"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val r3 = Ranks.exactNtile(r2, 5, "m_score", col("mon"), col("o_custkey"))
     r3.withColumn("r_score", lit(6) - col("r_tile"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))

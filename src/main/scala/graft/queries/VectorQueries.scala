@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iteration
 import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
@@ -1209,12 +1210,12 @@ object VectorQueries {
         round(vecDot(col("embedding"), col("a_emb")) /
           (col("nrm") * col("a_nrm")), 6).as("rel"))
       .orderBy(col("rel").desc, col("c_id")).limit(50)
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     val sims = cand.as("x").join(cand.as("y"), col("x.c_id") =!= col("y.c_id"))
       .select(col("x.c_id").as("ci"), col("y.c_id").as("cj"),
         round(vecDot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm")), 6).as("sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     var rest = cand.select(col("c_id"), col("rel"), lit(0.0).as("maxsim"))
     var sel = Vector.empty[(Int, Long, Double, Double)]
     for (r <- 1 to 5) {
@@ -1419,16 +1420,18 @@ object VectorQueries {
     var chosen = Vector((0, first, 0.0))
     var cur = emb.crossJoin(centerOf(first))
       .select(col("vec_id"), col("embedding"), d2.as("md"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, Iteration.SerLevel)
     for (r <- 1 until K) {
       val top = cur.orderBy(col("md").desc, col("vec_id"))
         .limit(1).select(col("vec_id"), col("md")).head()
       chosen :+= ((r, top.getLong(0), top.getDouble(1)))
-      if (r < K - 1)
-        cur = cur.crossJoin(centerOf(top.getLong(0)))
+      if (r < K - 1) {
+        val next = Iteration.ckpt(cur.crossJoin(centerOf(top.getLong(0)))
           .select(col("vec_id"), col("embedding"),
-            least(col("md"), d2).as("md"))
-          .localCheckpoint(true)
+            least(col("md"), d2).as("md")))
+        Iteration.release(cur) // next is stored; the old frame is dead
+        cur = next
+      }
     }
     import s.implicits._
     chosen.toDF("rank", "vec_id", "dist2_at_selection")

@@ -45,8 +45,17 @@ object WorkQueue {
       payload.fields)
 
   /** Deliver (or redeliver) one message: one JSON file per delivery.
-    * `payloadJson` must be a flat JSON object (no envelope keys). */
+    * `payloadJson` must be a flat JSON object (no envelope keys).
+    *
+    * The envelope-key ban is ENFORCED, not just documented: redelivery
+    * bumps the attempt counter by textual replaceFirst over the raw
+    * envelope (the payload is opaque bytes to the broker), so a payload
+    * containing the literal envelope-key text anywhere would silently
+    * corrupt the redelivered message. Rejecting it here keeps the first
+    * `"__attempt":N` occurrence provably the envelope's own. */
   def enqueue(queueDir: String, msgId: Long, payloadJson: String, attempt: Int = 1): Unit = {
+    require(!payloadJson.contains(MsgId) && !payloadJson.contains(Attempt),
+      s"payload must not contain envelope key text ($MsgId / $Attempt)")
     val body = s"""{"$MsgId":$msgId,"$Attempt":$attempt,${payloadJson.trim
       .stripPrefix("{").stripSuffix("}")}}"""
     val tmp = Paths.get(queueDir, s".m$msgId-a$attempt.json.tmp")
@@ -83,15 +92,20 @@ object WorkQueue {
     else Files.readAllLines(log).asScala.filter(_.nonEmpty).map(_.toLong).toSet
   }
 
-  /** One delivery file per past delivery, keyed (msgId, attempt). */
+  /** One delivery file per past delivery, keyed (msgId, attempt).
+    * Files.list holds a directory handle until closed — Using closes it
+    * after the Seq is materialized (a leaked fd per sweep adds up in a
+    * long-lived subscription loop). */
   private def deliveries(queueDir: String): Seq[(Long, Int, Path)] =
-    Files.list(Paths.get(queueDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("m\\d+-a\\d+\\.json"))
-      .map { p =>
-        val n = p.getFileName.toString.stripSuffix(".json")
-        val Array(id, at) = n.stripPrefix("m").split("-a")
-        (id.toLong, at.toInt, p)
-      }.toSeq
+    scala.util.Using.resource(Files.list(Paths.get(queueDir))) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("m\\d+-a\\d+\\.json"))
+        .map { p =>
+          val n = p.getFileName.toString.stripSuffix(".json")
+          val Array(id, at) = n.stripPrefix("m").split("-a")
+          (id.toLong, at.toInt, p)
+        }.toSeq
+    }
 
   /** The broker's ack-deadline sweep: every message with NO ack is
     * redelivered — a new file, same id and payload, attempt+1. Returns

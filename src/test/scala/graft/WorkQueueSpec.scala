@@ -131,4 +131,22 @@ class WorkQueueSpec extends AnyFunSuite {
         .foreach(graft.Staging.deleteRecursively)
     }
   }
+
+  test("enqueue rejects payloads containing envelope key text (round-11 advice)") {
+    val queueDir = Files.createTempDirectory("wq3_queue").toString
+    try {
+      // a payload smuggling the literal __attempt key would corrupt the
+      // textual attempt bump on redelivery — the contract rejects it up
+      // front, for keys AND for the key text appearing inside a value
+      intercept[IllegalArgumentException] {
+        WorkQueue.enqueue(queueDir, 1L, s"""{"${WorkQueue.Attempt}":9,"source":"x"}""")
+      }
+      intercept[IllegalArgumentException] {
+        WorkQueue.enqueue(queueDir, 2L, s"""{"source":"note ${WorkQueue.MsgId} inside"}""")
+      }
+      // clean payloads still enqueue
+      WorkQueue.enqueue(queueDir, 3L, """{"source":"chain","block_number":3}""")
+      assert(new java.io.File(queueDir).list().count(_.endsWith(".json")) == 1)
+    } finally graft.Staging.deleteRecursively(queueDir)
+  }
 }
