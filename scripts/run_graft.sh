@@ -15,7 +15,10 @@ java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
 java.base/sun.util.calendar"
 ADD=""
 for p in $OPENS; do ADD="$ADD --add-opens $p=ALL-UNNAMED"; done
-exec java $ADD \
+# SPARK_EXTRA_OPTS: optional extra -D system properties (SparkConf reads
+# spark.* sys-props), e.g. -Dspark.sql.autoBroadcastJoinThreshold=64m for
+# scale experiments
+exec java $ADD ${SPARK_EXTRA_OPTS:-} \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \

@@ -205,6 +205,69 @@ object IndexSubscription {
   }
 }
 
+/** `graft.Subscribe <queueDir> <ackDir> <stateDir> <ckptDir> [--redeliver]`
+  * — the FULL `index-subscription` lifecycle over the ack/redelivery
+  * work queue (reference `src/main.rs:356-389`: consume a Pub/Sub
+  * subscription whose broker redelivers unacked messages):
+  *
+  *   enqueue (producer side, [[graft.streaming.WorkQueue.enqueue]])
+  *   → consume: latest-wins merge by `__msg_id` into
+  *     `<stateDir>/cur.parquet`, ack only after the durable commit
+  *   → crash: a consumer that dies before acking loses nothing —
+  *   → `--redeliver` runs the broker's deadline sweep first
+  *     (same `__msg_id`, attempt+1), and the idempotent merge absorbs
+  *     the duplicates: at-least-once delivery, exactly-once effect.
+  *
+  * Serves the same k8s probe + Prometheus endpoints as
+  * `graft.IndexSubscription` while consuming. AvailableNow semantics:
+  * catch up on everything currently queued, then exit 0 — the k8s
+  * restart loop (or a cron) provides "forever", exactly how the
+  * reference's replicas are orchestrated. */
+object Subscribe {
+  import graft.streaming.WorkQueue
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  /** The work-item payload: which chain + block to (re)index. */
+  val payload: StructType = StructType(Seq(
+    StructField("source", StringType), StructField("block_number", LongType)))
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: graft.Subscribe <queueDir> <ackDir> <stateDir> <ckptDir> [--redeliver]")
+      sys.exit(2)
+    }
+    val Array(queueDir, ackDir, stateDir, ckptDir) = args.take(4)
+    // embeddable main: reuse a live session (in-JVM E2E tests) and leave
+    // it running; stop only a session this run created
+    val owned = !org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
+    val spark = GraftCli.session("graft-subscribe")
+    if (args.contains("--redeliver")) {
+      val ids = WorkQueue.redeliverUnacked(queueDir, ackDir)
+      println(s"[graft] redelivered ${ids.size} unacked message(s): ${ids.mkString(",")}")
+    }
+    val metrics = new EngineMetrics(spark.sparkContext)
+    val metricsSrv = sys.env.get("GRAFT_METRICS_PORT").map(p => metrics.serve(p.toInt))
+    // readiness flips false once the catch-up drain finishes (q.isActive
+    // is only observable DURING the run; expose the consume-loop flag)
+    @volatile var active = true
+    val probeSrv = sys.env.get("GRAFT_HEALTH_PORT")
+      .map(p => graft.operators.HealthProbes.serve(p.toInt, () => active))
+    probeSrv.foreach(srv => println(
+      s"[graft] /healthz + /ready on 127.0.0.1:${srv.getAddress.getPort}"))
+    try {
+      val n = WorkQueue.consume(spark, queueDir, ackDir, stateDir, ckptDir, payload)
+      println(s"[graft] consumed $n delivery(ies); state at $stateDir/cur.parquet")
+    } finally {
+      active = false
+      metricsSrv.foreach(_.stop(0))
+      probeSrv.foreach(_.stop(0))
+      if (owned) spark.stop()
+    }
+  }
+}
+
 /** `graft.Curate <documentsDir> <outDir>` — the web-curation pass as a
   * CLI entry point: read a documents parquet table (a `documents
   * .parquet` file or directory), attach crawl URLs, run the parse_url

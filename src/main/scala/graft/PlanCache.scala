@@ -72,7 +72,14 @@ object PlanCache {
     try df.unpersist(blocking = false)
     catch { case scala.util.control.NonFatal(_) => () }
 
-  def memo(s: SparkSession, dir: String, tag: String, params: String = "")
+  /** `eager = true` materializes the entry ONCE at build time (cache
+    * hits skip it). Use it for memos consumed inside iterative loops: an
+    * un-finalized cached AQE plan reports Unknown output partitioning,
+    * so the FIRST round's join would re-exchange + re-sort the big side
+    * (the PageRank.layout lesson, operators/PageRank.scala) — paying one
+    * count at build buys exchange-free rounds from round 1. */
+  def memo(s: SparkSession, dir: String, tag: String, params: String = "",
+      eager: Boolean = false)
       (mk: => DataFrame): DataFrame = {
     // lifecycle hook, once per session: entries die with the application
     // (unpersist + drop) instead of dangling past their session
@@ -94,6 +101,7 @@ object PlanCache {
         // logical plan only if identical object; otherwise the loser is
         // unpersisted here)
         val built = mk.persist(StorageLevel.MEMORY_AND_DISK)
+        if (eager) built.count() // finalize the cached AQE plan (see scaladoc)
         lock.synchronized {
           Option(cache.get(key)) match {
             case Some(winner) =>

@@ -1,8 +1,14 @@
 package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE: initial shuffle partitions (default 32 = core
+    // count, the bench contract). At sf100 in one 32-core JVM, 32
+    // partitions put ~10× the per-partition bytes of the designed scale
+    // through each task — raising this is exactly what a real cluster's
+    // core count would do; AQE coalesces small stages back down.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .master("local[32]").config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -20,15 +26,37 @@ object TimeQ {
     import scala.jdk.CollectionConverters._
     val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
-    for (name <- args) {
-      if (warmDir != "none")
-        try SparkEntry.queries(name)(spark, warmDir).count()
-        catch { case _: Throwable => () }
-      heapPools.foreach(_.resetPeakUsage())
+    // Tier-boundary release (round-11 verdict item 4): both sf100 probe
+    // aborts were ENOSPC from ONE session stacking every family's memos,
+    // cached blocks, and spill files. A literal `--release` token in the
+    // query list marks a family boundary: drop the PlanCache memos and
+    // every cached block there (freeing their DISK blocks too), then GC so
+    // ContextCleaner reclaims dead shuffle files. Placement is the
+    // caller's — a release between families costs the next family one
+    // cold memo build, never correctness.
+    def releaseTier(): Unit = {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
-      println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows, peak_heap ${peakGb}%.2f GB)")
+      PlanCache.clear(spark)
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      val local = new java.io.File(
+        spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+      val usableGb = local.getUsableSpace / 1e9
+      println(f"RELEASED tier memos in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(local.dir usable ${usableGb}%.1f GB)")
+    }
+    for (name <- args) {
+      if (name == "--release") releaseTier()
+      else {
+        if (warmDir != "none")
+          try SparkEntry.queries(name)(spark, warmDir).count()
+          catch { case _: Throwable => () }
+        heapPools.foreach(_.resetPeakUsage())
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
+        println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows, peak_heap ${peakGb}%.2f GB)")
+      }
     }
     spark.stop()
   }

@@ -81,12 +81,27 @@ object GraphQueries {
   /** Symmetrized (src, dst) adjacency over [[bulkEdges]], memoized once
     * per (session, dir) — q143's frontier expansion and q153's three
     * LPA rounds each read it 3-4 times, so materializing it saves every
-    * re-derivation of the distinct-pair self-join upstream. */
+    * re-derivation of the distinct-pair self-join upstream.
+    *
+    * LAYOUT (the PageRank.layout lesson, applied r12 after the sf100
+    * decomposition showed each LPA round paying a full shuffle+sort of
+    * this table): the memo is hash-partitioned AND locally sorted on
+    * `src`, and memoized EAGERLY so the cached scan advertises
+    * hash(src)+sorted(src) from the first round. Every loop consumer
+    * keys its per-round join on `src` (symmetry makes the src/dst roles
+    * interchangeable), so the round's SMJ exchanges only the NODE-sized
+    * side, and downstream groupBys whose keys include `src` reuse the
+    * same partitioning exchange-free. At sf100 that removes ~240M-row
+    * exchanges+sorts from every round of q143/q153/q186/q201. */
   private def symEdges(s: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.memo(s, dir, "sym_copurchase_edges", "q>30") {
+    graft.PlanCache.memo(s, dir, "sym_copurchase_edges", "q>30", eager = true) {
       val e = bulkEdges(s, dir)
+      val parts = math.max(1,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(parts, col("src"))
+        .sortWithinPartitions(col("src"))
     }
 
   def q97TriangleCount(s: SparkSession, dir: String): DataFrame = {
@@ -282,12 +297,17 @@ object GraphQueries {
     var labels = Iteration.ckpt(sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")))
     for (_ <- 1 to 3) {
+      // join keyed on `src` = the NEIGHBOR side (symmetry makes the roles
+      // interchangeable): the memoized layout is hash(src)+sorted(src),
+      // so the SMJ exchanges only the node-sized label table, and the
+      // receiver is `dst` — the (dst, lbl) count is the identical
+      // multiset the dst-keyed form produced
       val next = Iteration.ckpt(sym
-        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
+        .join(labels.select(col("v").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
-        .select(col("src").as("v"), col("lbl")))
+        .select(col("dst").as("v"), col("lbl")))
       Iteration.release(labels) // next is materialized; the old frame is dead
       labels = next
     }
@@ -317,20 +337,24 @@ object GraphQueries {
     val k = 3
     val sym = symEdges(s, dir)
     var nodes = Iteration.ckpt(sym.select(col("src").as("v")).distinct())
+    // per round, ONE big-side-exchange-free pass (the symEdges layout):
+    // the src semi-join filters neighbors∈S without exchanging the edge
+    // table; deg_S(u) = |N(u) ∩ S| comes from groupBy(dst) — the round's
+    // only edge-sized shuffle — and the u∈S restriction is a node-sized
+    // semi on the AGGREGATE, not a second edge-sized join
+    def survivorDegrees(surv: DataFrame): DataFrame = sym
+      .join(surv.select(col("v").as("src")), Seq("src"), "left_semi")
+      .groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .join(surv.select(col("v").as("dst")), Seq("dst"), "left_semi")
     for (_ <- 1 to 8) {
-      val next = Iteration.ckpt(sym
-        .join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val next = Iteration.ckpt(survivorDegrees(nodes)
         .filter(col("d") >= k)
-        .select(col("src").as("v")))
+        .select(col("dst").as("v")))
       Iteration.release(nodes)
       nodes = next
     }
-    sym.join(nodes.select(col("v").as("src")), Seq("src"), "left_semi")
-      .join(nodes.select(col("v").as("dst")), Seq("dst"), "left_semi")
-      .groupBy(col("src")).agg(count(lit(1)).as("deg_in_core"))
-      .select(col("src").as("node"), col("deg_in_core"))
+    survivorDegrees(nodes)
+      .select(col("dst").as("node"), col("d").as("deg_in_core"))
       .orderBy(col("node"))
   }
 

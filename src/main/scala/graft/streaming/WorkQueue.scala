@@ -107,6 +107,57 @@ object WorkQueue {
         }.toSeq
     }
 
+  /** The reference consumer loop: drain the queue with AvailableNow,
+    * latest-wins merge each micro-batch by `__msg_id` into
+    * `stateDir/cur.parquet` (the q222 CDC-merge shape), and ack ONLY
+    * after the merge is durably committed. This is the idempotent
+    * contract that turns the broker's at-least-once delivery into
+    * exactly-once effect (`etl-rust src/main.rs:356-389` — Pub/Sub
+    * subscription consume): a redelivered `__msg_id` replaces its own
+    * row instead of duplicating it, so crash-before-ack costs a
+    * redelivery, never a wrong state.
+    *
+    * `admitAck` is the crash-injection seam for the E2E lifecycle specs
+    * (a consumer that "dies" after committing but before acking some
+    * ids); production callers leave the default. Returns the number of
+    * deliveries processed. */
+  def consume(spark: SparkSession, queueDir: String, ackDir: String,
+      stateDir: String, ckptDir: String, payload: StructType,
+      maxFilesPerTrigger: Int = 5,
+      admitAck: Long => Boolean = _ => true): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val w = Window.partitionBy(col(MsgId)).orderBy(col(Attempt).desc)
+    val q = source(spark, queueDir, payload, maxFilesPerTrigger)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processed.addAndGet(batch.count())
+        val cur = Paths.get(stateDir, "cur.parquet")
+        val merged = (if (Files.exists(cur))
+          spark.read.parquet(cur.toString).unionByName(batch)
+        else batch)
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // versioned write + pointer advance: the state table must never
+        // be half-overwritten while also being the merge's input
+        val next = s"$stateDir/v$batchId.parquet"
+        merged.write.mode("overwrite").parquet(next)
+        graft.Staging.deleteRecursively(cur.toString)
+        spark.read.parquet(next).write.mode("overwrite").parquet(cur.toString)
+        graft.Staging.deleteRecursively(next)
+        // ack AFTER the durable commit — and only admitted ids
+        val ids = batch.select(col(MsgId)).distinct()
+          .collect().map(_.getLong(0)).filter(admitAck)
+        ack(ackDir, ids)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    processed.get()
+  }
+
   /** The broker's ack-deadline sweep: every message with NO ack is
     * redelivered — a new file, same id and payload, attempt+1. Returns
     * the redelivered ids (empty when all work is acked — the loop's
