@@ -11,10 +11,6 @@ object Verify {
     }
     val sfDir = args(0); val outDir = args(1)
     // optional local-iteration filter (driver always passes 2 args)
-    val keep: String => Boolean =
-      if (args.length == 3) { val pats = args(2).split(',').toSeq
-        (n: String) => pats.exists(n.contains)
-      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +32,38 @@ object Verify {
     def sha1(s: String): String =
       java.security.MessageDigest.getInstance("SHA-1")
         .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
+    // Disk-pressure valve (round-11 verdict item 4, generalized from
+    // TimeQ's --release): a full-registry dump at stress scale stacks
+    // every family's memos, cached blocks, and shuffle files in ONE
+    // session — the r12 sf100 dump held 59 GB of blockmgr shuffle files
+    // mid-run. When spark.local.dir usable space falls under the floor,
+    // drop memos + cached blocks (freeing their disk blocks) and GC so
+    // ContextCleaner reclaims dead shuffle files. Costs the next family
+    // one cold memo rebuild, never correctness. 0 disables.
+    val diskFloorGb =
+      sys.env.getOrElse("SPARK_GRAFT_DISK_FLOOR_GB", "20").toDouble
+    val localDir = new java.io.File(
+      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+    def diskValve(after: String): Unit = if (diskFloorGb > 0) {
+      if (localDir.getUsableSpace / 1e9 < diskFloorGb) {
+        PlanCache.clear(spark)
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        System.err.println(f"[verify] disk valve after $after: released memos " +
+          f"(local.dir usable ${localDir.getUsableSpace / 1e9}%.1f GB)")
+      }
+    }
+    // With a filter arg, run in the ARG's order (a stress dump lists
+    // cheap queries first so a deadline cut maximizes decided count);
+    // the full-registry run keeps the registry order.
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (args.length == 3) {
+        val pats = args(2).split(',').toSeq
+        val all = SparkEntry.queries
+        pats.flatMap(p => all.keys.filter(_.contains(p)).toSeq.sorted.map(n => n -> all(n)))
+          .distinct
+      } else SparkEntry.queries.toSeq
+    selected.foreach { case (name, fn) =>
       // un-stamp BEFORE attempting: if this query errors mid-run, the
       // stale dump a prior run left here must not silently pass the
       // compare as if it were this run's output (round-9 medium advice:
@@ -50,6 +77,7 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      diskValve(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -26,13 +26,18 @@ object AdvancedQueries {
     Tables.lineitem(s, dir)
       .join(tiers, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .groupBy(col("tier"))
-      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("tier_value"))
+      // cents grid: 3 tiers over ALL of lineitem make each tier_value a
+      // near-global price sum — ~4e8 rows × ~4e4 avg × 1e6 ≈ 1.5e19 > 2⁶³
+      // at sf100 (caught live by the r12 sf100 sweep, the q198/q12 class);
+      // l_extendedprice has exactly 2 decimals, so s=2 is LOSSLESS
+      .agg(count(lit(1)).as("n_items"),
+        dsumScaled(col("l_extendedprice"), 2).as("tier_value"))
       .orderBy(col("tier"))
   }
 
   val q38Sql: String =
     s"""SELECT tier, COUNT(*) AS n_items,
-      |  ${dsumSql("l_extendedprice")} AS tier_value
+      |  ${dsumScaledSql("l_extendedprice", 2)} AS tier_value
       |FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0),
       |  ('large', 25.0, 60.0)) t(tier, lo, hi)
       |  ON l_quantity >= lo AND l_quantity < hi

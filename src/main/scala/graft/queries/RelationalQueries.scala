@@ -246,11 +246,19 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
-  /** CUBE over two dims. */
+  /** CUBE over two dims.
+    *
+    * Cents grid (dsumScaled s=2), not the default 1e6: the CUBE's ALL
+    * cell is a GLOBAL price sum — at sf100 that is 1.5e8 orders × ~1.5e5
+    * avg price × 1e6 ≈ 2.3e19 > 2⁶³, the q198 overflow class (caught
+    * live by the r12 sf100 sweep). o_totalprice carries exactly 2
+    * decimals, so the coarser grid is LOSSLESS — both engines produce
+    * bit-identical values to the 1e6 grid at every scale that fits. */
   def q12Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("value"))
+      .agg(count(lit(1)).as("n"),
+        dsumScaled(col("o_totalprice"), 2).as("value"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -260,7 +268,7 @@ object RelationalQueries {
   val q12Sql: String =
     s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
-      |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS value
+      |  COUNT(*) AS n, ${dsumScaledSql("o_totalprice", 2)} AS value
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 

@@ -310,15 +310,24 @@ object TimeSeriesQueries {
       .agg(graft.Oracle.lsum(col("yc")).as("yc"))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(-24, -1)
+    // ss and a in DECIMAL(38,0): at sf100 an hourly bucket's cents total
+    // reaches ~7e8, so yc² ≈ 5e17 is long-safe but 24·ss ≈ 1.2e19 and s²
+    // ≈ 2.9e20 are NOT (caught live by the r12 sf100 sweep as a
+    // try_multiply overflow). Exact integers to the very end, then ONE
+    // correctly-rounded conversion through bigToDouble (a < 2⁷⁵ by the
+    // same bound: ≤ 24·24·yc²). DuckDB's window SUM(BIGINT) is already
+    // HUGEINT, so its twin only needs the product cast + bigToDoubleSql.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val scored = hourly
       .withColumn("cnt", count(lit(1)).over(trail))
       .withColumn("s", sum(col("yc")).over(trail))
-      .withColumn("ss", sum(col("yc") * col("yc")).over(trail))
+      .withColumn("ss", sum(col("yc").cast(d38) * col("yc")).over(trail))
       .filter(col("cnt") === 24)
-      .withColumn("a", lit(24) * col("ss") - col("s") * col("s"))
+      .withColumn("a", lit(24).cast(d38) * col("ss") -
+        col("s").cast(d38) * col("s").cast(d38))
       .filter(col("a") > 0)
       .withColumn("z", (lit(24) * col("yc") - col("s")).cast("double") /
-        sqrt(col("a").cast("double") * 24.0 / 23.0))
+        sqrt(graft.Oracle.bigToDouble(col("a")) * 24.0 / 23.0))
     scored.filter(abs(col("z")) > 3.0)
       .select(col("event_type"), col("h").as("hour"),
         col("yc").as("value_cents"), round(col("z"), 4).as("z"))
@@ -333,14 +342,14 @@ object TimeSeriesQueries {
       |scored AS (
       |  SELECT event_type, h, yc,
       |    COUNT(*) OVER w AS cnt, SUM(yc) OVER w AS s,
-      |    SUM(yc*yc) OVER w AS ss
+      |    SUM(CAST(yc AS HUGEINT) * yc) OVER w AS ss
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY event_type ORDER BY h
       |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
       |z AS (
       |  SELECT event_type, h, yc,
       |    CAST(24*yc - s AS DOUBLE) /
-      |      SQRT(CAST(24*ss - s*s AS DOUBLE) * 24.0 / 23.0) AS z
+      |      SQRT(${graft.Oracle.bigToDoubleSql("24*ss - s*s")} * 24.0 / 23.0) AS z
       |  FROM scored WHERE cnt = 24 AND 24*ss - s*s > 0)
       |SELECT event_type, h AS hour, yc AS value_cents, ROUND(z, 4) AS z
       |FROM z WHERE ABS(z) > 3.0
