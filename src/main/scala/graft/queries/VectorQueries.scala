@@ -193,14 +193,26 @@ object VectorQueries {
     * stress corpus drops the q46/q64/q110 family from 28/26/37 s to
     * output-bound seconds; on duplicate-free corpora the collapse is
     * one vocabulary-sized groupBy of overhead. */
-  private[queries] def cosinePairs(s: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.memo(s, dir, "cosine_pairs", "t0.4,B8") {
+  /** Members (vec_id, fp) of the exact-duplicate collapse — fp groups
+    * identical embeddings; the group REP is its min vec_id. */
+  private def embMembers(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
+
+  /** REP-level ε-pairs (id_a < id_b, cos ≥ 0.4, 6dp grid) — the blocked
+    * exact pair join over one representative per DISTINCT embedding.
+    * Memoized separately from the member expansion so graph consumers
+    * (semClusters) can run their contraction on the rep graph directly:
+    * under N× duplicate replication the member graph carries ~N²× the
+    * edges of the rep graph with ZERO extra information (identical
+    * vectors land in the same component by construction). */
+  private[queries] def repCosinePairs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "rep_cosine_pairs", "t0.4,B8") {
       import s.implicits._
       val B = 8
       val e0 = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
         .withColumn("fp", xxhash64(col("embedding")))
-      val members = e0.select(col("vec_id"), col("fp"))
       val reps = e0.groupBy(col("fp"))
         .agg(min(col("vec_id")).as("vec_id"),
           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
@@ -213,7 +225,7 @@ object VectorQueries {
       val bSide = e.join(blockPairs, col("blk") === col("bj"))
         .select(col("bi").as("bi2"), col("bj").as("bj2"), col("vec_id").as("id_b"),
           col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-      val repPairs = aSide
+      aSide
         .join(bSide, col("bi") === col("bi2") && col("bj") === col("bj2"))
         // off-diagonal keys (bi<bj) see each unordered pair once; diagonal
         // keys (bi=bj) see both orderings — keep one
@@ -224,7 +236,13 @@ object VectorQueries {
           round(vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
-      val repFp = reps.select(col("vec_id"), col("fp"))
+    }
+
+  private[queries] def cosinePairs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "cosine_pairs", "t0.4,B8") {
+      val members = embMembers(s, dir)
+      val repPairs = repCosinePairs(s, dir)
+      val repFp = members.groupBy(col("fp")).agg(min(col("vec_id")).as("vec_id"))
       val cross = repPairs
         .join(repFp.select(col("vec_id").as("id_a"), col("fp").as("fpa")), "id_a")
         .join(repFp.select(col("vec_id").as("id_b"), col("fp").as("fpb")), "id_b")
@@ -986,11 +1004,31 @@ object VectorQueries {
     * node-count-sized output of the pair join + iterative CC chain,
     * shared by q110 and the q149 cohesion audit (the q70/q135 memo
     * stance applied to the embedding-side clusters). */
+  /** (vec_id, cluster_id) of the ε-graph's connected components —
+    * REP-level contraction + member expansion (r12, after the sf100
+    * sweep OOM'd the member-level form): star-contraction runs on the
+    * rep graph (one node per DISTINCT embedding — under 1000×
+    * replication, ~10⁶× fewer edges than the member graph it replaces),
+    * then members inherit their rep's component through the fp join,
+    * and a duplicate group with NO external edge is a component of its
+    * own (the oracle's `rsolo` leg). cluster_id is unchanged: each
+    * rep IS its group's min member, so the min rep of a component is
+    * the min member — the same id member-level CC emitted. */
   private[queries] def semClusters(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "sem_clusters", "t0.4") {
-      graft.operators.ConnectedComponents
-        .run(cosinePairs(s, dir).select(col("id_a"), col("id_b")))
-        .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+      val members = embMembers(s, dir)
+      val groups = members.groupBy(col("fp"))
+        .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("mult"))
+      val repCc = graft.operators.ConnectedComponents
+        .run(repCosinePairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("node").as("rep"), col("component"))
+      val solo = groups.filter(col("mult") >= 2)
+        .join(repCc.select(col("rep")), Seq("rep"), "left_anti")
+        .select(col("rep"), col("rep").as("component"))
+      members
+        .join(groups.select(col("fp"), col("rep")), "fp")
+        .join(repCc.unionByName(solo), "rep")
+        .select(col("vec_id"), col("component").as("cluster_id"))
     }
 
   /** Shared CTE chain of the q110/q149 oracles: the collapse fragment's
@@ -1044,19 +1082,43 @@ object VectorQueries {
     * embedding join feeds it without touching the blocked all-pairs
     * join again. */
   def q149ClusterCohesion(s: SparkSession, dir: String): DataFrame = {
-    val me = semClusters(s, dir).join(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm")),
-      "vec_id")
-    val pw = me.as("x").join(me.as("y"),
+    // Exact-duplicate collapse (the q20/q22/q28 idiom, applied r12 after
+    // the sf100 sweep OOM'd this query's pairwise stage): identical
+    // embeddings have identical cosines against everything, so the
+    // within-cluster self-join runs once per DISTINCT embedding CLASS
+    // and every member-level pair is recovered by its multiplicity —
+    // cnt_x·cnt_y for cross-class pairs, C(cnt,2) at exactly 1.000000
+    // for intra-class pairs (|cos(x,x) − 1| ≤ 2⁻⁵¹ rounds to 1.0 at
+    // 6 dp in every IEEE engine; the cosinePairs/q28 argument). Under
+    // 1000× replication the pair count drops ~10⁶-fold; the emitted
+    // values are BIT-IDENTICAL to the member-level form (the weighted
+    // grid sum carries the same longs), so the member-level DuckDB
+    // oracle is unchanged.
+    val cls = semClusters(s, dir).join(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm")),
+        "vec_id")
+      .withColumn("fp", xxhash64(col("embedding")))
+      .groupBy(col("cluster_id"), col("fp"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val pwCross = cls.as("x").join(cls.as("y"),
         col("x.cluster_id") === col("y.cluster_id") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.fp") < col("y.fp"))
       .select(col("x.cluster_id").as("cluster_id"),
+        (col("x.cnt") * col("y.cnt")).as("w"),
         round(vecDot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm")), 6).as("pcos"))
+    val pwIntra = cls.filter(col("cnt") >= 2)
+      .select(col("cluster_id"),
+        expr("cnt * (cnt - 1) div 2").as("w"), lit(1.0).as("pcos"))
+    val pw = pwCross.unionByName(pwIntra)
     pw.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(graft.Oracle.dsum(col("pcos")) / count(lit(1)), 6).as("mean_cos"),
+      .agg(graft.Oracle.lsum(col("w")).as("n_pairs"),
+        // weighted dsum: w copies of the identical 6dp-grid long — the
+        // same integer total the member-level sum produced
+        round((sum(col("w") * rint(col("pcos") * 1e6).cast("long"))
+          .cast("double") / 1e6) / sum(col("w")), 6).as("mean_cos"),
         min(col("pcos")).as("min_cos"))
       .join(semClusters(s, dir).groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members")), "cluster_id")
