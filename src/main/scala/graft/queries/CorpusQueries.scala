@@ -28,21 +28,38 @@ object CorpusQueries {
     * component: edges are q20's verified MinHash-LSH pairs (Jaccard ≥
     * 0.8), components via alternating large-star/small-star. cluster_id
     * = min doc_id of the component, so "keep one doc per cluster" is
-    * `filter(doc_id = cluster_id)`. Scale: edge volume is the dedup
-    * pair count (≪ n); every CC round is a groupBy-min + join on the
-    * shrinking edge set — no collect, no O(n²). */
+    * `filter(doc_id = cluster_id)`.
+    *
+    * Scale (r12, after the sf100 sweep showed the member graph going
+    * quadratic): CC runs on the REP-level pair graph — one node per
+    * distinct shingle set ([[LlmQueries.repDedupPairs]]) — and members
+    * inherit their rep's component through the fingerprint join; a
+    * duplicate group with NO external edge is a component of its own
+    * (the oracle's no-external-edge leg — exact copies are J=1.0
+    * near-dups of each other). cluster_id is unchanged: a rep IS its
+    * group's min member, so the component's min rep is the min member
+    * id member-level CC emitted. Edge volume is the DISTINCT near-dup
+    * pair count regardless of duplicate multiplicity; every CC round
+    * is a groupBy-min + join on the shrinking edge set — no collect,
+    * no O(n²). */
   def q70DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // both the verified pair set AND the component assignment are tiny
-    // (near-dup-count-sized) outputs of expensive passes, shared with
-    // q111's survivor selection — memoized under the same key q111
-    // reads, so the iterative CC rounds run once per (session, dir)
-    // whichever query fires first (params mirror q20's geometry)
+    // the component assignment is a doc-count-bounded output of an
+    // expensive pass, shared with q111/q135/q138 — memoized under the
+    // same key q111 reads, so the iterative CC rounds run once per
+    // (session, dir) whichever cluster query fires first
     graft.PlanCache.memo(s, dir, "dedup_clusters", "w3,k64,b16r4,t0.8") {
-      val pairs = graft.PlanCache.memo(s, dir, "dedup_pairs", "w3,k64,b16r4,t0.8") {
-        LlmQueries.q20DedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
-      }
-      ConnectedComponents.run(pairs)
-        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val groups = LlmQueries.repStats(s, dir)
+        .select(col("fp"), col("doc_id").as("rep"), col("mult"))
+      val repCc = ConnectedComponents.run(
+          LlmQueries.repDedupPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("rep"), col("component"))
+      val solo = groups.filter(col("mult") >= 2)
+        .join(repCc.select(col("rep")), Seq("rep"), "left_anti")
+        .select(col("rep"), col("rep").as("component"))
+      LlmQueries.setFingerprints(s, dir).select(col("doc_id"), col("fp"))
+        .join(groups.select(col("fp"), col("rep")), "fp")
+        .join(repCc.unionByName(solo), "rep")
+        .select(col("doc_id"), col("component").as("cluster_id"))
     }.orderBy(col("doc_id"))
   }
 

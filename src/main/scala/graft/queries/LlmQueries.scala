@@ -116,7 +116,7 @@ object LlmQueries {
     * distinct set and re-expand members afterwards — web corpora are
     * 30-60% byte-identical copies and every pair generator otherwise
     * pays Σ multiplicity². */
-  private def setFingerprints(s: SparkSession, dir: String): DataFrame =
+  private[queries] def setFingerprints(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "setfp", "w3") {
       // set fp computed once per DISTINCT TEXT (identical texts have
       // identical shingle sets), then broadcast back over the members —
@@ -133,7 +133,7 @@ object LlmQueries {
     * the head relation of the exact-duplicate collapse. One narrow
     * groupBy over the persisted fingerprints, memoized because every
     * pair generator (q20/q21/q103/q114) derives some projection of it. */
-  private def repStats(s: SparkSession, dir: String): DataFrame =
+  private[queries] def repStats(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "repstats", "w3") {
       setFingerprints(s, dir).groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), first(col("sz")).as("sz"),
@@ -345,28 +345,40 @@ object LlmQueries {
     * Scale: candidates come from a groupBy on (band, key) — cost is
     * O(n·b) rows shuffled, not O(n²) pairs; only bucket-mates pay the
     * exact array_intersect. */
-  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame =
     // duplicate collapse (see [[setFingerprints]]): signatures, banding,
     // and verification run once per DISTINCT shingle set — q70/q111's
     // shared pair-graph build stops paying multiplicity² on exact
     // copies (sf1 stress: q111's first-build cost was 15.6 s, mostly
     // this stage) — then member pairs re-expand, output unchanged.
-    val fps = setFingerprints(s, dir)
-    val repRows = repShingleRows(s, dir)
-    val sigs = memo(s, dir, "minhash_reps", "w3,k64")(minhashSigs(repRows, 64))
-    val sizes = sigs.select(col("doc_id"), col("sz"))
-    // band rows sit on both sides of the candidate self-join; they are a
-    // trivial codegen projection off the PERSISTED sigs, so recomputing
-    // them twice beats paying a second materialization (measured)
-    val bands = bandRows(sigs, 16, 4)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    expandSymmetric(fps, verifyCandidates(repRows, sizes, cand, 0.8))
+    expandSymmetric(setFingerprints(s, dir), repDedupPairs(s, dir))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** REP-level verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.8) —
+    * q20's whole pipeline BEFORE the member expansion, one row per
+    * distinct-shingle-set pair. Memoized on its own because graph
+    * consumers (q70's connected components, hence q111/q135/q138) must
+    * contract THIS graph rather than the member expansion: under N×
+    * duplicate replication the member pair set carries ~N²× the edges
+    * with zero extra information (the embedding-side lesson from
+    * [[VectorQueries.repCosinePairs]], applied to the text side after
+    * the sf100 sweep showed q70's CC input going quadratic). */
+  private[queries] def repDedupPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "rep_dedup_pairs", "w3,k64,b16r4,t0.8") {
+      val repRows = repShingleRows(s, dir)
+      val sigs = memo(s, dir, "minhash_reps", "w3,k64")(minhashSigs(repRows, 64))
+      val sizes = sigs.select(col("doc_id"), col("sz"))
+      // band rows sit on both sides of the candidate self-join; they are a
+      // trivial codegen projection off the PERSISTED sigs, so recomputing
+      // them twice beats paying a second materialization (measured)
+      val bands = bandRows(sigs, 16, 4)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyCandidates(repRows, sizes, cand, 0.8)
+    }
 
   /** Re-expand representative-level symmetric pairs (doc_a, doc_b,
     * `valCol`) to member level: cross-set member pairs inherit the
