@@ -405,12 +405,28 @@ object VectorQueries {
     * the embedding-space sibling of q19 (exact hash dedup) and q20
     * (MinHash text dedup): same drop-the-greater-id policy, different
     * similarity notion.
-    * Scale: inherits q46's blocked all-pairs join; the anti-join against
-    * the (tiny) drop list is broadcast. */
+    *
+    * Scale (r12): the survivor set is decided at CLASS level, never by
+    * expanding member pairs. A member m is a pair's greater id iff some
+    * partner (a co-member of its duplicate class, or any member of an
+    * ε-adjacent class) has a smaller id; the minimum partner of class C
+    * is min(rep of C's co-members, min adjacent rep) — reps ARE their
+    * class minimums — so the survivors are exactly the reps smaller
+    * than every adjacent rep (co-members of a mult ≥ 2 class always
+    * lose to their own rep). One rep-sized aggregate replaces the
+    * member-pair distinct that went ~mult² under duplicate replication
+    * (Σ C(mult,2) ≈ 10¹¹ expanded rows at the sf100 stress tier). */
   def q64EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val drop = cosinePairs(s, dir).select(col("id_b").as("vec_id")).distinct()
-    Tables.embeddings(s, dir)
-      .join(broadcast(drop), Seq("vec_id"), "left_anti")
+    val rp = repCosinePairs(s, dir)
+    val minAdj = rp.select(col("id_a").as("rep"), col("id_b").as("other"))
+      .unionByName(rp.select(col("id_b").as("rep"), col("id_a").as("other")))
+      .groupBy(col("rep")).agg(min(col("other")).as("min_adj"))
+    val kept = embMembers(s, dir)
+      .groupBy(col("fp")).agg(min(col("vec_id")).as("rep"))
+      .join(minAdj, Seq("rep"), "left")
+      .filter(col("min_adj").isNull || col("rep") < col("min_adj"))
+      .select(col("rep").as("vec_id"))
+    kept
       .groupBy(pmod(col("vec_id"), lit(10)).as("bucket"))
       .agg(count(lit(1)).as("n_kept"),
         min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
@@ -1896,34 +1912,52 @@ object VectorQueries {
     * transitive-chaining failure: a sparse bridge point can't merge two
     * dense regions unless it is itself core.
     *
-    * Scale: the ε-graph comes from the blocked exact pair join (never
-    * all-pairs on one node); degree/core/border are node-keyed hash
-    * aggregates and joins; components run the same large-star/
-    * small-star iteration as q70/q110. Oracle: brute-force pairs +
-    * recursive-CTE closure over the core subgraph. */
+    * Scale (r12): every stage runs on the REP graph — one node per
+    * distinct embedding — exactly the collapse its own oracle documents.
+    * A member's ε-degree is class-uniform (adjacent reps contribute
+    * their multiplicity; the mult−1 co-members are cos-1.0 neighbors),
+    * so roles are decided per class; a core class's members
+    * interconnect at 1.0, so the component structure and min-member
+    * cluster id collapse to the rep graph; border classes take the min
+    * cluster over their adjacent CORE reps (co-members share the
+    * class's non-core role and contribute nothing). Members inherit
+    * their class row through the fingerprint join at the very end —
+    * the member-level ε-graph (~Σ mult² edges under duplicate
+    * replication) is never materialized. The ε-graph itself comes from
+    * the blocked exact rep pair join (never all-pairs on one node);
+    * components run the same large-star/small-star iteration as
+    * q70/q110. Oracle: rep-level pairs + recursive-CTE closure over
+    * the core subgraph. */
   def q228DbscanClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = cosinePairs(s, dir).select(col("id_a"), col("id_b"))
-    val sym = pairs.select(col("id_a").as("v"), col("id_b").as("nb"))
-      .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("nb")))
-    val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 3).select(col("v"))
-    val coreEdges = pairs
-      .join(core.select(col("v").as("id_a")), "id_a")
-      .join(core.select(col("v").as("id_b")), "id_b")
+    val members = embMembers(s, dir)
+    val groups = members.groupBy(col("fp"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("mult"))
+    val rp = repCosinePairs(s, dir).select(col("id_a"), col("id_b"))
+    val sym = rp.select(col("id_a").as("rep"), col("id_b").as("nb"))
+      .unionByName(rp.select(col("id_b").as("rep"), col("id_a").as("nb")))
+    val nbrDeg = sym
+      .join(groups.select(col("rep").as("nb"), col("mult").as("nb_mult")), "nb")
+      .groupBy(col("rep")).agg(sum(col("nb_mult")).as("nbdeg"))
+    val coreReps = groups.join(nbrDeg, Seq("rep"), "left")
+      .filter(coalesce(col("nbdeg"), lit(0L)) + col("mult") - 1 >= 3)
+      .select(col("rep"))
+    val coreEdges = rp
+      .join(coreReps.select(col("rep").as("id_a")), "id_a")
+      .join(coreReps.select(col("rep").as("id_b")), "id_b")
     val cc = graft.operators.ConnectedComponents.run(coreEdges)
-    // a core point all of whose neighbors are border forms its own cluster
-    val coreCl = core
-      .join(cc.select(col("node").as("v"), col("component")), Seq("v"), "left")
-      .select(col("v"), coalesce(col("component"), col("v")).as("cluster_id"))
+    // a core class with no core NEIGHBOR is its own cluster (its members
+    // interconnect at cos 1.0, so member-level CC labeled them rep)
+    val coreCl = coreReps
+      .join(cc.select(col("node").as("rep"), col("component")), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("component"), col("rep")).as("cluster_id"))
     val borderCl = sym
-      .join(coreCl.select(col("v").as("nb"), col("cluster_id")), "nb")
-      .groupBy(col("v")).agg(min(col("cluster_id")).as("bcl"))
-      .join(coreCl.select(col("v")), Seq("v"), "left_anti")
-    Tables.embeddings(s, dir).select(col("vec_id"))
-      .join(coreCl.select(col("v").as("vec_id"), col("cluster_id").as("ccl")),
-        Seq("vec_id"), "left")
-      .join(borderCl.select(col("v").as("vec_id"), col("bcl")),
-        Seq("vec_id"), "left")
+      .join(coreCl.select(col("rep").as("nb"), col("cluster_id")), "nb")
+      .groupBy(col("rep")).agg(min(col("cluster_id")).as("bcl"))
+      .join(coreReps, Seq("rep"), "left_anti")
+    val cls = groups.select(col("fp"), col("rep"))
+      .join(coreCl.select(col("rep"), col("cluster_id").as("ccl")), Seq("rep"), "left")
+      .join(borderCl.select(col("rep"), col("bcl")), Seq("rep"), "left")
+    members.join(cls, "fp")
       .select(col("vec_id"),
         when(col("ccl").isNotNull, "core")
           .when(col("bcl").isNotNull, "border").otherwise("noise").as("role"),
