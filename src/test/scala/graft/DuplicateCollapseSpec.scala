@@ -95,6 +95,115 @@ class DuplicateCollapseSpec extends AnyFunSuite {
     assert(identicalPairs.nonEmpty)
   }
 
+  /** Brute-force member-level near-dup pair set (the q20 contract). */
+  private lazy val brutePairs: Set[(Long, Long)] = {
+    val ids = shingleSets.keys.toSeq.sorted
+    (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      sa = shingleSets(a); sb = shingleSets(b)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.8
+    } yield (a, b)).toSet
+  }
+
+  /** Union-find closure: (node -> min reachable node) over undirected
+    * pairs — the member-level CC contract the rep contraction must
+    * reproduce exactly. */
+  private def bruteComponents(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("q70 rep-contracted CC equals member-level closure on the doubled corpus") {
+    val got = graft.queries.CorpusQueries.q70DedupClusters(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteComponents(brutePairs).toSet
+    assert(got == want)
+    // the doubled corpus must exercise BOTH contraction legs: a
+    // duplicate class absorbed into a wider component and one standing
+    // alone as its own component (the no-external-edge leg)
+    val comp = bruteComponents(brutePairs)
+    assert(comp.exists { case (n, c) => n == c + OFF && comp.contains(c) })
+  }
+
+  test("q64 class-level survivors equal member-level drop on doubled embeddings") {
+    val vecs = spark.read.parquet(s"$dupDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val dropped = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      c = dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      if BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+    } yield b).toSet
+    val kept = ids.filterNot(dropped)
+    val want = kept.groupBy(_ % 10).map { case (bkt, xs) =>
+      (bkt, xs.size.toLong, xs.min, xs.max)
+    }.toSet
+    val got = graft.queries.VectorQueries.q64EmbeddingDedup(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(dropped.nonEmpty) // doubled corpus must actually drop copies
+  }
+
+  test("q228 class-level DBSCAN equals member-level DBSCAN on doubled embeddings") {
+    val vecs = spark.read.parquet(s"$dupDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      c = dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      if BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+    } yield (a, b)).toSet
+    val nbrs = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val core = ids.filter(v => nbrs.getOrElse(v, Set.empty).size >= 3).toSet
+    val coreComp = bruteComponents(
+      pairs.filter(p => core(p._1) && core(p._2)))
+    val clusterOf = core.map(v => v -> coreComp.getOrElse(v, v)).toMap
+    val want = ids.map { v =>
+      if (core(v)) (v, "core", clusterOf(v))
+      else {
+        val cn = nbrs.getOrElse(v, Set.empty).filter(core)
+        if (cn.nonEmpty) (v, "border", cn.map(clusterOf).min)
+        else (v, "noise", -1L)
+      }
+    }.toSet
+    val got = graft.queries.VectorQueries.q228DbscanClusters(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    // replication must flip roles somewhere (a doubled class gains
+    // cos-1.0 neighbors), or the test isn't exercising the mult leg
+    assert(want.exists { case (v, role, _) => v >= OFF && role != "noise" })
+  }
+
   test("q46 on doubled embeddings equals brute-force cosine >= 0.4") {
     val vecs = spark.read.parquet(s"$dupDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
