@@ -1449,35 +1449,54 @@ object LlmQueries {
     * Shape: hashing is scan-local off one arrays_zip explode
     * ([[spanRows]]' geometry); the window min runs per doc (bounded
     * partitions); sharing counts are the q133 docfreq join, AQE-
-    * splittable on a boilerplate fingerprint. */
+    * splittable on a boilerplate fingerprint.
+    *
+    * Collapse (the r11 sf100 lesson, applied here in r12): every
+    * per-doc output column is TEXT-CLASS-invariant — identical texts
+    * have identical k-gram streams, window minima, and fingerprint
+    * sets — so the hash + window + distinct pipeline runs once per
+    * DISTINCT text ([[textMembers]] representative), and the only
+    * member-level arithmetic is the docfreq weighting: ndocs per
+    * fingerprint = Σ class sizes over the classes carrying it, which
+    * equals the member-level COUNT(*) exactly. Output bit-identical
+    * (re-gated vs the same oracle at sf0.01 and sf0.1); cost scales
+    * with distinct corpus bytes. */
   def q150Winnowing(s: SparkSession, dir: String): DataFrame = {
     val K = 5; val W = 4
+    val members = textMembers(s, dir) // (doc_id, tfp)
+    val classes = members.groupBy(col("tfp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("csz"))
     val n = size(col("toks"))
     val kg = Tables.documents(s, dir)
-      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .join(classes.select(col("doc_id"), col("tfp")), "doc_id")
+      .select(col("tfp"), tokensOf(col("text")).as("toks"))
       .filter(n >= K)
-      .select(col("doc_id"), posexplode(arrays_zip(
+      .select(col("tfp"), posexplode(arrays_zip(
         (0 until K).map(i => slice(col("toks"), lit(i + 1), n - (K - 1)).as(s"t$i")): _*))
         .as(Seq("pos", "tg")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("tfp"), col("pos"),
         (0 until K).foldLeft(lit(0L)) { (acc, i) =>
           pmod(acc * lit(POLY_B) +
             pmod(expr(graft.functions.TextFunctions.tokvalSql(s"tg.t$i")), lit(POLY_P)),
             lit(POLY_P))
         }.as("kg"))
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wcls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tfp")).orderBy(col("pos"))
     val fps = kg
-      .withColumn("wmin", min(col("kg")).over(wdoc.rowsBetween(0, W - 1)))
-      .select(col("doc_id"), col("wmin")).distinct()
-    val spread = fps.groupBy(col("wmin")).agg(count(lit(1)).as("ndocs"))
-    val stats = kg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
-    stats.join(
+      .withColumn("wmin", min(col("kg")).over(wcls.rowsBetween(0, W - 1)))
+      .select(col("tfp"), col("wmin")).distinct()
+    // member-level doc frequency from class sizes: a fingerprint kept by
+    // classes {c} is held by Σ csz(c) documents
+    val spread = fps.join(classes.select(col("tfp"), col("csz")), "tfp")
+      .groupBy(col("wmin")).agg(sum(col("csz")).as("ndocs"))
+    val stats = kg.groupBy(col("tfp")).agg(count(lit(1)).as("n_kgrams"))
+    val perClass = stats.join(
       fps.join(spread, "wmin")
-        .groupBy(col("doc_id"))
+        .groupBy(col("tfp"))
         .agg(count(lit(1)).as("n_fp"),
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared")),
-      "doc_id")
+      "tfp")
+    members.join(perClass, "tfp")
       .select(col("doc_id"), col("n_kgrams"), col("n_kgrams").as("n_windows"),
         col("n_fp"), col("n_shared"),
         round(col("n_fp").cast("double") / col("n_kgrams"), 6).as("density"))
