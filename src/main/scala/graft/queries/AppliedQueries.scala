@@ -493,8 +493,16 @@ object AppliedQueries {
         (col("l_orderkey") * 16 + col("l_linenumber")).as("tb"))
       // the weighted-quantile operator reads its input ~4× (cutpoint
       // sketch, cell weights, bucketed cum, totals) — checkpoint the
-      // joined projection once instead of re-joining lineitem⋈orders
-      .localCheckpoint(true, Iteration.SerLevel)
+      // joined projection once instead of re-joining lineitem⋈orders.
+      // DESERIALIZED level on purpose (r12): this frame is partitioned
+      // by the fact-table scan (~400 MB+ per partition at sf100), and
+      // the serialized store's per-task whole-partition serialization
+      // burst OOM'd a 32 GiB driver where the deserialized incremental
+      // unroll (spill-on-deny) runs the same query in 24 GiB — the one
+      // SerLevel site whose partition geometry is scan-sized rather
+      // than shuffle-sized (q212's groupBy-partitioned frame keeps
+      // SerLevel safely).
+      .localCheckpoint(true)
     graft.operators.Ranks.weightedGroupQuantiles(
         li, col("priority"), col("vc"), col("w"), col("tb"),
         Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
