@@ -558,9 +558,14 @@ object DataflowQueries {
     * size threshold is lowered around materialization because the gate
     * tables are far under the 10 GiB production default, and restored
     * in a finally. PlanSpec asserts the injected filter on the live
-    * optimized plan. Sums stay DECIMAL through both aggregation levels
-    * (associative), so rollup-then-sum is bit-identical to the
-    * oracle's single-level sum. */
+    * optimized plan. Revenue is summed as exact integer CENTS through
+    * both aggregation levels (the dsumScaled(·,2) idiom), with ONE
+    * shared int64→double conversion and /100.0 at the end: the r12
+    * sf100 sweep caught the previous DECIMAL formulation 1 ulp apart,
+    * because Spark's decimal→double is one correctly-rounded
+    * conversion while DuckDB's runs int128→double/10⁶ (two roundings).
+    * Integer cents keep the total exactly representable (< 2⁵³) to
+    * ~sf4000, and ANSI long sums throw loudly beyond int64. */
   def q104BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     val prev = s.conf.get(key)
@@ -576,10 +581,9 @@ object DataflowQueries {
   /** The lazy join plan (shared with PlanSpec, which manages the conf
     * itself so the assertion sees the injected filter). */
   def q104Inner(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val perOrder = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6))).as("lv"))
+      .agg(sum(rint(col("l_extendedprice") * lit(100.0)).cast("long")).as("lv"))
     val hiValue = Tables.orders(s, dir)
       .filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"), col("o_orderstatus"))
@@ -587,16 +591,20 @@ object DataflowQueries {
       .join(hiValue, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("lv")).cast("double").as("total_rev"))
+        (sum(col("lv")).cast("double") / lit(100.0)).as("total_rev"))
       .orderBy(col("o_orderstatus"))
   }
 
   val q104Sql: String =
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back through BIGINT before
+    // DOUBLE (hugeint→double is not guaranteed correctly rounded;
+    // int64→double is — the Oracle.dsum contract)
     """WITH po AS (
-      |  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS lv
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(round_even(l_extendedprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS lv
       |  FROM lineitem GROUP BY 1)
       |SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  CAST(SUM(lv) AS DOUBLE) AS total_rev
+      |  CAST(CAST(SUM(lv) AS BIGINT) AS DOUBLE) / 1e2 AS total_rev
       |FROM po JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_totalprice > 400000
       |GROUP BY 1 ORDER BY 1""".stripMargin
