@@ -199,6 +199,23 @@ object VectorQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
 
+  /** One representative per DISTINCT embedding (fp, vec_id = min member
+    * id, embedding, nrm) — the exact-duplicate collapse spine shared by
+    * the LSH (q28), blocked-pair (q46 family), and IVF-PQ (q139)
+    * candidate stages. Memoized: each consumer would otherwise pay the
+    * same corpus-wide groupBy per query. `first` is deterministic in
+    * VALUE here — every member of an fp group carries a byte-identical
+    * array (the n²/2⁶⁴ collision stance). */
+  private[queries] def embReps(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "emb_reps", "xxh64") {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+        .withColumn("fp", xxhash64(col("embedding")))
+        .groupBy(col("fp"))
+        .agg(min(col("vec_id")).as("vec_id"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    }
+
   /** REP-level ε-pairs (id_a < id_b, cos ≥ 0.4, 6dp grid) — the blocked
     * exact pair join over one representative per DISTINCT embedding.
     * Memoized separately from the member expansion so graph consumers
@@ -210,13 +227,7 @@ object VectorQueries {
     graft.PlanCache.memo(s, dir, "rep_cosine_pairs", "t0.4,B8") {
       import s.implicits._
       val B = 8
-      val e0 = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-        .withColumn("fp", xxhash64(col("embedding")))
-      val reps = e0.groupBy(col("fp"))
-        .agg(min(col("vec_id")).as("vec_id"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      val e = reps.withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val e = embReps(s, dir).withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
       val blockPairs = broadcast(
         (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj"))
       val aSide = e.join(blockPairs, col("blk") === col("bi"))
@@ -348,13 +359,8 @@ object VectorQueries {
     // at 6 dp in every IEEE engine (|ε| ≤ 2⁻⁵²; the cosinePairs
     // argument). sf100 (1000× replication): the old member-level band
     // build cost 980.6 s; class-level it is ~1/1000th of the rows.
-    val e0 = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-      .withColumn("fp", xxhash64(col("embedding")))
-    val members = e0.select(col("vec_id"), col("fp"))
-    val reps = e0.groupBy(col("fp"))
-      .agg(min(col("vec_id")).as("vec_id"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val members = embMembers(s, dir)
+    val reps = embReps(s, dir)
     // the band table sits on both sides of the candidate self-join and
     // costs two aggregations to build — memoized per (session, dir)
     val bands = graft.PlanCache.memo(s, dir, "lsh_bands", s"L$L,b$b,reps")(reps
@@ -689,38 +695,96 @@ object VectorQueries {
     * move are (vec_id, cell, nrm) and (vec_id, sub, cid) — ~16 bytes a
     * vector, the whole point of PQ. Approximate ⇒ rows-only gate;
     * SelfConsistencySpec pins recall vs exact brute force and rank
-    * soundness. */
+    * soundness.
+    *
+    * Exact-duplicate collapse (q28's idiom, r13): cell residency, PQ
+    * codes, and the ADC score are functions of the embedding VALUE
+    * alone, so the whole candidate stage runs once per DISTINCT
+    * embedding class (xxhash64 fingerprint; class key = min member id)
+    * and members re-attach only at the final top-k. The previous
+    * member-level form sort-merged probes × cell members — ~10⁹
+    * candidate rows under 1000× duplicate replication, the registry's
+    * one query that could not finish at the sf100 stress tier. Class-
+    * level, the probe table (|Qcls|·nprobe rows) and the LUT
+    * (|Qcls|·2048) BROADCAST, so candidate scoring streams past the
+    * class-sized residency scan with zero corpus-sized shuffles; under
+    * N× replication every stage up to the top-k attach scales with the
+    * distinct corpus. Output is bit-identical to the member-level
+    * form: identical embeddings share cell (same argmax + tie-break as
+    * [[ivfAssigned]]), codes (same [[pqAssign]] against the unchanged
+    * member-trained [[pqCodebooks]]), norms, and hence adc_cos; within
+    * a class the rank tie-break prefers lower c_id, so only a class's
+    * 4 smallest member ids can reach a top-3 (+1 covers the query
+    * displacing itself) — the m4 expansion argument of q28. */
   def q139IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val nprobe = 4
     val cents = ivfCentroids(s, dir)
-    val assigned = ivfAssigned(s, dir)
-    val probes = assigned.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+    val members = embMembers(s, dir)
+    val reps = embReps(s, dir)
+    // class cell residency — [[ivfAssign]]'s argmax + tie-break (max
+    // cos, then lower cent_id) keyed by fp directly, so no join-back:
+    // identical embeddings share the cell their members get in
+    // [[ivfAssigned]]
+    val repCells = reps.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy(col("fp"))
+      .agg(max_by(struct(col("cent_id"), col("nrm")),
+        struct(col("cent_cos"), -col("cent_id"))).as("best"))
+      .select(col("fp").as("cfp"), col("best.nrm").as("c_nrm"),
+        col("best.cent_id").as("cell"))
+    // class sub-vectors (the pqSubvecs shape, keyed by fp) → class PQ
+    // codes against the memoized member-trained codebooks ([[pqAssign]]
+    // groups by its first column, so fp rides through as `vec_id`)
+    val repSubvecsF = reps
+      .select(col("fp"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("sub", (col("d") / 8).cast("int"))
+      .withColumn("i", pmod(col("d"), lit(8)))
+      .groupBy(col("fp"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
+      .select(col("fp"), col("sub"), expr("transform(iv, p -> p.x)").as("svec"))
+    val repCodes = pqAssign(repSubvecsF.withColumnRenamed("fp", "vec_id"),
+        pqCodebooks(s, dir))
+      .select(col("vec_id").as("cfp"), col("sub"), col("cid"))
+    // query classes (vec_id < 50): probes and LUT per DISTINCT query
+    // embedding — both broadcast-sized
+    val qfps = broadcast(
+      members.filter(col("vec_id") < 50).select(col("fp")).distinct())
+    val probes = broadcast(reps.join(qfps, Seq("fp"), "left_semi")
       .crossJoin(broadcast(cents))
-      .withColumn("cc", vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+      .withColumn("cc", vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("fp"))
         .orderBy(col("cc").desc, col("cent_id"))))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_nrm"), col("cent_id").as("cell"))
-    val lut = pqSubvecs(s, dir).filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qsub"))
+      .select(col("fp").as("qfp"), col("nrm").as("q_nrm"), col("cent_id").as("cell")))
+    val lut = repSubvecsF.join(qfps, Seq("fp"), "left_semi")
       .join(broadcast(pqCodebooks(s, dir)), "sub")
-      .select(col("q_id"), col("sub"), col("cid"),
-        vecDot(col("qsub"), col("cvec")).as("pdot"))
-    val codes = pqCodes(s, dir).select(col("vec_id"), col("sub"), col("cid"))
-    assigned.select(col("vec_id").as("c_id"), col("nrm").as("c_nrm"), col("cell"))
+      .select(col("fp").as("qfp"), col("sub"), col("cid"),
+        vecDot(col("svec"), col("cvec")).as("pdot"))
+    // class-level ADC: the intra-class (qfp == cfp) pair rides along —
+    // a class's own cell is always its rank-1 probe (same tie-break)
+    val adcScores = repCells
       .join(probes, "cell")
-      .filter(col("c_id") =!= col("q_id"))
-      .join(codes, col("c_id") === codes("vec_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "cid"))
-      .groupBy(col("q_id"), col("c_id"))
+      .join(repCodes, "cfp")
+      .join(broadcast(lut), Seq("qfp", "sub", "cid"))
+      .groupBy(col("qfp"), col("cfp"))
       .agg(graft.Oracle.dsum(col("pdot")).as("adc"),
         max(col("q_nrm")).as("qn"), max(col("c_nrm")).as("cn"))
-      .select(col("q_id"), col("c_id"),
+      .select(col("qfp"), col("cfp"),
         round(col("adc") / (col("qn") * col("cn")), 6).as("adc_cos"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_cos").desc, col("c_id"))))
+    // member expansion ONLY at the top-k: a class's 4 smallest ids
+    val wM = Window.partitionBy(col("fp")).orderBy(col("vec_id"))
+    val m4 = members.withColumn("mrn", row_number().over(wM))
+      .filter(col("mrn") <= 4).select(col("fp"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("c_id"))
+    members.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("fp").as("qfp"))
+      .join(adcScores, "qfp")
+      .join(m4.select(col("fp").as("cfp"), col("vec_id").as("c_id")), "cfp")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("adc_cos"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("q_id"), col("rn"))
   }
