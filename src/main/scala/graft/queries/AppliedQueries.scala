@@ -494,15 +494,20 @@ object AppliedQueries {
       // the weighted-quantile operator reads its input ~4× (cutpoint
       // sketch, cell weights, bucketed cum, totals) — checkpoint the
       // joined projection once instead of re-joining lineitem⋈orders.
-      // DESERIALIZED level on purpose (r12): this frame is partitioned
-      // by the fact-table scan (~400 MB+ per partition at sf100), and
-      // the serialized store's per-task whole-partition serialization
-      // burst OOM'd a 32 GiB driver where the deserialized incremental
-      // unroll (spill-on-deny) runs the same query in 24 GiB — the one
-      // SerLevel site whose partition geometry is scan-sized rather
-      // than shuffle-sized (q212's groupBy-partitioned frame keeps
-      // SerLevel safely).
-      .localCheckpoint(true)
+      // DISK_ONLY on purpose (r13): this is the one checkpointed frame
+      // whose partition geometry is fact-table-sized, and at sf100 both
+      // in-memory stores fail a 24 GiB heap — the serialized store's
+      // per-task whole-partition serialization burst (r12, OOM at 24
+      // AND 32 GiB) and the deserialized store's 32 concurrent object
+      // unrolls (r13 solo: GCLocker exhaustion at the checkpoint
+      // stage). DISK_ONLY streams each partition straight to local
+      // disk with bounded memory on BOTH write and read — no unroll
+      // pool, no serialization buffer — which is also the only level
+      // whose footprint is independent of executor count on a real
+      // cluster; the operator's 4 passes become sequential local-disk
+      // scans (measured: sf100 solo completes in 24 GiB, see
+      // STRESS_r13).
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     graft.operators.Ranks.weightedGroupQuantiles(
         li, col("priority"), col("vc"), col("w"), col("tb"),
         Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
