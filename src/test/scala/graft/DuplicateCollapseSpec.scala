@@ -204,6 +204,59 @@ class DuplicateCollapseSpec extends AnyFunSuite {
     assert(want.exists { case (v, role, _) => v >= OFF && role != "noise" })
   }
 
+  test("q139 class-level ADC search equals member-level candidate scoring on doubled embeddings") {
+    // the r13 collapse moved q139's candidate stage to distinct-embedding
+    // classes; this pin recomputes the pre-collapse MEMBER-level pipeline
+    // from the engine's own shared pieces (same centroids, codebooks,
+    // cell assignment, ADC grid) and demands identical top-3 output on a
+    // corpus where every class has two members — the configuration the
+    // pristine testdata never exercises
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.VectorExpressions.vecDot
+    val nprobe = 4
+    val VQ = graft.queries.VectorQueries
+    val cents = VQ.ivfCentroids(spark, dupDir)
+    val assigned = VQ.ivfAssigned(spark, dupDir)
+    val probes = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cc", vecDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_nrm"), col("cent_id").as("cell"))
+    // per-query LUT from the full code table's sub-vectors (pqCodes
+    // carries svec), expanded against all 256 codebook entries per sub
+    val lut = VQ.pqCodes(spark, dupDir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qsub"))
+      .join(broadcast(VQ.pqCodebooks(spark, dupDir)), "sub")
+      .select(col("q_id"), col("sub"), col("cid"),
+        vecDot(col("qsub"), col("cvec")).as("pdot"))
+    val codes = VQ.pqCodes(spark, dupDir).select(col("vec_id"), col("sub"), col("cid"))
+    val want = assigned
+      .select(col("vec_id").as("c_id"), col("nrm").as("c_nrm"), col("cell"))
+      .join(probes, "cell")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(codes, col("c_id") === codes("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(graft.Oracle.dsum(col("pdot")).as("adc"),
+        max(col("q_nrm")).as("qn"), max(col("c_nrm")).as("cn"))
+      .select(col("q_id"), col("c_id"),
+        round(col("adc") / (col("qn") * col("cn")), 6).as("adc_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_cos").desc, col("c_id"))))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = VQ.q139IvfPqSearch(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want)
+    // replication leg: some top-3 must contain a duplicate-class partner,
+    // or the doubled corpus isn't exercising the m4 member expansion
+    assert(got.exists { case (_, c, _, _) => c >= OFF })
+  }
+
   test("q46 on doubled embeddings equals brute-force cosine >= 0.4") {
     val vecs = spark.read.parquet(s"$dupDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
