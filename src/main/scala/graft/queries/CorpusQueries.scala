@@ -340,7 +340,12 @@ object CorpusQueries {
     val out = s.read.orc(tmp)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        Oracle.dsum(col("o_totalprice")).as("total_price"),
+        // 1e-4 grid (dsumScaled, the q199 overflow idiom): o_totalprice
+        // is a 2dp currency so the coarser grid is still exact, and the
+        // scaled per-group long stays ~40× under 2⁶³ at the 1000× stress
+        // tier, where the default 1e-6 grid overflowed (caught by the
+        // r13 sf100 sweep — ANSI long overflow in the engine)
+        Oracle.dsumScaled(col("o_totalprice"), 4).as("total_price"),
         max(col("o_orderdate")).as("last_order"))
       .orderBy(col("o_orderstatus"))
     graft.Staging.deferDelete(out, tmp, "q74")
@@ -348,7 +353,7 @@ object CorpusQueries {
 
   val q74Sql: String =
     s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  ${Oracle.dsumSql("o_totalprice")} AS total_price,
+      |  ${Oracle.dsumScaledSql("o_totalprice", 4)} AS total_price,
       |  MAX(o_orderdate) AS last_order
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
