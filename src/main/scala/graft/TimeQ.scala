@@ -26,6 +26,11 @@ object TimeQ {
     import scala.jdk.CollectionConverters._
     val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    // Per-query GC time (r12 verdict item 5): cumulative collector time
+    // delta across the timed run, so a "GC-bound, plans minimal" claim
+    // carries a measured fraction instead of an attribution.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMillis(): Long = gcBeans.map(_.getCollectionTime).sum
     // Tier-boundary release (round-11 verdict item 4): both sf100 probe
     // aborts were ENOSPC from ONE session stacking every family's memos,
     // cached blocks, and spill files. A literal `--release` token in the
@@ -52,10 +57,14 @@ object TimeQ {
           try SparkEntry.queries(name)(spark, warmDir).count()
           catch { case _: Throwable => () }
         heapPools.foreach(_.resetPeakUsage())
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gcS = (gcMillis() - gc0) / 1e3
         val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
-        println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows, peak_heap ${peakGb}%.2f GB)")
+        println(f"TIMED $name $wall%.2f s ($n rows, peak_heap ${peakGb}%.2f GB, " +
+          f"gc $gcS%.1f s = ${100 * gcS / wall}%.0f%% of wall)")
       }
     }
     spark.stop()
