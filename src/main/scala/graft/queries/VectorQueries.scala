@@ -153,12 +153,32 @@ object VectorQueries {
       centroids
     }
 
+  /** Class-level cell residency (fp, embedding, nrm, cell): one
+    * [[ivfAssign]] argmax per DISTINCT embedding. Memoized — shared by
+    * the inverted file ([[ivfAssigned]]) and q139's candidate stage. */
+  private[queries] def repCells(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "rep_cells", "k16,it2") {
+      ivfAssign(
+        embReps(s, dir).select(col("fp").as("vec_id"), col("embedding"), col("nrm")),
+        ivfCentroids(s, dir))
+        .select(col("vec_id").as("fp"), col("embedding"), col("nrm"), col("cell"))
+    }
+
   /** Final cell assignment of every vector against the trained
     * centroids: (vec_id, embedding, nrm, cell). Memoized — the
-    * inverted file q56 probes and q139's candidate source. */
+    * inverted file q56 probes and the IVF audits aggregate.
+    *
+    * Exact-duplicate collapse (r13): the cell is a function of the
+    * embedding value under [[ivfAssign]]'s deterministic tie-break, so
+    * the 16-centroid argmax runs once per distinct class ([[repCells]])
+    * and members inherit cell, embedding, and norm through one fp join
+    * — bit-identical to per-member assignment (byte-identical
+    * embedding ⇒ same IEEE cosines ⇒ same argmax), without the
+    * |corpus|×16 cross product. */
   private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.memo(s, dir, "ivf_assign", "k16,it2") {
-      ivfAssign(ivfSpine(s, dir), ivfCentroids(s, dir))
+    graft.PlanCache.memo(s, dir, "ivf_assign", "k16,it2,cls") {
+      embMembers(s, dir).join(repCells(s, dir), "fp")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     }
 
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.4 —
@@ -571,27 +591,48 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** (vec_id, sub, svec): the m=8 sub-vectors of every embedding.
-    * Referenced by every Lloyd iteration plus the final assignment —
-    * memoized per (session, dir) like the LSH band tables. */
-  private def pqSubvecs(s: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.memo(s, dir, "pq_subvecs", "m8")(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("sub", (col("d") / 8).cast("int"))
-        .withColumn("i", pmod(col("d"), lit(8)))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
-        .select(col("vec_id"), col("sub"), expr("transform(iv, p -> p.x)").as("svec")))
+  /** The m=8 sub-vectors of an (id, embedding) frame — row-local
+    * (explode + regroup per id), so it commutes with any filter on the
+    * id column. Callers pass members, reps (keyed by fp), or a sampled
+    * slice; nothing corpus-wide is materialized here. */
+  private def subvecsOf(e: DataFrame, idCol: String): DataFrame =
+    e.select(col(idCol), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("sub", (col("d") / 8).cast("int"))
+      .withColumn("i", pmod(col("d"), lit(8)))
+      .groupBy(col(idCol), col("sub"))
+      .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
+      .select(col(idCol), col("sub"), expr("transform(iv, p -> p.x)").as("svec"))
+
+  /** Class-level sub-vectors (fp, sub, svec): one explode per DISTINCT
+    * embedding. Memoized — shared by the PQ code table and the q139
+    * LUT/candidate path. */
+  private[queries] def repSubvecs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "rep_subvecs", "m8")(
+      subvecsOf(embReps(s, dir), "fp"))
 
   /** The full-corpus PQ code table (vec_id, sub, svec, cid), memoized —
     * the compressed representation q96 audits and q139 searches over.
     * 8 one-byte codes per vector is the structure that actually fits in
     * memory at billion scale; everything downstream of this table never
-    * touches raw candidate embeddings. */
+    * touches raw candidate embeddings.
+    *
+    * Exact-duplicate collapse (r13, the q139/q28 idiom applied to the
+    * INDEX build): a code is a pure function of the embedding value
+    * under [[pqAssign]]'s deterministic tie-break, so assignment runs
+    * once per distinct class ([[repSubvecs]]) and members inherit their
+    * class's codes through one fp join — the member side never touches
+    * a codebook. Values are bit-identical to per-member assignment
+    * (byte-identical svec ⇒ same IEEE scores ⇒ same argmin); the
+    * member-level form paid |corpus|·8 rows × 256 codebook dots, which
+    * at the 1000×-replicated stress tier was 761 s of wasted identical
+    * arithmetic. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.memo(s, dir, "pq_codes", "m8,k256,it2") {
-      pqAssign(pqSubvecs(s, dir), pqCodebooks(s, dir))
+    graft.PlanCache.memo(s, dir, "pq_codes", "m8,k256,it2,cls") {
+      val cls = pqAssign(repSubvecs(s, dir).withColumnRenamed("fp", "vec_id"),
+          pqCodebooks(s, dir))
+        .select(col("vec_id").as("fp"), col("sub"), col("svec"), col("cid"))
+      embMembers(s, dir).join(cls, "fp")
+        .select(col("vec_id"), col("sub"), col("svec"), col("cid"))
     }
 
   /** Nearest-codebook assignment: (vec_id, sub, svec, cid). */
@@ -624,9 +665,17 @@ object VectorQueries {
       // assignment lives in [[pqCodes]]. Seed = first 256 SAMPLED
       // vectors; cid = vec_id div step keeps codes dense in [0, 256)
       // (the 8-bit fields of q96's code_word pack by cid).
-      val subvecs = pqSubvecs(s, dir)
+      // The sample filter runs BEFORE the sub-vector explode
+      // ([[subvecsOf]] is row-local, so filter-then-explode emits
+      // exactly the rows explode-then-filter did): training touches
+      // ~25,600 vectors of I/O at any corpus size instead of exploding
+      // the full corpus to discard 1-1/step of it.
+      val subvecs = subvecsOf(
+        Tables.embeddings(s, dir)
+          .crossJoin(broadcast(trainStep(s, dir, 25600L)))
+          .filter(pmod(col("vec_id"), col("step")) === 0)
+          .select(col("vec_id"), col("embedding")), "vec_id")
         .crossJoin(broadcast(trainStep(s, dir, 25600L)))
-        .filter(pmod(col("vec_id"), col("step")) === 0)
       var cents = subvecs.filter(col("vec_id") < lit(256L) * col("step"))
         .select(col("sub"), expr("CAST(vec_id div step AS INT)").as("cid"),
           col("svec").as("cvec"))
@@ -721,28 +770,14 @@ object VectorQueries {
     val cents = ivfCentroids(s, dir)
     val members = embMembers(s, dir)
     val reps = embReps(s, dir)
-    // class cell residency — [[ivfAssign]]'s argmax + tie-break (max
-    // cos, then lower cent_id) keyed by fp directly, so no join-back:
-    // identical embeddings share the cell their members get in
-    // [[ivfAssigned]]
-    val repCells = reps.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy(col("fp"))
-      .agg(max_by(struct(col("cent_id"), col("nrm")),
-        struct(col("cent_cos"), -col("cent_id"))).as("best"))
-      .select(col("fp").as("cfp"), col("best.nrm").as("c_nrm"),
-        col("best.cent_id").as("cell"))
-    // class sub-vectors (the pqSubvecs shape, keyed by fp) → class PQ
-    // codes against the memoized member-trained codebooks ([[pqAssign]]
-    // groups by its first column, so fp rides through as `vec_id`)
-    val repSubvecsF = reps
-      .select(col("fp"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("sub", (col("d") / 8).cast("int"))
-      .withColumn("i", pmod(col("d"), lit(8)))
-      .groupBy(col("fp"), col("sub"))
-      .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("iv"))
-      .select(col("fp"), col("sub"), expr("transform(iv, p -> p.x)").as("svec"))
+    // class cell residency — the shared [[repCells]] memo (same argmax
+    // + tie-break members get in [[ivfAssigned]])
+    val candCells = repCells(s, dir)
+      .select(col("fp").as("cfp"), col("nrm").as("c_nrm"), col("cell"))
+    // class sub-vectors ([[repSubvecs]]) → class PQ codes against the
+    // memoized sample-trained codebooks ([[pqAssign]] groups by its
+    // first column, so fp rides through as `vec_id`)
+    val repSubvecsF = repSubvecs(s, dir)
     val repCodes = pqAssign(repSubvecsF.withColumnRenamed("fp", "vec_id"),
         pqCodebooks(s, dir))
       .select(col("vec_id").as("cfp"), col("sub"), col("cid"))
@@ -763,7 +798,7 @@ object VectorQueries {
         vecDot(col("svec"), col("cvec")).as("pdot"))
     // class-level ADC: the intra-class (qfp == cfp) pair rides along —
     // a class's own cell is always its rank-1 probe (same tie-break)
-    val adcScores = repCells
+    val adcScores = candCells
       .join(probes, "cell")
       .join(repCodes, "cfp")
       .join(broadcast(lut), Seq("qfp", "sub", "cid"))
@@ -1924,7 +1959,11 @@ object VectorQueries {
     val probeCells = probes.join(broadcast(sizes), "cell")
       .groupBy(col("q_id"))
       .agg(probeAggs.head, probeAggs.tail: _*)
-    val lut = pqSubvecs(s, dir).filter(col("vec_id") < 50)
+    // query sub-vectors from a pruned scan ([[subvecsOf]] is row-local,
+    // so filter-then-explode ≡ explode-then-filter): 50 vectors of I/O,
+    // never the corpus-wide sub-vector table
+    val lut = subvecsOf(Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qsub"))
       .join(broadcast(pqCodebooks(s, dir)), "sub")
       .select(col("q_id"), col("sub"), vecDot(col("qsub"), col("cvec")).as("pdot"))
