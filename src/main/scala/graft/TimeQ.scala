@@ -7,8 +7,13 @@ object TimeQ {
     // through each task — raising this is exactly what a real cluster's
     // core count would do; AQE coalesces small stages back down.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    // SPARK_GRAFT_CPUS: thread count (default 32, the bench contract).
+    // Varying it at a FIXED heap is the bandwidth-vs-compute probe: a
+    // memory-bound stage keeps its wall time when threads drop 4x, a
+    // compute-bound one slows ~4x.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", shuffle)
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
