@@ -12,7 +12,10 @@ bad=0
 # 1. literal placeholder tokens anywhere in tracked md. VERDICT/ADVICE
 #    are DRIVER-written (they quote the tokens while describing the
 #    defect) — excluded; everything else is ours to keep clean.
-if git grep -nE '<[A-Z0-9_]*PLACEHOLDER[A-Z0-9_]*>|TBD_|FILLME' -- '*.md' \
+#    Any all-caps angle token counts (<GRAPH_TABLE>, <SF100_RESULT_…>),
+#    not just ones spelled "PLACEHOLDER" — verified zero false
+#    positives across currently tracked md.
+if git grep -nE '<[A-Z][A-Z0-9_]{2,}>|TBD_|FILLME' -- '*.md' \
      ':!VERDICT.md' ':!ADVICE.md'; then
   echo "DOCCHECK FAIL: unfilled placeholder token(s) above"; bad=1
 fi
