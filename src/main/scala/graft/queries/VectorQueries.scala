@@ -635,6 +635,27 @@ object VectorQueries {
         .select(col("vec_id"), col("sub"), col("svec"), col("cid"))
     }
 
+  /** DISTINCT-subvector nearest-codebook assignment for the training
+    * loop: (sub, svec, mult, cid) — one 256-way argmin per distinct
+    * (sub, svec), multiplicity carried through for the weighted mean
+    * (the engine-side twin of [[pqDvAssignSql]]). */
+  private def pqDvAssign(dv: DataFrame, cents: DataFrame): DataFrame = {
+    // ALL-scalar aggregation buffer, deliberately: carrying the svec
+    // array through the argmin struct forces the aggregate off the
+    // codegen'd hash path (measured 5×: 2.8 s vs 0.5 s per round on the
+    // same 4M scored rows), so the k-way argmin runs over (score, cid)
+    // scalars only and the array/multiplicity re-attach by one
+    // tiny-side join on the class fingerprint afterwards
+    val withFp = dv.withColumn("sfp", xxhash64(col("svec")))
+    val best = withFp.join(broadcast(cents), "sub")
+      .select(col("sub"), col("sfp"), col("cid"),
+        (col("cnorm2") - lit(2d) * vecDot(col("svec"), col("cvec"))).as("score"))
+      .groupBy(col("sub"), col("sfp"))
+      .agg(min_by(col("cid"), struct(col("score"), col("cid"))).as("cid"))
+    withFp.join(best, Seq("sub", "sfp"))
+      .select(col("sub"), col("svec"), col("mult"), col("cid"))
+  }
+
   /** Nearest-codebook assignment: (vec_id, sub, svec, cid). */
   private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
     subvecs.join(broadcast(cents), "sub")
@@ -670,16 +691,54 @@ object VectorQueries {
       // exactly the rows explode-then-filter did): training touches
       // ~25,600 vectors of I/O at any corpus size instead of exploding
       // the full corpus to discard 1-1/step of it.
-      val subvecs = subvecsOf(
-        Tables.embeddings(s, dir)
-          .crossJoin(broadcast(trainStep(s, dir, 25600L)))
-          .filter(pmod(col("vec_id"), col("step")) === 0)
-          .select(col("vec_id"), col("embedding")), "vec_id")
-        .crossJoin(broadcast(trainStep(s, dir, 25600L)))
-      var cents = subvecs.filter(col("vec_id") < lit(256L) * col("step"))
+      // Seed = first 256 SAMPLED vectors. The sample filter AND the
+      // seed's vec_id bound both run BEFORE the sub-vector explode
+      // ([[subvecsOf]] is row-local, so filter-then-explode emits
+      // exactly the rows explode-then-filter did): the seed costs a
+      // 256-vector explode at any corpus size.
+      val step = broadcast(trainStep(s, dir, 25600L))
+      var cents = subvecsOf(
+        Tables.embeddings(s, dir).crossJoin(step)
+          .filter(pmod(col("vec_id"), col("step")) === 0 &&
+            col("vec_id") < lit(256L) * col("step"))
+          .select(col("vec_id"), col("embedding"), col("step")), "vec_id")
+        .crossJoin(step)
         .select(col("sub"), expr("CAST(vec_id div step AS INT)").as("cid"),
           col("svec").as("cvec"))
         .withColumn("cnorm2", vecDot(col("cvec"), col("cvec")))
+      // DISTINCT-subvector training slice (r13 optimization round): the
+      // 256-way argmin and the mean sums are functions of the sub-vector
+      // VALUE, so Lloyd runs once per distinct (sub, svec) carrying the
+      // sampled-member multiplicity — the collapse the ORACLE already
+      // replays ([[pqDvAssignSql]]/[[pqSumsSql]]), now mirrored
+      // engine-side. Bit-identical by the same argument the oracle's
+      // green hash has been proving since the weighted replay landed:
+      // identical svec ⇒ identical IEEE score against every centroid ⇒
+      // identical argmin (tie-break on cid alone), and the member
+      // fixed-point sum Σ round(x·1e10) over a class is exactly
+      // mult · the distinct value's rounding.
+      //
+      // The slice derives from the memoized class-level explode
+      // ([[repSubvecs]]) instead of re-exploding sampled members: each
+      // sampled member contributes its class's (sub, svec) rows, so the
+      // sampled multiset is repSubvecs ⋈ (per-class sampled-member
+      // count), re-grouped on the VALUE because distinct classes can
+      // share a sub-vector value in one subspace. Group keys are scalar
+      // fingerprints (xxhash64-of-value, the [[embMembers]] collision
+      // stance) — array group-keys fall back to SortAggregate
+      // (measured: 2× the training cost).
+      val sampledClassCounts = embMembers(s, dir).crossJoin(step)
+        .filter(pmod(col("vec_id"), col("step")) === 0)
+        .groupBy(col("fp")).agg(count(lit(1)).as("m"))
+      // eagerly checkpointed: the slice sits on both sides of each
+      // round's assign (scored scan + svec re-attach) × 2 rounds — a
+      // lazy plan would recompute the repSubvecs join 4×. Class-count-
+      // sized (≤ |distinct| · 8 rows), so the pinned blocks are
+      // kilobytes-to-MBs at any corpus scale.
+      val dv = Iteration.ckpt(repSubvecs(s, dir).join(sampledClassCounts, "fp")
+        .groupBy(col("sub"), xxhash64(col("svec")).as("sfp"))
+        .agg(first(col("svec")).as("svec"), sum(col("m")).as("mult"))
+        .drop("sfp"))
       for (_ <- 1 to 2) {
         // Fixed-point mean, engine-portable BY CONSTRUCTION: values
         // quantize to integer 1e-10 units (round half-away, identical
@@ -692,11 +751,13 @@ object VectorQueries {
         // codes — are bit-identical under the DuckDB oracle (the
         // decimal-avg form this replaces pinned determinism per
         // engine, but decimal avg semantics differ across engines).
-        cents = pqAssign(subvecs, cents)
-          .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("i", "x")))
+        cents = pqDvAssign(dv, cents)
+          .select(col("sub"), col("cid"), col("mult"),
+            posexplode(col("svec")).as(Seq("i", "x")))
           .groupBy(col("sub"), col("cid"), col("i"))
-          .agg(sum(round(col("x").cast("double") * lit(1e10)).cast("long")).as("sx"),
-            count(lit(1)).as("n"))
+          .agg(sum(round(col("x").cast("double") * lit(1e10)).cast("long") *
+            col("mult")).as("sx"),
+            sum(col("mult")).as("n"))
           .withColumn("m14", expr(
             """CASE WHEN sx >= 0 THEN (2*sx*10000 + n) div (2*n)
               |     ELSE -((2*(-sx)*10000 + n) div (2*n)) END""".stripMargin))
