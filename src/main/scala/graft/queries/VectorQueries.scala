@@ -102,16 +102,23 @@ object VectorQueries {
     * max_by gets map-side partial aggregation — a window over the n×16
     * cross-join output would shuffle all of it. Tie-break: higher cos,
     * then lower cent_id (lexicographic struct ordering). */
-  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    // ALL-scalar aggregation buffer (the pqDvAssign lesson, r13
+    // optimization round): carrying the 64-float embedding through the
+    // argmax struct forces the aggregate off the codegen'd hash path;
+    // the argmax runs over (cent_cos, cent_id) scalars and the
+    // embedding/nrm re-attach by one join on the unique row key —
+    // same argmax, same tie-break, same attached values, bit-identical.
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+          .as("cent_cos"),
+        col("cent_id"))
       .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cent_id"), col("embedding"), col("nrm")),
-        struct(col("cent_cos"), -col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+      .agg(max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id"))).as("cell"))
+    e.join(best, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
 
   /** Deterministic 1-in-`step` training sample head: one broadcast row
     * (step = max(1, n div target)) joined onto the corpus so the whole
