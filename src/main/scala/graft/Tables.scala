@@ -21,8 +21,22 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Plan-handle memo (r13 optimization round): `spark.read.parquet`
+    * builds a fresh file index and re-reads the footer schema on every
+    * call — pure planning overhead repeated ~2-4× per query across a
+    * 239-query session. DataFrames are immutable plans, so handing the
+    * SAME handle back per (session, dir, table) is semantically
+    * identical and caches NO data; every action still scans parquet.
+    * Keyed by session so a stopped session's handles are never served
+    * to a new one (weak on the session via the map living per-JVM and
+    * sessions being few); the entry count is bounded by
+    * |sessions|·|dirs|·|tables|. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    handles.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(path(dir, name)))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
