@@ -104,9 +104,10 @@ object VectorQueries {
     * then lower cent_id (lexicographic struct ordering). */
   private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     // ALL-scalar aggregation buffer (the pqDvAssign lesson, r13
-    // optimization round): carrying the 64-float embedding through the
-    // argmax struct forces the aggregate off the codegen'd hash path;
-    // the argmax runs over (cent_cos, cent_id) scalars and the
+    // optimization round): max_by is a SortAggregate either way, but
+    // carrying the 64-float embedding through the argmax struct drags
+    // the array through the sort and both aggregation buffers; the
+    // argmax runs over (cent_cos, cent_id) scalars and the
     // embedding/nrm re-attach by one join on the unique row key —
     // same argmax, same tie-break, same attached values, bit-identical.
     val best = e.crossJoin(broadcast(cents))
@@ -647,10 +648,12 @@ object VectorQueries {
     * (sub, svec), multiplicity carried through for the weighted mean
     * (the engine-side twin of [[pqDvAssignSql]]). */
   private def pqDvAssign(dv: DataFrame, cents: DataFrame): DataFrame = {
-    // ALL-scalar aggregation buffer, deliberately: carrying the svec
-    // array through the argmin struct forces the aggregate off the
-    // codegen'd hash path (measured 5×: 2.8 s vs 0.5 s per round on the
-    // same 4M scored rows), so the k-way argmin runs over (score, cid)
+    // ALL-scalar aggregation buffer, deliberately: min_by compiles to a
+    // SortAggregate either way (its extremum buffer is never
+    // hash-mutable), but with the svec array in the value struct every
+    // scored row carries the array through the sort and both partial/
+    // final buffers — measured 5× (2.8 s vs 0.5 s per round on the same
+    // 4M scored rows). The argmin therefore runs over (score, cid)
     // scalars only and the array/multiplicity re-attach by one
     // tiny-side join on the class fingerprint afterwards
     val withFp = dv.withColumn("sfp", xxhash64(col("svec")))
