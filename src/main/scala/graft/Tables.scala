@@ -30,7 +30,12 @@ object Tables {
     * Keyed by session so a stopped session's handles are never served
     * to a new one (weak on the session via the map living per-JVM and
     * sessions being few); the entry count is bounded by
-    * |sessions|·|dirs|·|tables|. */
+    * |sessions|·|dirs|·|tables|.
+    *
+    * Assumes a (dir, table) parquet is immutable within one session —
+    * true for every driver/test/stress path today (generators write to
+    * fresh dirs; Stress writes via its own reader). A path whose files
+    * are REWRITTEN mid-session would need the handle dropped first. */
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
