@@ -16,6 +16,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val fullJsonPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,27 +91,52 @@ object Bench {
     // comma-decimal locale (de_DE) would render "4,90" — invalid JSON
     def r(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // n_cpus MUST report the CONFIGURED core count (r13 verdict item 2:
+    // availableProcessors made the 8-cpu scaling artifact self-label 32,
+    // which would poison any future scaling diagnosis); the machine's
+    // physical count stays available as machine_cpus.
+    val nCpus =
+      if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus
+      else Runtime.getRuntime.availableProcessors.toString
     val env = s""""load_avg_start":${r("%.2f", load0)},""" +
       s""""load_avg_end":${r("%.2f", load1)},""" +
       s""""proc_cpu_sec":${r("%.1f", cpu1 - cpu0)},""" +
       s""""max_heap_gb":${r("%.1f", Runtime.getRuntime.maxMemory / 1e9)},""" +
       s""""memo_releases":$memoReleases,""" +
       s""""memo_release_sec":${r("%.1f", memoReleaseSec)},""" +
-      s""""n_cpus":${Runtime.getRuntime.availableProcessors}"""
+      s""""n_cpus":$nCpus,""" +
+      s""""machine_cpus":${Runtime.getRuntime.availableProcessors}"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Per-query seconds at 3 decimals on stdout (r13 verdict item 1: the
+    // full-precision line was ~8 KB and the driver's stdout-tail capture
+    // keeps only the last ~2000 chars, so per-query telemetry never
+    // parsed; 3 dp is far below the bench's own run-to-run variance).
+    // Full precision is preserved in the JSON FILE written below.
+    def qmap(fmt: Double => String): String =
+      timed.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}""")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir","full_json":${jstr(fullJsonPath)}}"""
+    // The driver's stdout capture keeps only a short tail, so the
+    // complete full-precision record ALSO lands in a file (r13 verdict
+    // item 1's "and/or" remedy). Same schema as the stdout line.
+    try {
+      val p = java.nio.file.Paths.get(fullJsonPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (line(qmap(_.toString)) + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e") }
+    println(line(qmap(v => r("%.3f", v))))
     // The driver captures the tail of stdout and truncated the big line
     // in rounds 3-4 ("parsed": null) — repeat the headline as a SHORT
     // final line so the total always survives tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_count":${timed.size},"errors_count":${timed.count(_._3.isDefined)},$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_count":${timed.size},"errors_count":${timed.count(_._3.isDefined)},$env,"sf":"$sfDir","full_json":${jstr(fullJsonPath)}}""")
     spark.stop()
   }
 }

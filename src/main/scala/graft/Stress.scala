@@ -50,6 +50,9 @@ object Stress {
 
   def replicate(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     require(factor >= 1, "factor must be >= 1")
+    // outDir is rewritten in place below — drop any memoized handle whose
+    // file index would point at the replaced part-files (Tables scaladoc)
+    Tables.invalidate(outDir)
     val raw: Map[String, Long] = domainSource.map { case (dom, (tbl, c)) =>
       dom -> (Tables.load(s, srcDir, tbl).agg(max(col(c))).head().getLong(0) + 1L)
     }

@@ -28,20 +28,42 @@ object Tables {
     * SAME handle back per (session, dir, table) is semantically
     * identical and caches NO data; every action still scans parquet.
     * Keyed by session so a stopped session's handles are never served
-    * to a new one (weak on the session via the map living per-JVM and
-    * sessions being few); the entry count is bounded by
-    * |sessions|·|dirs|·|tables|.
+    * to a new one. References are STRONG (a ConcurrentHashMap holds its
+    * keys) — so, mirroring PlanCache, an application-end listener drops
+    * a session's entries when it stops; the live entry count is bounded
+    * by |open sessions|·|dirs|·|tables|.
     *
     * Assumes a (dir, table) parquet is immutable within one session —
     * true for every driver/test/stress path today (generators write to
     * fresh dirs; Stress writes via its own reader). A path whose files
-    * are REWRITTEN mid-session would need the handle dropped first. */
+    * are REWRITTEN in place mid-session must call [[invalidate]] first,
+    * or the stale handle's file index would point at deleted
+    * part-files. */
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clear(spark); hooked.remove(spark)
+        }
+      })
     handles.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(path(dir, name)))
+  }
+
+  /** Drop every handle belonging to `spark` (all dirs/tables). */
+  def clear(spark: SparkSession): Unit =
+    handles.keySet.removeIf(_._1 eq spark)
+
+  /** Drop every session's handle under `dir` — REQUIRED before reading
+    * a (dir, table) whose parquet files were rewritten in place. */
+  def invalidate(dir: String): Unit =
+    handles.keySet.removeIf(_._2 == dir)
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -27,7 +27,18 @@ import org.apache.spark.storage.StorageLevel
   * algorithm that re-derives round k from round 0 would be quadratic.
   * Rounds stop when the monotonically-decreasing Σ(src+dst) is stable
   * (strictly decreases while anything changes, so equality IS the
-  * fixpoint — one cheap agg action per round, no row-wise diff join).
+  * fixpoint — read for free from an `observe` on the round frame, no
+  * separate agg pass over the edge set).
+  *
+  * Round cost (r14 optimization round, guide §2.4 "remove work
+  * outright"): a round is ONE Spark job — both star operations take
+  * their per-center min from a window over the single shuffled pass
+  * (exactly the rows the old groupBy-min + self-join touched, one
+  * exchange instead of two and no double-reference), so largeStar no
+  * longer needs its own eager checkpoint, and the convergence checksum
+  * rides the round frame's materialization as observed metrics instead
+  * of a third job re-scanning it. Was: ckpt(largeStar) + ckpt(smallStar)
+  * + checksum agg = 3 jobs and ~6 exchanges per round.
   */
 object ConnectedComponents {
 
@@ -47,22 +58,22 @@ object ConnectedComponents {
     var converged = false
     var eFrame: Option[DataFrame] = None // e when it is a ckpt frame (round ≥ 1)
     while (it < maxIter && !converged) {
-      // both checkpoints are EAGER on purpose: smallStar references its
-      // input on two sides (groupBy-min + join), so a lazy ls would be
-      // computed twice inside ss's job (measured 2× round cost)
-      val ls = Iteration.ckpt(largeStar(e))
-      val ss = Iteration.ckpt(smallStar(ls))
-      val nsig = checksum(ss)
-      // checksum equality is the cheap (1-agg) gate; confirm with an
-      // exact set diff only in that rare case, so the strict check
-      // amortizes to ~one extra shuffle across the whole run
+      // one eager checkpoint per round; the checksum is observed during
+      // the SAME job that materializes the frame
+      val obs = org.apache.spark.sql.Observation()
+      val ss = Iteration.ckpt(smallStar(largeStar(e)).observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(col("u") + col("v")), lit(0L)).as("s")))
+      val nsig = observedChecksum(obs, ss)
+      // checksum equality is the cheap gate; confirm with an exact set
+      // diff only in that rare case, so the strict check amortizes to
+      // ~one extra shuffle across the whole run
       converged = nsig == sig && ss.exceptAll(e).isEmpty
-      // free the dead frames promptly: ls is never read past ss's build,
-      // and the previous e (a ckpt frame from round ≥ 1, or the persisted
-      // canonical edge set in round 0 — unpersist handles the latter)
+      // free the dead frame promptly: the previous e (a ckpt frame from
+      // round ≥ 1, or the persisted canonical edge set in round 0 —
+      // unpersist handles the latter)
       e.unpersist(blocking = false)
       eFrame.foreach(Iteration.release(_))
-      Iteration.release(ls)
       e = ss
       eFrame = Some(ss)
       sig = nsig
@@ -77,6 +88,16 @@ object ConnectedComponents {
     roots.unionByName(rootSelf)
   }
 
+  /** One round's frame plan (canonicalize → largeStar → smallStar) —
+    * dev plan capture only ([[graft.CcPlan]]); [[run]] does not call
+    * this. */
+  private[graft] def roundPlan(edges: DataFrame): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+    val e = edges.select(least(ca, cb).as("u"), greatest(ca, cb).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    smallStar(largeStar(e))
+  }
+
   /** (count, Σu+Σv) — both monotone non-increasing across star rounds;
     * stability ⇒ fixpoint. */
   private def checksum(e: DataFrame): (Long, Long) = {
@@ -84,26 +105,39 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Read the round checksum from `obs` (filled by the ckpt job's
+    * CollectMetrics — see [[Iteration.observedOr]]). */
+  private def observedChecksum(obs: org.apache.spark.sql.Observation,
+                               frame: DataFrame): (Long, Long) = {
+    val m = Iteration.observedOr(obs) {
+      val (n, s) = checksum(frame); Map("n" -> n, "s" -> s)
+    }
+    (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+  }
+
   /** Large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u}).
-    * Implemented join-wise: symmetrize, groupBy-min per center (partial
-    * aggregation map-side — skew-safe), join back, filter, canonicalize. */
+    * Window form (r14): the per-center min attaches to each row of the
+    * ONE shuffled pass over the symmetrized edges — same rows, same
+    * min, one exchange; the old groupBy-min + join-back referenced the
+    * input twice (forcing an eager checkpoint between the stars) and
+    * exchanged the symmetrized set twice. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u").as("c"), col("v").as("n"))
       .union(e.select(col("v").as("c"), col("u").as("n")))
-    val m = sym.groupBy(col("c")).agg(min(col("n")).as("mn"))
-      .select(col("c"), least(col("mn"), col("c")).as("m"))
-    sym.join(m, "c")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    sym.withColumn("m", least(min(col("n")).over(w), col("c")))
       .filter(col("n") > col("c"))
       .select(least(col("n"), col("m")).as("u"), greatest(col("n"), col("m")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
   }
 
   /** Small-star: neighbors v < u (plus u itself) link to m(u) over the
-    * small side. Directed form: edges already u < v, center = v. */
+    * small side. Directed form: edges already u < v, center = v.
+    * Window form for the same single-reference/single-exchange reason
+    * as [[largeStar]]. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy(col("v")).agg(min(col("u")).as("m"))
-    e.join(m, "v")
-      .select(col("u"), col("v"), col("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    e.withColumn("m", min(col("u")).over(w))
       .select(explode(array(
         struct(col("u").as("a"), col("m").as("b")),
         struct(col("v").as("a"), col("m").as("b")))).as("p"))

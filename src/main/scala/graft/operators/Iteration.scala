@@ -55,6 +55,22 @@ object Iteration {
   def ckpt[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(true, SerLevel)
 
+  /** Poll `obs` for metrics observed during an eager [[ckpt]] job —
+    * the round-fusion idiom (r14): a loop's convergence aggregate rides
+    * the SAME job that materializes the round frame (`df.observe(obs,
+    * aggs…)` before ckpt) instead of a separate job re-scanning it.
+    * Listener delivery is asynchronous, so poll briefly; if the metrics
+    * never arrive — no known path does this — compute `fallback`
+    * instead: same values, one extra cheap job over the materialized
+    * frame. */
+  def observedOr(obs: org.apache.spark.sql.Observation)(
+      fallback: => Map[String, Any]): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(2, java.util.concurrent.TimeUnit.SECONDS))
+      row.getValuesMap[Any](row.schema.fieldNames)
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   /** Free dead round frames NOW instead of waiting for ContextCleaner.
     * Accepts the exact Datasets returned by [[ckpt]] (each analyzes to a
     * single LogicalRDD leaf holding the checkpointed RDD). Non-blocking:

@@ -581,26 +581,41 @@ object GraphQueries {
     def giant(ed: DataFrame): (Long, Long, Long) = {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val sym = symOf(ed)
-      var lab = Iteration.ckpt(sym.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node")))
-      val n = lab.count()
+      // the label-sum fixpoint detector rides each round frame's ckpt
+      // job as observed metrics (Iteration.observedOr) — was a separate
+      // node-table agg job per round, ×12 rounds ×2 graphs (r14, §2.4)
+      def sumLbl = coalesce(sum(col("lbl").cast(d38)),
+        lit(java.math.BigDecimal.ZERO).cast(d38)).as("s")
       def labSum(df: DataFrame): java.math.BigDecimal = {
-        val d = df.agg(coalesce(sum(col("lbl").cast(d38)),
-          lit(java.math.BigDecimal.ZERO).cast(d38))).head().getDecimal(0)
+        val d = df.agg(sumLbl).head().getDecimal(0)
         if (d == null) java.math.BigDecimal.ZERO else d
       }
-      var prevSum = labSum(lab)
+      def asBD(v: Any): java.math.BigDecimal = v match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case o => new java.math.BigDecimal(o.toString)
+      }
+      val obs0 = org.apache.spark.sql.Observation()
+      var lab = Iteration.ckpt(sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .observe(obs0, count(lit(1)).as("n"), sumLbl))
+      val m0 = Iteration.observedOr(obs0)(
+        Map("n" -> lab.count(), "s" -> labSum(lab)))
+      val n = m0("n").asInstanceOf[Long]
+      var prevSum = asBD(m0("s"))
       var converged = 0L
       var r = 0
       while (r < 12 && converged == 0L) {
+        val obs = org.apache.spark.sql.Observation()
         val next = Iteration.ckpt(
           sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
             .select(col("u").as("node"), col("lbl"))
             .unionByName(lab)
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+            .observe(obs, sumLbl))
         Iteration.release(lab)
         lab = next
-        val s = labSum(lab)
+        val s = asBD(Iteration.observedOr(obs)(Map("s" -> labSum(lab)))("s"))
         if (s.compareTo(prevSum) == 0) converged = 1L
         prevSum = s
         r += 1

@@ -101,7 +101,15 @@ object VectorQueries {
   /** Nearest-centroid assignment. argmax as an aggregate, not a window:
     * max_by gets map-side partial aggregation — a window over the n×16
     * cross-join output would shuffle all of it. Tie-break: higher cos,
-    * then lower cent_id (lexicographic struct ordering). */
+    * then lower cent_id (lexicographic struct ordering).
+    *
+    * Preconditions (r13 ADVICE): `e.vec_id` must be UNIQUE (the
+    * re-attach join is 1:1 only then — a duplicate-id caller would get
+    * duplicated output rows where the old pure-max_by form emitted one
+    * per vec_id; true for every current caller: spines and reps key by
+    * vec_id/fp), and `e` appears on BOTH sides (score + re-attach), so
+    * callers passing an unmemoized plan pay its compute twice —
+    * [[ivfCentroids]] checkpoints its sampled slice for this reason. */
   private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     // ALL-scalar aggregation buffer (the pqDvAssign lesson, r13
     // optimization round): max_by is a SortAggregate either way, but
@@ -142,16 +150,58 @@ object VectorQueries {
     * the q139 IVF-PQ path. */
   private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "ivf_centroids", "k16,it2,s6400") {
-      val e = ivfSpine(s, dir)
+      // eagerly checkpointed (r14, the pqCodebooks `dv` idiom): the
+      // sampled slice sits on both sides of each round's [[ivfAssign]]
+      // (score scan + re-attach) × 2 rounds + the seed filter — a lazy
+      // plan would re-run the corpus scan + trainStep agg ~5× inside
+      // the centroid build. Sample-bound (≤6400 rows), so the pinned
+      // blocks are kilobytes at any corpus scale. NOT released: the
+      // returned (lazy) centroid plan still references it until the
+      // memo's persist materializes.
+      val e = Iteration.ckpt(ivfSpine(s, dir)
         .crossJoin(broadcast(trainStep(s, dir, 6400L)))
-        .filter(pmod(col("vec_id"), col("step")) === 0)
+        .filter(pmod(col("vec_id"), col("step")) === 0))
       var centroids = e.filter(col("vec_id") < lit(16L) * col("step"))
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      // DISTINCT-class training slice × sampled multiplicity (r14, the
+      // pqCodebooks collapse applied to the IVF loop — r13 verdict item
+      // 4): the 16-way argmax and the member mean-sums are functions of
+      // the embedding VALUE, so Lloyd scores once per distinct sampled
+      // embedding and weights the mean by the class's sampled-member
+      // count. Class-sized and read on both sides of each round's
+      // assign × 2 rounds ⇒ eagerly checkpointed like `e`.
+      val dv = Iteration.ckpt(e
+        .groupBy(xxhash64(col("embedding")).as("fp"))
+        .agg(count(lit(1)).as("mult"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm")))
       for (_ <- 1 to 2) {
-        centroids = ivfAssign(e.select(col("vec_id"), col("embedding"), col("nrm")), centroids)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        // Weighted mean, BIT-IDENTICAL to the member-level
+        // avg(x :: decimal(20,10)) this replaces, by construction:
+        //  - quantize exactly as the old cast did: x_dec·1e10 is the
+        //    decimal's own integer units (exact decimal multiply, no
+        //    double rounding anywhere);
+        //  - the member unit-sum is Σ units·mult exactly (identical
+        //    values per class);
+        //  - avg(DECIMAL(20,10)) = HALF_UP at scale 14 of the exact
+        //    quotient = the sign-split integer formula below (halves
+        //    are exact in integers; non-halves are ≥ 1/(2n·10¹⁴) from
+        //    a boundary, far above any intermediate's error);
+        //  - m re-enters the plan as the SAME decimal(24,14) value the
+        //    old avg produced, so the float cast is the identical op.
+        val assigned = ivfAssign(
+          dv.select(col("fp").as("vec_id"), col("embedding"), col("nrm")), centroids)
+          .select(col("vec_id").as("fp"), col("embedding"), col("cell"))
+          .join(dv.select(col("fp"), col("mult")), "fp")
+        centroids = assigned
+          .select(col("cell"), col("mult"), posexplode(col("embedding")).as(Seq("d", "x")))
           .groupBy(col("cell"), col("d"))
-          .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+          .agg(sum((col("x").cast("decimal(20,10)") * lit(10000000000L)).cast("long") *
+            col("mult")).as("sx"),
+            sum(col("mult")).as("n"))
+          .withColumn("m14", expr(
+            """CASE WHEN sx >= 0 THEN (2*CAST(sx AS DECIMAL(38,0))*10000 + n) div (2*n)
+              |     ELSE -((2*CAST(-sx AS DECIMAL(38,0))*10000 + n) div (2*n)) END""".stripMargin))
+          .withColumn("m", expr("CAST(m14 * 0.00000000000001 AS DECIMAL(24,14))"))
           .groupBy(col("cell"))
           .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
           .select(col("cell").as("cent_id"),
@@ -695,17 +745,13 @@ object VectorQueries {
       // runs over the 1-in-step sub-vector slice; the final full-corpus
       // assignment lives in [[pqCodes]]. Seed = first 256 SAMPLED
       // vectors; cid = vec_id div step keeps codes dense in [0, 256)
-      // (the 8-bit fields of q96's code_word pack by cid).
-      // The sample filter runs BEFORE the sub-vector explode
-      // ([[subvecsOf]] is row-local, so filter-then-explode emits
-      // exactly the rows explode-then-filter did): training touches
-      // ~25,600 vectors of I/O at any corpus size instead of exploding
-      // the full corpus to discard 1-1/step of it.
-      // Seed = first 256 SAMPLED vectors. The sample filter AND the
-      // seed's vec_id bound both run BEFORE the sub-vector explode
-      // ([[subvecsOf]] is row-local, so filter-then-explode emits
-      // exactly the rows explode-then-filter did): the seed costs a
-      // 256-vector explode at any corpus size.
+      // (the 8-bit fields of q96's code_word pack by cid). The sample
+      // filter AND the seed's vec_id bound both run BEFORE the
+      // sub-vector explode ([[subvecsOf]] is row-local, so
+      // filter-then-explode emits exactly the rows explode-then-filter
+      // did): the seed costs a 256-vector explode at any corpus size.
+      // (The TRAINING slice itself derives from the memoized class-level
+      // explode [[repSubvecs]] below, not from a member re-explode.)
       val step = broadcast(trainStep(s, dir, 25600L))
       var cents = subvecsOf(
         Tables.embeddings(s, dir).crossJoin(step)

@@ -279,4 +279,62 @@ class DuplicateCollapseSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.exists { case (a, b, _) => b == a + OFF }) // intra pairs present
   }
+
+  /** The r14 ivfCentroids collapse (distinct sampled classes ×
+    * multiplicity, fixed-point weighted mean) must be BIT-identical to
+    * the member-level decimal-avg Lloyd loop it replaced — the doubled
+    * corpus gives every class multiplicity 2, so the weighted path is
+    * actually exercised (on pristine data every mult is 1). */
+  private def memberLevelIvfCentroids(dir: String): Map[Long, (Seq[Float], Double)] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
+    val emb = Tables.embeddings(spark, dir)
+    val spine = emb.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    val step = emb.agg(
+      greatest(lit(1L), floor(count(lit(1)) / lit(6400.0)).cast("long")).as("step"))
+    val e = spine.crossJoin(broadcast(step))
+      .filter(pmod(col("vec_id"), col("step")) === 0)
+    var cents = e.filter(col("vec_id") < lit(16L) * col("step"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to 2) {
+      val assigned: DataFrame = e.crossJoin(broadcast(cents))
+        .withColumn("cc",
+          vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("embedding")),
+          struct(col("cc"), -col("cent_id"))).as("b"))
+        .select(col("b.cent_id").as("cell"), col("b.embedding").as("embedding"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x").cast("decimal(20,10)")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("c_emb"))
+        .withColumn("c_nrm", vecNorm(col("c_emb")))
+    }
+    cents.collect().map(r =>
+      (r.getLong(0), (r.getSeq[Float](1), r.getDouble(2)))).toMap
+  }
+
+  private def gotIvfCentroids(dir: String): Map[Long, (Seq[Float], Double)] =
+    graft.queries.VectorQueries.ivfCentroids(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getSeq[Float](1), r.getDouble(2)))).toMap
+
+  test("ivfCentroids weighted distinct-collapse is bit-identical to member-level decimal avg") {
+    for (dir <- Seq(TestSpark.sfDir, dupDir)) {
+      val want = memberLevelIvfCentroids(dir)
+      val got = gotIvfCentroids(dir)
+      assert(got.keySet === want.keySet, s"cell set differs at $dir")
+      got.foreach { case (cid, (emb, nrm)) =>
+        val (wEmb, wNrm) = want(cid)
+        // exact float equality — the collapse must be bit-identical
+        assert(emb == wEmb, s"centroid $cid differs at $dir")
+        assert(nrm == wNrm, s"centroid $cid norm differs at $dir")
+      }
+    }
+  }
 }

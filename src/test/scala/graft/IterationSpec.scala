@@ -58,6 +58,26 @@ class IterationSpec extends AnyFunSuite {
     Iteration.release(b)
   }
 
+  test("observedOr reads convergence metrics from the ckpt job itself") {
+    // the r14 round fusion: a loop's convergence aggregate rides the
+    // frame's own materialization (observe → ckpt) — this pins that the
+    // eager localCheckpoint action DELIVERS the observed metrics, i.e.
+    // the fused path is real and the fallback job is never paid
+    val obs = org.apache.spark.sql.Observation()
+    val frame = Iteration.ckpt(
+      spark.range(0, 100).toDF("u")
+        .observe(obs, count(lit(1)).as("n"), sum(col("u")).as("s")))
+    var fellBack = false
+    val m = Iteration.observedOr(obs) {
+      fellBack = true; Map("n" -> -1L, "s" -> -1L)
+    }
+    assert(m("n") === 100L)
+    assert(m("s") === (0L until 100L).sum)
+    assert(!fellBack,
+      "metrics must arrive from the localCheckpoint action, not the fallback job")
+    Iteration.release(frame)
+  }
+
   test("release on a loop: only the final frame stays persisted") {
     val before = persistedCkptRdds().keySet
     var cur = Iteration.ckpt(spark.range(0, 200).toDF("v"))
