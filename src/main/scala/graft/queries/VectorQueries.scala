@@ -686,11 +686,21 @@ object VectorQueries {
     * arithmetic. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "pq_codes", "m8,k256,it2,cls") {
-      val cls = pqAssign(repSubvecs(s, dir).withColumnRenamed("fp", "vec_id"),
+      embMembers(s, dir).join(repCodes(s, dir), "fp")
+        .select(col("vec_id"), col("sub"), col("svec"), col("cid"))
+    }
+
+  /** Class-level PQ code assignment (fp, sub, svec, cid) — the
+    * compressed index at class granularity, memoized (r14): it was
+    * computed TWICE per session, once inside [[pqCodes]]'s attach and
+    * once un-memoized inside q139's candidate stage (the 256-way
+    * scoring of every distinct class's 8 sub-vectors, the expensive
+    * half of the q96 slot). One build now serves both. */
+  private[queries] def repCodes(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "rep_codes", "m8,k256,it2") {
+      pqAssign(repSubvecs(s, dir).withColumnRenamed("fp", "vec_id"),
           pqCodebooks(s, dir))
         .select(col("vec_id").as("fp"), col("sub"), col("svec"), col("cid"))
-      embMembers(s, dir).join(cls, "fp")
-        .select(col("vec_id"), col("sub"), col("svec"), col("cid"))
     }
 
   /** DISTINCT-subvector nearest-codebook assignment for the training
@@ -895,9 +905,10 @@ object VectorQueries {
     // memoized sample-trained codebooks ([[pqAssign]] groups by its
     // first column, so fp rides through as `vec_id`)
     val repSubvecsF = repSubvecs(s, dir)
-    val repCodes = pqAssign(repSubvecsF.withColumnRenamed("fp", "vec_id"),
-        pqCodebooks(s, dir))
-      .select(col("vec_id").as("cfp"), col("sub"), col("cid"))
+    // class PQ codes — the shared [[repCodes]] memo (r14: was an
+    // un-memoized duplicate of the scoring pqCodes' attach also ran)
+    val candCodes = repCodes(s, dir)
+      .select(col("fp").as("cfp"), col("sub"), col("cid"))
     // query classes (vec_id < 50): probes and LUT per DISTINCT query
     // embedding — both broadcast-sized
     val qfps = broadcast(
@@ -917,7 +928,7 @@ object VectorQueries {
     // a class's own cell is always its rank-1 probe (same tie-break)
     val adcScores = candCells
       .join(probes, "cell")
-      .join(repCodes, "cfp")
+      .join(candCodes, "cfp")
       .join(broadcast(lut), Seq("qfp", "sub", "cid"))
       .groupBy(col("qfp"), col("cfp"))
       .agg(graft.Oracle.dsum(col("pdot")).as("adc"),
