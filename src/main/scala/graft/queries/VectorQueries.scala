@@ -98,35 +98,34 @@ object VectorQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
 
-  /** Nearest-centroid assignment. argmax as an aggregate, not a window:
-    * max_by gets map-side partial aggregation — a window over the n×16
-    * cross-join output would shuffle all of it. Tie-break: higher cos,
-    * then lower cent_id (lexicographic struct ordering).
+  /** Nearest-centroid assignment, single-map form (r14): the centroid
+    * count is bounded by design (k = 16 at any corpus size — it is the
+    * coarse quantizer), so the argmax FOLDS over one broadcast array of
+    * the k centroids per input row. Versus the r12/r13 aggregate forms
+    * (crossJoin ×k → extremum aggregate → re-attach join): no ×k row
+    * explosion, no SortAggregate extremum buffer, no corpus-sized
+    * exchange, no re-attach join, and `e` is referenced exactly once
+    * with all its columns preserved (output = e.* + cell) — which also
+    * removes the old unique-vec_id precondition.
     *
-    * Preconditions (r13 ADVICE): `e.vec_id` must be UNIQUE (the
-    * re-attach join is 1:1 only then — a duplicate-id caller would get
-    * duplicated output rows where the old pure-max_by form emitted one
-    * per vec_id; true for every current caller: spines and reps key by
-    * vec_id/fp), and `e` appears on BOTH sides (score + re-attach), so
-    * callers passing an unmemoized plan pay its compute twice —
-    * [[ivfCentroids]] checkpoints its sampled slice for this reason. */
+    * Bit-identical tie-break: the fold walks centroids in ascending
+    * cent_id (sort_array) and replaces only on STRICT improvement, so
+    * equal cosines keep the lower cent_id — exactly the old
+    * max_by(struct(cent_cos, -cent_id)). Spark's when(>) uses the same
+    * NaN-greatest comparison semantics the struct ordering used;
+    * scores are finite here anyway (centroids are means of finite
+    * floats, norms > 0). */
   private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    // ALL-scalar aggregation buffer (the pqDvAssign lesson, r13
-    // optimization round): max_by is a SortAggregate either way, but
-    // carrying the 64-float embedding through the argmax struct drags
-    // the array through the sort and both aggregation buffers; the
-    // argmax runs over (cent_cos, cent_id) scalars and the
-    // embedding/nrm re-attach by one join on the unique row key —
-    // same argmax, same tie-break, same attached values, bit-identical.
-    val best = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        (vecDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-          .as("cent_cos"),
-        col("cent_id"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id"))).as("cell"))
-    e.join(best, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val cb = broadcast(cents.groupBy().agg(sort_array(
+      collect_list(struct(col("cent_id"), col("c_emb"), col("c_nrm")))).as("__cb")))
+    val scored = transform(col("__cb"), c =>
+      struct((vecDot(col("embedding"), c.getField("c_emb")) /
+          (col("nrm") * c.getField("c_nrm"))).as("s"),
+        c.getField("cent_id").as("c")))
+    val best = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    e.crossJoin(cb).withColumn("cell", best.getField("c")).drop("__cb")
   }
 
   /** Deterministic 1-in-`step` training sample head: one broadcast row
@@ -188,10 +187,8 @@ object VectorQueries {
         //    a boundary, far above any intermediate's error);
         //  - m re-enters the plan as the SAME decimal(24,14) value the
         //    old avg produced, so the float cast is the identical op.
-        val assigned = ivfAssign(
-          dv.select(col("fp").as("vec_id"), col("embedding"), col("nrm")), centroids)
-          .select(col("vec_id").as("fp"), col("embedding"), col("cell"))
-          .join(dv.select(col("fp"), col("mult")), "fp")
+        // single-map assign keeps mult on the row — no re-join needed
+        val assigned = ivfAssign(dv, centroids)
         centroids = assigned
           .select(col("cell"), col("mult"), posexplode(col("embedding")).as(Seq("d", "x")))
           .groupBy(col("cell"), col("d"))
@@ -703,38 +700,41 @@ object VectorQueries {
         .select(col("vec_id").as("fp"), col("sub"), col("svec"), col("cid"))
     }
 
-  /** DISTINCT-subvector nearest-codebook assignment for the training
-    * loop: (sub, svec, mult, cid) — one 256-way argmin per distinct
-    * (sub, svec), multiplicity carried through for the weighted mean
-    * (the engine-side twin of [[pqDvAssignSql]]). */
-  private def pqDvAssign(dv: DataFrame, cents: DataFrame): DataFrame = {
-    // ALL-scalar aggregation buffer, deliberately: min_by compiles to a
-    // SortAggregate either way (its extremum buffer is never
-    // hash-mutable), but with the svec array in the value struct every
-    // scored row carries the array through the sort and both partial/
-    // final buffers — measured 5× (2.8 s vs 0.5 s per round on the same
-    // 4M scored rows). The argmin therefore runs over (score, cid)
-    // scalars only and the array/multiplicity re-attach by one
-    // tiny-side join on the class fingerprint afterwards
-    val withFp = dv.withColumn("sfp", xxhash64(col("svec")))
+  /** Nearest-codebook assignment: subvecs.* + cid. The k = 256 argmin
+    * stays in the codegen'd broadcast-join ×256 → scalar-buffer
+    * extremum → re-attach-by-fingerprint pipeline (the r13 form).
+    *
+    * Measured and REJECTED this round (guide §1.1: the first-principles
+    * "ideal" lost to the empirical loop): a single-map fold over a
+    * broadcast 256-entry codebook array — zero exchanges, no re-attach
+    * — ran the whole 256-way scoring through the INTERPRETED
+    * higher-order-function eval path (HOFs get no whole-stage codegen)
+    * and measured 2-4× SLOWER end-to-end (pqCodebooks 4.7-6.0 s →
+    * 9.2-20.9 s at sf0.1; VecProf, both on- and off-peak windows). The
+    * same fold DID win for the 16-entry coarse quantizer ([[ivfAssign]])
+    * where the per-row fold is 16× shorter and it deletes two
+    * corpus-sized exchanges.
+    *
+    * The r13 scalar-buffer note stands: with the svec array in the
+    * extremum struct the aggregate drags it through the sort and both
+    * partial/final buffers (measured 5×, VecProf's assign1 probe); the
+    * argmin therefore runs over (score, cid) scalars and svec (plus any
+    * other input columns, e.g. the training loop's multiplicity)
+    * re-attach by one join on the sub-vector fingerprint. Group keys
+    * are scalar fingerprints (xxhash64-of-value, the [[embMembers]]
+    * collision stance) — array group-keys fall back to SortAggregate. */
+  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame = {
+    val extra = subvecs.columns.filter(c => c != "sub" && c != "svec")
+    val withFp = subvecs.withColumn("sfp", xxhash64(col("svec")))
     val best = withFp.join(broadcast(cents), "sub")
-      .select(col("sub"), col("sfp"), col("cid"),
-        (col("cnorm2") - lit(2d) * vecDot(col("svec"), col("cvec"))).as("score"))
+      .select(col("sub"), col("sfp"),
+        (col("cnorm2") - lit(2d) * vecDot(col("svec"), col("cvec"))).as("score"),
+        col("cid"))
       .groupBy(col("sub"), col("sfp"))
       .agg(min_by(col("cid"), struct(col("score"), col("cid"))).as("cid"))
     withFp.join(best, Seq("sub", "sfp"))
-      .select(col("sub"), col("svec"), col("mult"), col("cid"))
+      .select((Seq("sub", "svec") ++ extra :+ "cid").map(col): _*)
   }
-
-  /** Nearest-codebook assignment: (vec_id, sub, svec, cid). */
-  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
-    subvecs.join(broadcast(cents), "sub")
-      .withColumn("score", col("cnorm2") - lit(2d) * vecDot(col("svec"), col("cvec")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("cid"), col("svec")),
-        struct(col("score"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("sub"),
-        col("best.svec").as("svec"), col("best.cid").as("cid"))
 
   /** Per-subspace codebooks after 2 deterministic Lloyd iterations:
     * (sub, cid, cvec, cnorm2). Seeded from the first 256 SAMPLED
@@ -817,7 +817,7 @@ object VectorQueries {
         // codes — are bit-identical under the DuckDB oracle (the
         // decimal-avg form this replaces pinned determinism per
         // engine, but decimal avg semantics differ across engines).
-        cents = pqDvAssign(dv, cents)
+        cents = pqAssign(dv, cents)
           .select(col("sub"), col("cid"), col("mult"),
             posexplode(col("svec")).as(Seq("i", "x")))
           .groupBy(col("sub"), col("cid"), col("i"))
